@@ -1,38 +1,69 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — every implemented operator from SURVEY.md §2 plus the
+LLM-data-pipeline operators; each callable takes (spark, sf_dir).
+``oracle_sql()`` — DuckDB ANSI-SQL twin per query (column names
+aliased identically on both sides).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from simple_rust_query_engine_spark import session as _session
+from simple_rust_query_engine_spark.operators import relational as _rel
+from simple_rust_query_engine_spark.pipeline import (
+    dedup as _dedup,
+    multimodal as _mm,
+    similarity as _sim,
+    text as _text,
+)
+from simple_rust_query_engine_spark.streaming import events as _events
+
+_MODULES = (_rel, _text, _dedup, _sim, _mm, _events)
+
+# per-(session, sf_dir) table cache so repeated queries() calls don't
+# re-register views
+_table_cache: dict = {}
+
+
+def _tables(spark: SparkSession, sf_dir: str):
+    key = (id(spark), os.path.abspath(sf_dir))
+    if key not in _table_cache:
+        _table_cache[key] = _session.load_tables(spark, sf_dir)
+    return _table_cache[key]
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (reference README.md:132-151 shape) on sf0.001."""
+    t = _tables(spark, "/root/testdata/sf0.001")
+    return _rel.q_flagship(t)
+
+
+def _wrap(fn) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(_tables(spark, sf_dir))
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _MODULES:
+        for name, fn in mod.QUERIES.items():
+            out[name] = _wrap(fn)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for mod in _MODULES:
+        out.update(getattr(mod, "ORACLE", {}))
+    return out

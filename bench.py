@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed as a full cold action (count() over the final
+plan — no caching between queries beyond the shared session & file
+system cache, mirroring how the reference would re-run a query).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline set: the reference-parity core + each pipeline family
+BENCH_QUERIES = [
+    "flagship",
+    "tpch_q1",
+    "tpch_q3_like",
+    "agg_grouped",
+    "join_inner",
+    "join_left",
+    "window_topk_per_group",
+    "distinct",
+    "dedup_exact",
+    "dedup_minhash",
+    "ngram_jaccard",
+    "simhash",
+    "token_count",
+    "fingerprint",
+    "ann_brute",
+    "embedding_neardup",
+    "events_window",
+    "events_sessionize",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from simple_rust_query_engine_spark.session import get_spark
+
+    spark = get_spark("srqe-bench")
+    qs = entry_mod.queries()
+
+    # warm the JVM + parquet footers once with a trivial action so the
+    # first timed query doesn't pay session fixed costs
+    spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

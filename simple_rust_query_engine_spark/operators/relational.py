@@ -1,0 +1,509 @@
+"""Relational operator query library — the SURVEY.md §2 parity surface.
+
+Each ``q_*`` function takes the loaded driver tables (dict of
+DataFrames, see ``session.load_tables``) and returns a lazy DataFrame.
+``ORACLE`` holds the DuckDB ANSI-SQL twin for each query, with every
+computed column aliased identically on both sides (driver hash
+requirement).
+
+Reference mapping (file:line cites into /root/reference):
+    scan/projection   src/plan/logical/projection.rs:12-40
+    filter            src/plan/logical/filter.rs:15-43
+    limit skip+fetch  src/plan/physical/limit.rs:15-185
+    aggregate         src/plan/physical/aggregate/*  (COUNT SUM AVG MIN MAX)
+    distinct          src/plan/logical/distinct.rs:7-37
+    sort              src/plan/physical/sorts/sort.rs:23-200
+    hash join         src/plan/physical/joins/hash_join.rs:268-434
+    nested-loop join  src/plan/physical/joins/nested_loop_join.rs:89-150
+    coercion          src/expression/coercion.rs:33-176
+
+Scale notes: every query is declarative — Catalyst pushes filters and
+projections into the parquet scan, picks broadcast vs shuffle joins by
+size (the reference always materializes the left side in memory,
+hash_join.rs:326-361 — unusable at 100 TB), and AQE re-plans at
+runtime.  Nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Tables = dict  # name -> DataFrame
+
+
+# ----------------------------------------------------------------- scan
+def q_scan_projection(t: Tables) -> DataFrame:
+    """Projection pruning: scan must read only 3 of 11 lineitem columns
+    (reference ProjectionPushDownRule, projection_pushdown.rs:17-267 —
+    free via Catalyst ColumnPruning + parquet ReadSchema)."""
+    return t["lineitem"].select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+def q_filter_predicate(t: Tables) -> DataFrame:
+    """Compound predicate with Kleene AND/OR + arithmetic, pushed to the
+    parquet scan (reference FilterExec + PredicatePushDownRule)."""
+    li = t["lineitem"]
+    charge = F.round(F.col("l_extendedprice") * (F.lit(1.0) + F.col("l_tax")), 2)
+    return (
+        li.filter(
+            ((F.col("l_quantity") > 45.0) & (F.col("l_discount") < 0.02))
+            | (F.col("l_returnflag") == "R") & (F.col("l_quantity") > 49.0)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_returnflag",
+            charge.alias("charge"),
+        )
+    )
+
+
+def q_limit_skip(t: Tables) -> DataFrame:
+    """skip+fetch — reference LimitExec(skip, fetch) (limit.rs:15-185);
+    Spark offset()+limit(). Deterministic via unique sort key."""
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(50)
+    )
+
+
+def q_topk(t: Tables) -> DataFrame:
+    """ORDER BY + LIMIT → Spark rewrites to TakeOrderedAndProject
+    (reference composes SortExec + LimitExec, dataframe.rs:216-234)."""
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ------------------------------------------------------------ aggregate
+def q_agg_global(t: Tables) -> DataFrame:
+    """Global (no-group) aggregation — all 5 reference aggregate fns
+    (AggregateStream, no_groups.rs:19-130). l_quantity holds integral
+    values so SUM/AVG are exact in double → oracle-hash-stable."""
+    li = t["lineitem"]
+    return li.agg(
+        F.count(F.lit(1)).alias("cnt_all"),
+        F.count("l_quantity").alias("cnt_qty"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.avg("l_quantity").alias("avg_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+def q_agg_grouped(t: Tables) -> DataFrame:
+    """Grouped hash aggregation (GroupedHashAggregateStream,
+    row_hash.rs:21-154). Spark: partial (map-side) + final agg with
+    codegen — the shuffle moves only one row per (flag,status) group
+    per partition, not 600k rows."""
+    li = t["lineitem"]
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.avg("l_quantity").alias("avg_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+def q_agg_having(t: Tables) -> DataFrame:
+    """Filter over aggregate output (reference: only via predicate kept
+    above Aggregate, predicate_pushdown.rs:262-269)."""
+    return (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+def q_distinct(t: Tables) -> DataFrame:
+    """DISTINCT → group-by-all-columns (RewriteDistinctRule,
+    rewrite_distinct.rs:29-47 == Spark ReplaceDistinctWithAggregate)."""
+    return t["lineitem"].select("l_returnflag", "l_linestatus").distinct()
+
+
+# ----------------------------------------------------------------- sort
+def q_sort_multi(t: Tables) -> DataFrame:
+    """Multi-key sort, mixed direction (SortExec + k-way loser-tree
+    merge, sorts/sort.rs + stream.rs — Spark: range-partitioned
+    distributed sort, spills instead of OOM)."""
+    return (
+        t["customer"]
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+        .orderBy(F.col("c_nationkey").asc(), F.col("c_acctbal").desc())
+    )
+
+
+# ---------------------------------------------------------------- joins
+def q_join_inner(t: Tables) -> DataFrame:
+    """Equi inner hash join (hash_join.rs:268-434). customer is small →
+    Catalyst broadcasts it; no shuffle of orders at any scale where
+    the dim fits in memory."""
+    o, c = t["orders"], t["customer"]
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .filter(F.col("o_totalprice") > 400000.0)
+        .select("o_orderkey", "c_custkey", "c_mktsegment", "o_totalprice")
+    )
+
+
+def q_join_left(t: Tables) -> DataFrame:
+    """LEFT outer join with null-extended unmatched rows
+    (hash_join.rs:779-811 emits unmatched-build batch; Spark emits
+    them streaming per-partition — no order guarantee, driver hash is
+    order-insensitive)."""
+    c, o = t["customer"], t["orders"]
+    big = o.filter(F.col("o_totalprice") > 450000.0)
+    return c.join(big, c.c_custkey == big.o_custkey, "left").select(
+        "c_custkey", "c_nationkey", "o_orderkey", "o_totalprice"
+    )
+
+
+def q_join_nonequi_filter(t: Tables) -> DataFrame:
+    """Equi join + extra non-equi condition (reference JoinFilter,
+    joins/utils.rs:21-267): matches are probed on the key then the
+    residual predicate filters pairs."""
+    li, p = t["lineitem"], t["part"]
+    return (
+        li.join(p, (li.l_partkey == p.p_partkey) & (li.l_quantity > p.p_size), "inner")
+        .select("l_orderkey", "l_linenumber", "p_partkey", "l_quantity", "p_size")
+    )
+
+
+def q_cross_join_filter(t: Tables) -> DataFrame:
+    """Keyless join + filter → nested-loop join (reference
+    NestedLoopJoinExec via planner.rs:186-194; Spark
+    BroadcastNestedLoopJoin)."""
+    n, r = t["nation"], t["region"]
+    return (
+        n.crossJoin(r)
+        .filter(F.col("n_regionkey") != F.col("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_regionkey", "r_name")
+    )
+
+
+# ------------------------------------------------------------- coercion
+def q_coercion(t: Tables) -> DataFrame:
+    """Mixed-type arithmetic — the reference's numeric-widening lattice
+    (coercion.rs:33-155) → Catalyst TypeCoercion. int+double → double,
+    int+long → long."""
+    li = t["lineitem"]
+    return li.select(
+        "l_orderkey",
+        (F.col("l_linenumber") + F.lit(1)).alias("line_plus_int"),
+        (F.col("l_quantity") * F.lit(2.5)).alias("qty_scaled"),
+        (F.col("l_linenumber") + F.col("l_quantity")).alias("int_plus_double"),
+        (F.col("l_orderkey") - F.col("l_linenumber")).alias("long_minus_int"),
+    )
+
+
+# --------------------------------------------------------------- set ops
+def q_set_union(t: Tables) -> DataFrame:
+    """UNION (beyond parity — reference has no set ops, SURVEY §2.6)."""
+    c = t["customer"]
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") < 0.0).select("c_custkey")
+    return a.union(b).distinct()
+
+
+def q_set_intersect(t: Tables) -> DataFrame:
+    c = t["customer"]
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") < 0.0).select("c_custkey")
+    return a.intersect(b)
+
+
+def q_set_except(t: Tables) -> DataFrame:
+    c = t["customer"]
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") < 0.0).select("c_custkey")
+    return a.exceptAll(b)
+
+
+# -------------------------------------------------------------- windows
+def q_window_topk_per_group(t: Tables) -> DataFrame:
+    """Top-3 orders per customer via row_number() — the canonical
+    windowed top-k (beyond parity; reference has no window fns,
+    SURVEY §2.8). One shuffle on o_custkey; no driver loop."""
+    from pyspark.sql.window import Window
+
+    o = t["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_window_running_sum(t: Tables) -> DataFrame:
+    """Running revenue per customer ordered by date (frame = unbounded
+    preceding..current row)."""
+    from pyspark.sql.window import Window
+
+    o = t["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+# ------------------------------------------------------------- flagship
+def q_flagship(t: Tables) -> DataFrame:
+    """The reference README's flagship query (README.md:132-151):
+    SELECT l1, SUM(r2), AVG(r3) FROM left LEFT JOIN right ON l1=r1
+    WHERE l3 < 40 GROUP BY l1 ORDER BY SUM(r2) DESC
+    mapped onto customer ⟕ orders. Exercises scan, filter, left join,
+    grouped agg, order-by-aggregate in one plan."""
+    c, o = t["customer"], t["orders"]
+    return (
+        c.filter(F.col("c_acctbal") < 4000.0)
+        .join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_total"),
+        )
+        .orderBy(F.col("sum_total").desc())
+    )
+
+
+def q_tpch_q1(t: Tables) -> DataFrame:
+    """TPC-H Q1 shape — pricing summary report. The headline OLAP
+    aggregation; money sums rounded for cross-engine hash stability."""
+    li = t["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_tpch_q3_like(t: Tables) -> DataFrame:
+    """TPC-H Q3 shape — 3-way join + grouped agg + top-k. customer and
+    orders filter before the join (Catalyst pushes both); lineitem
+    joins on orderkey."""
+    c = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    o = t["orders"].filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1997-01-01"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------- oracle
+ORACLE: dict[str, str] = {
+    "scan_projection": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    """,
+    "filter_predicate": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+               ROUND(l_extendedprice * (1.0 + l_tax), 2) AS charge
+        FROM lineitem
+        WHERE (l_quantity > 45.0 AND l_discount < 0.02)
+           OR (l_returnflag = 'R' AND l_quantity > 49.0)
+    """,
+    "limit_skip": """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_orderkey LIMIT 50 OFFSET 100
+    """,
+    "topk": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "agg_global": """
+        SELECT COUNT(*) AS cnt_all, COUNT(l_quantity) AS cnt_qty,
+               SUM(l_quantity) AS sum_qty, AVG(l_quantity) AS avg_qty,
+               MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+        FROM lineitem
+    """,
+    "agg_grouped": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+               SUM(l_quantity) AS sum_qty, AVG(l_quantity) AS avg_qty,
+               MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "agg_having": """
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+    """,
+    "distinct": """
+        SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+    "sort_multi": """
+        SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        ORDER BY c_nationkey ASC, c_acctbal DESC
+    """,
+    "join_inner": """
+        SELECT o_orderkey, c_custkey, c_mktsegment, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_totalprice > 400000.0
+    """,
+    "join_left": """
+        SELECT c_custkey, c_nationkey, o_orderkey, o_totalprice
+        FROM customer LEFT JOIN (
+            SELECT * FROM orders WHERE o_totalprice > 450000.0
+        ) AS big ON c_custkey = o_custkey
+    """,
+    "join_nonequi_filter": """
+        SELECT l_orderkey, l_linenumber, p_partkey, l_quantity, p_size
+        FROM lineitem JOIN part
+          ON l_partkey = p_partkey AND l_quantity > p_size
+    """,
+    "cross_join_filter": """
+        SELECT n_nationkey, n_name, r_regionkey, r_name
+        FROM nation CROSS JOIN region
+        WHERE n_regionkey <> r_regionkey
+    """,
+    "coercion": """
+        SELECT l_orderkey,
+               l_linenumber + 1 AS line_plus_int,
+               l_quantity * 2.5 AS qty_scaled,
+               l_linenumber + l_quantity AS int_plus_double,
+               l_orderkey - l_linenumber AS long_minus_int
+        FROM lineitem
+    """,
+    "set_union": """
+        SELECT DISTINCT c_custkey FROM (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            UNION ALL
+            SELECT c_custkey FROM customer WHERE c_acctbal < 0.0
+        ) AS u
+    """,
+    "set_intersect": """
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT c_custkey FROM customer WHERE c_acctbal < 0.0
+    """,
+    "set_except": """
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT ALL
+        SELECT c_custkey FROM customer WHERE c_acctbal < 0.0
+    """,
+    "window_topk_per_group": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                   ) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    "window_running_sum": """
+        SELECT o_custkey, o_orderkey,
+               ROUND(SUM(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 2) AS running_total
+        FROM orders
+    """,
+    "flagship": """
+        SELECT c_mktsegment,
+               ROUND(SUM(o_totalprice), 2) AS sum_total,
+               ROUND(AVG(o_totalprice), 4) AS avg_total
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        WHERE c_acctbal < 4000.0
+        GROUP BY c_mktsegment
+        ORDER BY sum_total DESC
+    """,
+    "tpch_q1": """
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               AVG(l_quantity) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 4) AS avg_price,
+               ROUND(AVG(l_discount), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "tpch_q3_like": """
+        SELECT o_orderkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY o_orderkey
+        ORDER BY revenue DESC, o_orderkey ASC LIMIT 20
+    """,
+}
+
+QUERIES = {
+    "scan_projection": q_scan_projection,
+    "filter_predicate": q_filter_predicate,
+    "limit_skip": q_limit_skip,
+    "topk": q_topk,
+    "agg_global": q_agg_global,
+    "agg_grouped": q_agg_grouped,
+    "agg_having": q_agg_having,
+    "distinct": q_distinct,
+    "sort_multi": q_sort_multi,
+    "join_inner": q_join_inner,
+    "join_left": q_join_left,
+    "join_nonequi_filter": q_join_nonequi_filter,
+    "cross_join_filter": q_cross_join_filter,
+    "coercion": q_coercion,
+    "set_union": q_set_union,
+    "set_intersect": q_set_intersect,
+    "set_except": q_set_except,
+    "window_topk_per_group": q_window_topk_per_group,
+    "window_running_sum": q_window_running_sum,
+    "flagship": q_flagship,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3_like": q_tpch_q3_like,
+}

@@ -1,0 +1,129 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Pattern for image/audio/video at 100 TB: store the payload as a
+``binary`` column (or a pointer into object storage) next to typed
+metadata; run decode / feature-extraction as Arrow-batched pandas
+functions over ``mapInPandas`` so bytes never round-trip through
+row-at-a-time Python.
+
+The container has no image/audio libs, so the actual decode is STUBBED
+(`NotImplementedError` behind an import-try, with a deterministic fake
+so the plumbing — schema, batch shape, partitioning — is real and
+tested).  The metadata path (`q_multimodal_meta`) is pure JVM-side
+expressions with a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: decode output schema — what a real image decoder would produce
+DECODE_SCHEMA = (
+    "doc_id long, n_bytes int, format string, width int, height int, "
+    "n_channels int, mean_luma double"
+)
+
+try:  # real decoder unavailable in this container — gate behind import
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Materialize an opaque binary column (here: utf-8 text bytes
+    standing in for an image payload) + typed metadata struct."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.octet_length(F.col("text")).alias("n_bytes"),
+            F.md5(F.col("text")).alias("content_hash"),
+            F.lit("fake/raw").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple:
+    """Deterministic stand-in for an image decode (no PIL in image)."""
+    n = len(payload)
+    width = n % 640 + 1
+    height = (n * 7) % 480 + 1
+    mean_luma = (sum(payload[:64]) % 2551) / 10.0 if n else 0.0
+    return n, "fake", width, height, 3, mean_luma
+
+
+def decode_images(payloads: DataFrame) -> DataFrame:
+    """Arrow-batched decode over mapInPandas. Each batch is a pandas
+    DataFrame of (doc_id, payload); output rows follow DECODE_SCHEMA.
+
+    With a real codec installed this is where `PIL.Image.open` runs —
+    per Arrow batch, per partition, never on the driver."""
+
+    def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if _HAVE_PIL:
+                raise NotImplementedError(
+                    "real image decode not wired in this container build"
+                )
+            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                decoded,
+                columns=["n_bytes", "format", "width", "height", "n_channels", "mean_luma"],
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        decode_batch, schema=DECODE_SCHEMA
+    )
+
+
+def frame_sample(payloads: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """'Frame sampling' analog: deterministic byte-offset samples from
+    each payload — the plan shape of video frame extraction (explode a
+    per-row sample index, decode per sample)."""
+    n = F.octet_length("payload")
+    offsets = F.sequence(
+        F.lit(0), F.floor((n - 1) / F.lit(every_n_bytes)).cast("int")
+    )
+    return payloads.select(
+        "doc_id",
+        F.explode(offsets).alias("frame_no"),
+        n.alias("n_bytes"),
+    ).withColumn("byte_offset", F.col("frame_no") * F.lit(every_n_bytes))
+
+
+def q_multimodal_meta(t: dict) -> DataFrame:
+    """Metadata extraction over the binary payload — pure JVM
+    expressions (oracle-checkable); the mapInPandas decode path is
+    exercised by tests."""
+    b = with_binary_payload(t["documents"])
+    return b.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.content_hash").alias("content_hash"),
+        (F.col("meta.n_bytes") % 640 + 1).alias("width"),
+        (F.col("meta.n_bytes") * 7 % 480 + 1).alias("height"),
+    )
+
+
+ORACLE: dict[str, str] = {
+    "multimodal_meta": """
+        SELECT doc_id,
+               octet_length(encode(text))::INT AS n_bytes,
+               md5(text) AS content_hash,
+               (octet_length(encode(text)) % 640 + 1)::INT AS width,
+               (octet_length(encode(text)) * 7 % 480 + 1)::INT AS height
+        FROM documents
+    """,
+}
+
+QUERIES = {
+    "multimodal_meta": q_multimodal_meta,
+}

@@ -1,0 +1,196 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a broadcast of the query vector
+against a map-only scoring pass, then TakeOrderedAndProject.  Exactly
+the plan you want at scale: score is embarrassingly parallel, only k
+rows cross the final exchange.
+
+Scale path: random-hyperplane LSH bucketing — deterministic sign-bit
+buckets computed map-only; candidate search touches one bucket
+(≈ n / 2^bits of the corpus).  An IVF variant would replace the
+hyperplanes with k-means centroids (Spark ML KMeans) — same plan
+shape: assign → co-partition by cell → search probed cells.
+
+Determinism for the DuckDB oracle: dot products are sequential left
+folds over index order (F.aggregate ↔ list_reduce) with float→double
+casts — bit-identical across engines, so even raw doubles hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+LSH_PLANES = 4  # bucket bits for the scale path
+
+
+def _dots(a, b) -> Column:
+    """Sequential left-fold dot product in double precision."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a) -> Column:
+    sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a, b) -> Column:
+    # fixed operation order (dot / |a| / |b|) so engines agree bitwise
+    return _dots(a, b) / _norm(a) / _norm(b)
+
+
+def ann_brute_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Top-k cosine neighbours of ``query_vec_id`` by full scan.
+
+    The 1-row query side is cross-joined (Catalyst → broadcast
+    nested loop over a single row = free); scoring is map-only."""
+    q = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").alias("q_emb"))
+    )
+    return (
+        emb.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        # arg order (query, candidate) mirrors the oracle's division
+        # order — float division is order-sensitive in the last bit
+        .select("vec_id", cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def hyperplane_sign(emb_col, j: int) -> Column:
+    """Sign bit of the dot product with deterministic pseudo-random
+    hyperplane j: component i is +1 when (i*j + i + j) is even."""
+    signed = F.zip_with(
+        emb_col,
+        F.sequence(F.lit(0), F.size(emb_col) - 1),
+        lambda x, i: F.when(((i * F.lit(j) + i + F.lit(j)) % 2) == 0, x.cast("double")).otherwise(
+            -x.cast("double")
+        ),
+    )
+    dot = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
+    return F.when(dot > 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def lsh_bucket(emb_col) -> Column:
+    b = F.lit(0)
+    for j in range(LSH_PLANES):
+        b = b + hyperplane_sign(emb_col, j) * F.lit(2**j)
+    return b.cast("int")
+
+
+def ann_lsh_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 5) -> DataFrame:
+    """Scale-path ANN: search only the query's hyperplane bucket.
+    Recall < 1 by design; production raises LSH_PLANES and probes
+    neighbouring buckets (multi-probe)."""
+    bucketed = emb.withColumn("bucket", lsh_bucket(F.col("embedding")))
+    q = (
+        bucketed.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket"))
+    )
+    return (
+        bucketed.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        .select("vec_id", "bucket", cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def q_ann_brute(t: dict) -> DataFrame:
+    return ann_brute_topk(t["embeddings"], query_vec_id=0, k=10)
+
+
+def q_ann_lsh(t: dict) -> DataFrame:
+    return ann_lsh_topk(t["embeddings"], query_vec_id=0, k=5)
+
+
+def q_embedding_neardup(t: dict) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.45), LSH-bucket-blocked so
+    the pair space is per-bucket, not O(n²). (Threshold calibrated to
+    the driver corpus — its max pairwise cosine ≈ 0.51.)"""
+    emb = t["embeddings"].withColumn("bucket", lsh_bucket(F.col("embedding")))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket"
+    )
+    sim = cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.45)
+    )
+
+
+# ------------------------------------------------------------- oracle
+# DuckDB lists are 1-indexed; fold order mirrors F.aggregate exactly.
+_SQL_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+    "i -> a_emb[i]::DOUBLE * b_emb[i]::DOUBLE)), (acc, x) -> acc + x)"
+)
+_SQL_NORM_A = (
+    "sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+    "i -> a_emb[i]::DOUBLE * a_emb[i]::DOUBLE)), (acc, x) -> acc + x))"
+)
+_SQL_NORM_B = (
+    "sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+    "i -> b_emb[i]::DOUBLE * b_emb[i]::DOUBLE)), (acc, x) -> acc + x))"
+)
+_SQL_COS = f"{_SQL_DOT} / {_SQL_NORM_A} / {_SQL_NORM_B}"
+
+
+def _sql_sign(emb: str, j: int) -> str:
+    return (
+        f"(CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+        f"i -> CASE WHEN ((i-1)*{j} + (i-1) + {j}) % 2 = 0 "
+        f"THEN {emb}[i]::DOUBLE ELSE -{emb}[i]::DOUBLE END)), "
+        f"(acc, x) -> acc + x) > 0 THEN 1 ELSE 0 END)"
+    )
+
+
+def _sql_bucket(emb: str) -> str:
+    return "(" + " + ".join(f"{_sql_sign(emb, j)} * {2**j}" for j in range(LSH_PLANES)) + ")::INT"
+
+
+ORACLE: dict[str, str] = {
+    "ann_brute": f"""
+        SELECT b.vec_id AS vec_id, {_SQL_COS} AS cos_sim
+        FROM (SELECT embedding AS a_emb FROM embeddings WHERE vec_id = 0) q,
+             (SELECT vec_id, embedding AS b_emb FROM embeddings WHERE vec_id <> 0) b
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """,
+    "ann_lsh": f"""
+        WITH bucketed AS (
+            SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket
+            FROM embeddings
+        )
+        SELECT b.vec_id AS vec_id, b.bucket AS bucket, {_SQL_COS} AS cos_sim
+        FROM (SELECT embedding AS a_emb, bucket FROM bucketed WHERE vec_id = 0) q
+        JOIN (SELECT vec_id, embedding AS b_emb, bucket FROM bucketed
+              WHERE vec_id <> 0) b
+          ON q.bucket = b.bucket
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
+    """,
+    "embedding_neardup": f"""
+        WITH bucketed AS (
+            SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket
+            FROM embeddings
+        )
+        SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, {_SQL_COS} AS cos_sim
+        FROM (SELECT vec_id, embedding AS a_emb, bucket FROM bucketed) x
+        JOIN (SELECT vec_id, embedding AS b_emb, bucket FROM bucketed) y
+          ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        WHERE {_SQL_COS} >= 0.45
+    """,
+}
+
+QUERIES = {
+    "ann_brute": q_ann_brute,
+    "ann_lsh": q_ann_lsh,
+    "embedding_neardup": q_embedding_neardup,
+}

@@ -1,0 +1,200 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All pure `pyspark.sql.functions` expressions — JVM-side, whole-stage
+codegen, zero Python in the hot path.  Each operator has a DuckDB
+oracle twin built from the *same arithmetic* so results hash-match
+bit-for-bit (integer counts, exact rational divisions, deterministic
+polynomial hashes kept < 2^53).
+
+Operators:
+    token_count   — whitespace tokens + BPE-ish subword piece count
+    quality_score — length / punctuation / stopword / repetition ratios
+    lang_id       — stopword-overlap n-gram heuristic language guess
+    fingerprint   — rolling polynomial hash over the token stream
+
+Scale: per-row map-only expressions — no shuffle at all; at 100 TB
+these run at parquet-scan speed and partition count follows the input
+splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# shared deterministic constants (mirrored in the oracle SQL)
+_FP_MUL = 1000003
+_FP_MOD = 1000000007
+
+# tiny stopword lists for the heuristic language guesser; the driver
+# corpus is an English-ish word soup so EN dominates — the point is
+# deterministic, engine-independent logic, not linguistic accuracy
+_EN_STOP = ("the", "a", "of", "and", "to", "in", "is")
+_ES_STOP = ("el", "la", "de", "los", "que", "y", "en")
+_DE_STOP = ("der", "die", "das", "und", "ist", "von", "zu")
+
+
+def tokens(text: Column) -> Column:
+    """Split on single spaces (driver corpus is space-joined words)."""
+    return F.split(text, " ")
+
+
+def word_hash(w: Column) -> Column:
+    """Deterministic cross-engine word hash (no xxhash in DuckDB's
+    default surface): affine combo of first/last codepoints + length.
+    Production note: swap for ``F.xxhash64`` when the oracle twin
+    isn't needed — this weak hash is for cross-engine determinism."""
+    return (
+        F.ascii(w) * F.lit(131) + F.length(w) * F.lit(31) + F.ascii(F.reverse(w))
+    ).cast("long")
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish piece count (letter runs,
+    digit runs, single punctuation — a cheap proxy for subword
+    tokenizer load)."""
+    return df.withColumn(
+        "n_tokens", F.regexp_count(F.col(text_col), F.lit(r"\S+"))
+    ).withColumn(
+        "n_pieces",
+        F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")),
+    )
+
+
+def q_token_count(t: dict) -> DataFrame:
+    return with_token_count(t["documents"]).select(
+        "doc_id", "n_tokens", "n_pieces"
+    )
+
+
+def q_quality_score(t: dict) -> DataFrame:
+    """Quality signals: exact integer counts and exact rational ratios
+    (identical doubles in any engine)."""
+    d = t["documents"]
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_char = F.length("text")
+    n_alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*_EN_STOP)))
+    n_uniq = F.size(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        n_char.alias("n_char"),
+        n_tok.alias("n_tokens"),
+        (n_alpha.cast("double") / n_char).alias("alpha_ratio"),
+        (n_punct.cast("double") / n_char).alias("punct_ratio"),
+        (n_stop.cast("double") / n_tok).alias("stopword_ratio"),
+        (n_uniq.cast("double") / n_tok).alias("uniq_token_ratio"),
+    )
+
+
+def q_lang_id(t: dict) -> DataFrame:
+    """Heuristic language ID: argmax of stopword overlap; 'und'
+    (undetermined) when no list matches."""
+    d = t["documents"]
+    toks = tokens(F.col("text"))
+
+    def stop_hits(stops):
+        return F.size(F.filter(toks, lambda w: w.isin(*stops)))
+
+    en, es, de = stop_hits(_EN_STOP), stop_hits(_ES_STOP), stop_hits(_DE_STOP)
+    guess = (
+        F.when((en >= es) & (en >= de) & (en > 0), F.lit("en"))
+        .when((es >= de) & (es > 0), F.lit("es"))
+        .when(de > 0, F.lit("de"))
+        .otherwise(F.lit("und"))
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        guess.alias("lang_guess"),
+        en.alias("en_hits"),
+        es.alias("es_hits"),
+        de.alias("de_hits"),
+    )
+
+
+def q_fingerprint(t: dict) -> DataFrame:
+    """Order-sensitive rolling hash over the token stream — a document
+    fingerprint stable across engines (all arithmetic < 2^53)."""
+    d = t["documents"]
+    whs = F.transform(tokens(F.col("text")), word_hash)
+    fp = F.aggregate(
+        whs,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(_FP_MUL) + x) % F.lit(_FP_MOD),
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+# ------------------------------------------------------------- oracles
+def _sql_word_hash(w: str) -> str:
+    return f"(ascii({w})*131 + length({w})*31 + ascii(reverse({w})))::BIGINT"
+
+
+def _sql_in(col: str, words) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(string_split(text, ' '), {col} -> {col} IN ({lst})))"
+
+
+ORACLE: dict[str, str] = {
+    "token_count": r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\S+'))::INT AS n_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::INT AS n_pieces
+        FROM documents
+    """,
+    "quality_score": rf"""
+        SELECT doc_id,
+               length(text)::INT AS n_char,
+               len(string_split(text, ' '))::INT AS n_tokens,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                   / length(text) AS alpha_ratio,
+               length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
+                   / length(text) AS punct_ratio,
+               {_sql_in('w', _EN_STOP)}::DOUBLE
+                   / len(string_split(text, ' ')) AS stopword_ratio,
+               len(list_distinct(string_split(text, ' ')))::DOUBLE
+                   / len(string_split(text, ' ')) AS uniq_token_ratio
+        FROM documents
+    """,
+    "lang_id": f"""
+        WITH hits AS (
+            SELECT doc_id, lang,
+                   {_sql_in('w', _EN_STOP)}::INT AS en_hits,
+                   {_sql_in('w', _ES_STOP)}::INT AS es_hits,
+                   {_sql_in('w', _DE_STOP)}::INT AS de_hits
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CASE
+                 WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+                 WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+                 WHEN de_hits > 0 THEN 'de'
+                 ELSE 'und'
+               END AS lang_guess,
+               en_hits, es_hits, de_hits
+        FROM hits
+    """,
+    "fingerprint": f"""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(0::BIGINT,
+                       list_transform(string_split(text, ' '),
+                                      w -> {_sql_word_hash('w')})),
+                   (acc, x) -> (acc * {_FP_MUL} + x) % {_FP_MOD}
+               ) AS fingerprint
+        FROM documents
+    """,
+}
+
+# reorder oracle columns note: driver sorts columns by name before
+# hashing, so column ORDER differences are fine — only names matter.
+
+QUERIES = {
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+}

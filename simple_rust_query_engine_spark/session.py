@@ -1,0 +1,162 @@
+"""SparkSession factory + ``SessionContext`` facade.
+
+Reference parity: ``SessionContext`` in
+``/root/reference/src/execution/context.rs:26-102`` — a named-table
+catalog with ``read_csv`` / ``register_csv`` / ``sql``.  Here the
+catalog IS Spark's catalog (temp views), and ``sql`` is Catalyst.
+
+Scale notes (100 TB posture)
+----------------------------
+* One long-lived session; all fixed cost (JVM, catalog, AQE state)
+  is paid once.
+* AQE on: runtime partition coalescing, skew-join splitting, and
+  dynamic join-strategy switching replace every hand-rolled physical
+  decision the reference makes (build-side choice, batch sizing).
+* ``spark.sql.shuffle.partitions`` defaults to the local core count;
+  on a real cluster leave it to AQE's coalescing with a high initial
+  value (e.g. 2000+ for 100 TB inputs).
+* Timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle and are cluster-location independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: tables the driver testdata provides (TESTDATA.md)
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def get_spark(app_name: str = "simple_rust_query_engine_spark") -> SparkSession:
+    """Build (or fetch) the singleton SparkSession.
+
+    local[N] for tests/bench; the same config block is what we would
+    ship to a 1000-executor cluster minus the master/memory lines.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "128MB")
+        # driver testdata parquet carries TIMESTAMP(NANOS) which Spark
+        # rejects by default; read as long and convert in load_tables
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every driver parquet table under ``sf_dir`` and register
+    each as a temp view named after the table.
+
+    Parquet scans give Catalyst pushdown + pruning for free — the
+    reference's hand-written ``ProjectionPushDownRule`` /
+    ``PredicatePushDownRule`` (``src/optimize/rules/*.rs``) reduce to
+    "read parquet declaratively".
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    out: dict[str, DataFrame] = {}
+    for name in TPCH_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        # TIMESTAMP(NANOS) columns arrive as LongType under
+        # nanosAsLong; truncate to micros (exactly what DuckDB does)
+        # and restore TimestampType so date semantics work.
+        for col_name in _NANO_TS_COLUMNS.get(name, ()):
+            field = {f.name: f for f in df.schema.fields}.get(col_name)
+            if field is not None and isinstance(field.dataType, T.LongType):
+                df = df.withColumn(
+                    col_name,
+                    F.timestamp_micros(F.floor(F.col(col_name) / F.lit(1000)).cast("long")),
+                )
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+#: driver testdata columns written as parquet TIMESTAMP(NANOS)
+_NANO_TS_COLUMNS = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+class SessionContext:
+    """Facade with the reference's entry-point surface.
+
+    Reference: ``src/execution/context.rs:44-84`` (``read_csv``,
+    ``register_csv``, ``sql``).  Extended with parquet (driver data is
+    parquet) and a generic ``register``/``table``.
+    """
+
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = spark or get_spark()
+
+    # -- sources ----------------------------------------------------
+    def read_csv(self, path: str, **options) -> "EngineDataFrame":
+        from .dataframe import EngineDataFrame
+        from .sources.csv import read_csv
+
+        return EngineDataFrame(read_csv(self.spark, path, **options))
+
+    def read_parquet(self, path: str) -> "EngineDataFrame":
+        from .dataframe import EngineDataFrame
+
+        return EngineDataFrame(self.spark.read.parquet(path))
+
+    def register_csv(self, name: str, path: str, **options) -> None:
+        self.read_csv(path, **options).df.createOrReplaceTempView(name)
+
+    def register_parquet(self, name: str, path: str) -> None:
+        self.spark.read.parquet(path).createOrReplaceTempView(name)
+
+    def register(self, name: str, df) -> None:
+        inner = getattr(df, "df", df)
+        inner.createOrReplaceTempView(name)
+
+    def table(self, name: str) -> "EngineDataFrame":
+        from .dataframe import EngineDataFrame
+
+        return EngineDataFrame(self.spark.table(name))
+
+    # -- SQL entry point -------------------------------------------
+    def sql(self, query: str) -> "EngineDataFrame":
+        """Reference ``SessionContext::sql`` → here it is Catalyst.
+
+        The reference validates table references by hand
+        (``context.rs:87-102``); Spark's analyzer does that.
+        """
+        from .dataframe import EngineDataFrame
+
+        return EngineDataFrame(self.spark.sql(query))

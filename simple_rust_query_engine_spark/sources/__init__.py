@@ -1,0 +1,12 @@
+"""Sources & sinks.
+
+The reference supports a single source (CSV, ``FileFormat::Csv`` is
+the sole variant, ``src/io/mod.rs:57-59``) and NO sinks
+(``src/io/writer/mod.rs`` is empty).  Here: CSV + parquet readers and
+parquet/csv writers (capability bonus flagged in SURVEY §2.1).
+"""
+
+from .csv import CsvReadOptions, read_csv
+from .write import write_csv, write_parquet
+
+__all__ = ["CsvReadOptions", "read_csv", "write_parquet", "write_csv"]

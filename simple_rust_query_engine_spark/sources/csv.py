@@ -1,0 +1,50 @@
+"""CSV source facade.
+
+Reference: ``CsvDataSource`` / ``CsvReadOptions``
+(``/root/reference/src/io/reader/csv/source.rs:15-89``,
+``options.rs:6-119``): header default true, delimiter ``,``, quote
+``"``, optional user schema, schema inferred from the first 100
+records otherwise (``MAX_INFER_RECORDS`` csv/mod.rs:8).
+
+Spark's CSV datasource subsumes all of it (distributed scan, column
+pruning, predicate pushdown on file-level stats).  We keep the
+reference's defaults.  ``samplingRatio`` stands in for the 100-record
+inference cap — at 100 TB you pass an explicit schema anyway (we
+expose ``schema=``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class CsvReadOptions:
+    """Mirror of the reference's builder (options.rs:6-119)."""
+
+    header: bool = True
+    delimiter: str = ","
+    quote: str = '"'
+    schema: Optional[str] = None  # DDL string or StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    options: Optional[CsvReadOptions] = None,
+    **kwargs,
+) -> DataFrame:
+    opts = options or CsvReadOptions(**kwargs) if (options or kwargs) else CsvReadOptions()
+    reader = (
+        spark.read.option("header", str(opts.header).lower())
+        .option("sep", opts.delimiter)
+        .option("quote", opts.quote)
+    )
+    if opts.schema is not None:
+        reader = reader.schema(opts.schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)

@@ -1,0 +1,108 @@
+"""Local oracle-parity harness mirroring the driver's t2 check:
+run each ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet, compare row count + column names +
+order-insensitive values (exact for ints/strings, tiny epsilon for
+floats).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+
+from .session import TPCH_TABLES
+
+
+def duckdb_conn(sf_dir: str):
+    con = duckdb.connect()
+    for name in TPCH_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _norm_cell(v):
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    return v
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    return [c for _, c in sorted(zip(cols, cols))], out
+
+
+def compare(spark_df, con, sql: str, float_tol: float = 1e-6) -> list[str]:
+    """Return a list of mismatch descriptions (empty == parity)."""
+    problems: list[str] = []
+    s_cols = list(spark_df.columns)
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    o_res = con.sql(sql)
+    o_cols = list(o_res.columns)
+    o_rows = [tuple(r) for r in o_res.fetchall()]
+
+    if sorted(s_cols) != sorted(o_cols):
+        problems.append(f"columns: spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+        return problems
+    if len(s_rows) != len(o_rows):
+        problems.append(f"row count: spark={len(s_rows)} oracle={len(o_rows)}")
+
+    _, sn = _norm_rows(s_cols, s_rows)
+    _, on = _norm_rows(o_cols, o_rows)
+    n_bad = 0
+    for i, (a, b) in enumerate(zip(sn, on)):
+        if a == b:
+            continue
+        ok = len(a) == len(b)
+        if ok:
+            for x, y in zip(a, b):
+                if isinstance(x, float) and isinstance(y, float):
+                    if not math.isclose(x, y, rel_tol=float_tol, abs_tol=float_tol):
+                        ok = False
+                        break
+                elif isinstance(x, float) and isinstance(y, (int,)) or (
+                    isinstance(y, float) and isinstance(x, int)
+                ):
+                    if not math.isclose(float(x), float(y), rel_tol=float_tol):
+                        ok = False
+                        break
+                elif x != y:
+                    ok = False
+                    break
+        if not ok:
+            n_bad += 1
+            if n_bad <= 3:
+                problems.append(f"row {i}: spark={a} oracle={b}")
+    if n_bad > 3:
+        problems.append(f"... {n_bad} mismatched rows total")
+    return problems
+
+
+def check_all(spark, sf_dir: str, only: list[str] | None = None) -> dict[str, list[str]]:
+    """Run every queries()/oracle_sql() pair; return {name: problems}."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    con = duckdb_conn(sf_dir)
+    results: dict[str, list[str]] = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            results[name] = ["(rows-only: no oracle)"]
+            continue
+        try:
+            results[name] = compare(fn(spark, sf_dir), con, oracles[name])
+        except Exception as exc:  # surface, keep going
+            results[name] = [f"EXCEPTION: {type(exc).__name__}: {exc}"]
+    return results

@@ -1,0 +1,63 @@
+"""Runtime paths not covered by the oracle harness: mapInPandas
+decode plumbing, frame sampling, Structured Streaming end-to-end."""
+
+from pyspark.sql import functions as F
+
+from simple_rust_query_engine_spark.pipeline.multimodal import (
+    decode_images,
+    frame_sample,
+    with_binary_payload,
+)
+from simple_rust_query_engine_spark.streaming.events import stream_events_hourly
+from tests.conftest import SF_DIR
+
+
+def test_decode_images_mapinpandas(tables):
+    b = with_binary_payload(tables["documents"])
+    dec = decode_images(b)
+    assert dec.schema.simpleString() == (
+        "struct<doc_id:bigint,n_bytes:int,format:string,width:int,"
+        "height:int,n_channels:int,mean_luma:double>"
+    )
+    rows = dec.collect()
+    assert len(rows) == tables["documents"].count()
+    r0 = rows[0]
+    assert r0.n_bytes > 0 and 1 <= r0.width <= 640 and 1 <= r0.height <= 480
+
+
+def test_frame_sample_explode(tables):
+    b = with_binary_payload(tables["documents"])
+    fs = frame_sample(b, every_n_bytes=64)
+    # every doc emits ceil(n_bytes/64) frames
+    expected = (
+        b.select(
+            (F.floor((F.octet_length("payload") - 1) / 64) + 1).alias("k")
+        ).agg(F.sum("k")).collect()[0][0]
+    )
+    assert fs.count() == expected
+    assert fs.filter(F.col("byte_offset") % 64 != 0).count() == 0
+
+
+def test_structured_streaming_hourly(spark):
+    q = stream_events_hourly(spark, SF_DIR, "t_stream_hourly")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT * FROM t_stream_hourly")
+    n = out.count()
+    assert n > 0
+    # streaming result must agree with the batch twin
+    from simple_rust_query_engine_spark.streaming.events import q_events_window
+    from simple_rust_query_engine_spark.session import load_tables
+
+    batch = q_events_window(load_tables(spark, SF_DIR))
+    b_rows = {tuple(r) for r in batch.collect()}
+    s_rows = {tuple(r) for r in out.collect()}
+    # append mode emits only watermark-finalized windows: the stream
+    # result is a prefix of the batch result, missing at most the
+    # windows inside the 1h watermark of the max event time
+    assert s_rows <= b_rows
+    missing = b_rows - s_rows
+    max_hour = max(r[0] for r in b_rows)
+    assert all(r[0] >= max_hour - 2 * 3600 for r in missing), missing
