@@ -50,9 +50,11 @@ def main() -> None:
     spark = get_spark("srqe-bench")
     qs = entry_mod.queries()
 
-    # warm the JVM + parquet footers once with a trivial action so the
-    # first timed query doesn't pay session fixed costs
-    spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).count()
+    # warm the JVM (codegen, shuffle machinery) + parquet footers +
+    # view registration once so the first timed query doesn't pay
+    # session fixed costs; 'distinct' touches scan+shuffle+agg paths
+    qs["distinct"](spark, SF_DIR).count()
+    qs["join_inner"](spark, SF_DIR).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -191,6 +191,25 @@ def q_cross_join_filter(t: Tables) -> DataFrame:
     )
 
 
+def q_join_semi(t: Tables) -> DataFrame:
+    """LEFT SEMI join (EXISTS) — beyond parity (reference joins:
+    inner/left only, join.rs:14-17). Spark never materializes the
+    right side's columns: the probe stops at first match."""
+    c, o = t["customer"], t["orders"]
+    big = o.filter(F.col("o_totalprice") > 450000.0)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def q_join_anti(t: Tables) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS) — customers with no orders at all."""
+    c, o = t["customer"], t["orders"]
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
 # ------------------------------------------------------------- coercion
 def q_coercion(t: Tables) -> DataFrame:
     """Mixed-type arithmetic — the reference's numeric-widening lattice
@@ -401,6 +420,19 @@ ORACLE: dict[str, str] = {
         FROM nation CROSS JOIN region
         WHERE n_regionkey <> r_regionkey
     """,
+    "join_semi": """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 450000.0
+        )
+    """,
+    "join_anti": """
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        )
+    """,
     "coercion": """
         SELECT l_orderkey,
                l_linenumber + 1 AS line_plus_int,
@@ -497,6 +529,8 @@ QUERIES = {
     "join_left": q_join_left,
     "join_nonequi_filter": q_join_nonequi_filter,
     "cross_join_filter": q_cross_join_filter,
+    "join_semi": q_join_semi,
+    "join_anti": q_join_anti,
     "coercion": q_coercion,
     "set_union": q_set_union,
     "set_intersect": q_set_intersect,

@@ -43,6 +43,39 @@ def _distinct_word_hashes(text_col):
     )
 
 
+SHINGLE_N = 3
+SH_P = 1000003
+SH_M = 1000000007
+
+
+def _shingle_hashes(text_col):
+    """Distinct hashes of word 3-gram shingles: a polynomial combine
+    of the per-word hashes, all int64-exact (< 2^53 at every step) so
+    the DuckDB twin matches bit-for-bit.  Shingle-level minhash is
+    the standard choice: token-*set* minhash degenerates when docs
+    share a small vocabulary (every doc contains most words).
+
+    Built with zip_with over shifted slices, NOT element_at(whs, i)
+    inside a transform lambda: higher-order functions evaluate their
+    *array arguments* once per row, but an array referenced inside
+    the lambda *body* is re-evaluated per ELEMENT — O(n²) per doc
+    (measured 30×+ slowdown on the driver corpus)."""
+    whs = F.transform(F.split(text_col, " "), word_hash)
+    k = F.size(whs)
+    combine = lambda a, b: (a * F.lit(SH_P) + b) % F.lit(SH_M)
+    grams = whs
+    for j in range(1, SHINGLE_N):
+        # zip_with pads the shorter side with null; null arithmetic
+        # poisons the tail elements, sliced off below
+        grams = F.zip_with(
+            grams, F.slice(whs, j + 1, F.greatest(k - j, F.lit(0))), combine
+        )
+    grams = F.slice(grams, 1, F.greatest(k - F.lit(SHINGLE_N - 1), F.lit(0)))
+    return F.when(k >= SHINGLE_N, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
 # ------------------------------------------------------------ exact
 def q_dedup_exact(t: dict) -> DataFrame:
     """Exact dedup: group by content digest, keep lowest doc_id.
@@ -62,10 +95,11 @@ def _perm(i: int):
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id + sig array<long>[MH_K]; map-only, vectorized."""
-    whs = _distinct_word_hashes(F.col("text"))
+    """doc_id + sig array<long>[MH_K] over shingle hashes; map-only,
+    vectorized (no explode, no shuffle)."""
+    hs = _shingle_hashes(F.col("text"))
     sig = F.array(
-        *[F.array_min(F.transform(whs, _perm(i))) for i in range(MH_K)]
+        *[F.array_min(F.transform(hs, _perm(i))) for i in range(MH_K)]
     )
     return docs.select("doc_id", sig.alias("sig"))
 
@@ -74,7 +108,15 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     """Candidate near-dup pairs via banded LSH + exact signature
     agreement estimate. Returns (doc_a, doc_b, n_match, est_jaccard)."""
     rows = MH_K // MH_BANDS
-    sigs = minhash_signatures(docs)
+    # The repartition is a deliberate materialization barrier: without
+    # it Catalyst's CollapseProject inlines the full 16-permutation
+    # signature expression into every element_at() below (16 band
+    # components × 2 join sides × 3 consumers ⇒ ~100× recompute of the
+    # shingle hash — measured 71s vs 2s at sf0.01). The exchange
+    # computes signatures exactly once and is REUSED (ReusedExchange)
+    # by the bands/sa/sb consumers — also the right shape on a real
+    # cluster, where sigs are shuffled once and read three times.
+    sigs = minhash_signatures(docs).repartition("doc_id")
     band_arr = F.array(
         *[
             F.concat_ws(
@@ -164,47 +206,102 @@ def q_simhash_pairs(t: dict) -> DataFrame:
 # ----------------------------------------------------- ngram jaccard
 def ngram_shingles(text_col, n: int = 3):
     """Distinct word n-gram shingles; empty when the doc is shorter
-    than n tokens (guarded — Spark's sequence() would count down)."""
+    than n tokens.  Same zip_with-over-shifted-slices shape as
+    ``_shingle_hashes`` — O(n) per doc, array args evaluated once."""
     toks = F.split(text_col, " ")
     k = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), k - F.lit(n)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(n)]
-        ),
-    )
+    grams = toks
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j + 1, F.greatest(k - j, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    grams = F.slice(grams, 1, F.greatest(k - F.lit(n - 1), F.lit(0)))
     return F.when(k >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
 
 
+JACCARD_T = 0.5
+
+
 def q_ngram_jaccard(t: dict) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5). The
-    explode + shingle self-join is the exact-verification stage; at
-    scale it runs only over LSH candidate buckets."""
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5), computed
+    with the AllPairs/PPJoin prefix filter so it scales:
+
+    1. rank each doc's shingles by global document frequency
+       (rarest first — a canonical total order);
+    2. a pair with J >= t must share a shingle inside the first
+       ``|A| - ceil(t*|A|) + 1`` shingles of A, so candidates are
+       generated by joining only those *prefix* shingles against the
+       corpus — the high-DF shingles that drive the quadratic blowup
+       of a naive self-join never generate candidates;
+    3. size filter: J >= t implies |B| <= |A|/t;
+    4. exact verify via array_intersect on the per-doc shingle arrays
+       (map-side arrays, no extra explode).
+
+    Output is identical to the naive all-pairs join (the DuckDB
+    oracle IS the naive join) — only the plan is different.
+    """
+    from pyspark.sql.window import Window
+
     d = t["documents"]
-    sh = d.select(
-        "doc_id", F.explode(ngram_shingles(F.col("text"))).alias("shingle")
-    )
+    arrs = d.select("doc_id", ngram_shingles(F.col("text")).alias("shingles"))
+    sh = arrs.select("doc_id", F.explode("shingles").alias("shingle"))
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .join(cnt, "doc_id")
     )
-    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("common").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("common")
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(JACCARD_T) * F.col("n_sh")) + 1
     )
+    cand = (
+        prefix.select(F.col("doc_id").alias("pa"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("pb"), "shingle"), "shingle")
+        .filter(F.col("pa") != F.col("pb"))
+        .select(
+            F.least("pa", "pb").alias("doc_a"),
+            F.greatest("pa", "pb").alias("doc_b"),
+        )
+        .distinct()
+    )
+    aa = arrs.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    bb = arrs.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = common.cast("double") / (F.size("sh_a") + F.size("sh_b") - common)
     return (
-        common.join(ca, "doc_a")
-        .join(cb, "doc_b")
+        cand.join(aa, "doc_a")
+        .join(bb, "doc_b")
+        # size filter: J >= t  ⇒  t·|B| <= |A| (and symmetric)
+        .filter(
+            (F.size("sh_b") * F.lit(JACCARD_T) <= F.size("sh_a"))
+            & (F.size("sh_a") * F.lit(JACCARD_T) <= F.size("sh_b"))
+        )
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
+
+
+def q_dedup_survivors(t: dict) -> DataFrame:
+    """Near-dup removal materialized: greedy keep-lowest-id — a doc is
+    dropped when it near-duplicates (3-gram Jaccard >= 0.5) any doc
+    with a smaller id.  One anti-join against the pair list; the
+    full connected-components variant is an iterative union-find
+    (GraphFrames / iterative joins) — out of SQL's reach, noted as
+    the scale-path upgrade."""
+    pairs = q_ngram_jaccard(t)
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return t["documents"].join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
     )
 
 
@@ -214,6 +311,13 @@ _SQL_WHS = (
     "list_distinct(list_transform(list_distinct(string_split(text, ' ')), "
     f"w -> {_SQL_WH}))"
 )
+# ordered (with multiplicity) word hashes → shingle hashes, mirroring
+# _shingle_hashes exactly (1-indexed DuckDB lists)
+_SQL_WHS_ORDERED = f"list_transform(string_split(text, ' '), w -> {_SQL_WH})"
+_SQL_SHINGLE_HS = (
+    "list_distinct([((whs[i]*{p} + whs[i+1]) % {m} * {p} + whs[i+2]) % {m} "
+    "for i in range(1, len(whs) - 1)])"
+).format(p=SH_P, m=SH_M)
 
 
 def _minhash_sig_sql() -> str:
@@ -221,7 +325,11 @@ def _minhash_sig_sql() -> str:
         f"list_min(list_transform(hs, x -> ({2 * i + 3}*x + {7 * i + 1}) % {MH_MOD})) AS s{i}"
         for i in range(MH_K)
     )
-    return f"SELECT doc_id, {cols} FROM (SELECT doc_id, {_SQL_WHS} AS hs FROM documents) t"
+    return (
+        f"SELECT doc_id, {cols} FROM ("
+        f"SELECT doc_id, {_SQL_SHINGLE_HS} AS hs FROM ("
+        f"SELECT doc_id, {_SQL_WHS_ORDERED} AS whs FROM documents) w) t"
+    )
 
 
 def _minhash_oracle() -> str:
@@ -315,6 +423,31 @@ ORACLE: dict[str, str] = {
         JOIN cnt cb ON doc_b = cb.doc_id
         WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common) >= 0.5
     """,
+    "dedup_survivors": """
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id,
+                       unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               for i in range(1, len(w) - 1)]) AS s
+                FROM tok
+            ) t
+        ),
+        cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        dropped AS (
+            SELECT DISTINCT doc_b AS doc_id FROM pairs
+            JOIN cnt ca ON doc_a = ca.doc_id
+            JOIN cnt cb ON doc_b = cb.doc_id
+            WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common) >= 0.5
+        )
+        SELECT doc_id, lang, source FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    """,
 }
 
 QUERIES = {
@@ -323,4 +456,5 @@ QUERIES = {
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
+    "dedup_survivors": q_dedup_survivors,
 }

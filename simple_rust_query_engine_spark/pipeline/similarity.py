@@ -44,17 +44,28 @@ def ann_brute_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFr
     """Top-k cosine neighbours of ``query_vec_id`` by full scan.
 
     The 1-row query side is cross-joined (Catalyst → broadcast
-    nested loop over a single row = free); scoring is map-only."""
+    nested loop over a single row = free); scoring is map-only.
+    Norms are precomputed per row so the scoring pass folds each
+    embedding once, not three times.  Division order (dot / |q| /
+    |c|) mirrors the oracle — float division is order-sensitive in
+    the last bit."""
     q = (
         emb.filter(F.col("vec_id") == query_vec_id)
-        .select(F.col("embedding").alias("q_emb"))
+        .select(
+            F.col("embedding").alias("q_emb"),
+            _norm(F.col("embedding")).alias("q_nrm"),
+        )
     )
     return (
         emb.filter(F.col("vec_id") != query_vec_id)
+        .withColumn("nrm", _norm(F.col("embedding")))
         .crossJoin(F.broadcast(q))
-        # arg order (query, candidate) mirrors the oracle's division
-        # order — float division is order-sensitive in the last bit
-        .select("vec_id", cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"))
+        .select(
+            "vec_id",
+            (_dots(F.col("q_emb"), F.col("embedding")) / F.col("q_nrm") / F.col("nrm")).alias(
+                "cos_sim"
+            ),
+        )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(k)
     )
@@ -88,12 +99,23 @@ def ann_lsh_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 5) -> DataFrame
     bucketed = emb.withColumn("bucket", lsh_bucket(F.col("embedding")))
     q = (
         bucketed.filter(F.col("vec_id") == query_vec_id)
-        .select(F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket"))
+        .select(
+            F.col("embedding").alias("q_emb"),
+            _norm(F.col("embedding")).alias("q_nrm"),
+            F.col("bucket").alias("q_bucket"),
+        )
     )
     return (
         bucketed.filter(F.col("vec_id") != query_vec_id)
+        .withColumn("nrm", _norm(F.col("embedding")))
         .join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
-        .select("vec_id", "bucket", cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"))
+        .select(
+            "vec_id",
+            "bucket",
+            (_dots(F.col("q_emb"), F.col("embedding")) / F.col("q_nrm") / F.col("nrm")).alias(
+                "cos_sim"
+            ),
+        )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(k)
     )
@@ -111,14 +133,25 @@ def q_embedding_neardup(t: dict) -> DataFrame:
     """Embedding near-dup pairs (cosine >= 0.45), LSH-bucket-blocked so
     the pair space is per-bucket, not O(n²). (Threshold calibrated to
     the driver corpus — its max pairwise cosine ≈ 0.51.)"""
-    emb = t["embeddings"].withColumn("bucket", lsh_bucket(F.col("embedding")))
+    emb = (
+        t["embeddings"]
+        .withColumn("bucket", lsh_bucket(F.col("embedding")))
+        # norm computed once per vector (map-side), not once per pair
+        .withColumn("nrm", _norm(F.col("embedding")))
+    )
     a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket"
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+        "bucket",
     )
     b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket"
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+        "bucket",
     )
-    sim = cosine(F.col("emb_a"), F.col("emb_b"))
+    sim = _dots(F.col("emb_a"), F.col("emb_b")) / F.col("nrm_a") / F.col("nrm_b")
     return (
         a.join(b, ["bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
