@@ -113,6 +113,20 @@ def q_multimodal_meta(t: dict) -> DataFrame:
     )
 
 
+def q_multimodal_decode(t: dict) -> DataFrame:
+    """The full Arrow-batched mapInPandas decode path as a driver-
+    contract query.  The stub decode is deterministic arithmetic over
+    the payload bytes, so even the Python path gets an exact DuckDB
+    twin (corpus is ASCII: byte == codepoint)."""
+    return decode_images(with_binary_payload(t["documents"]))
+
+
+def q_frame_sample(t: dict) -> DataFrame:
+    """Frame-sampling plan shape: one row per (doc, byte-offset
+    sample) via an exploded per-row sequence."""
+    return frame_sample(with_binary_payload(t["documents"]))
+
+
 ORACLE: dict[str, str] = {
     "multimodal_meta": """
         SELECT doc_id,
@@ -122,8 +136,32 @@ ORACLE: dict[str, str] = {
                (octet_length(encode(text)) * 7 % 480 + 1)::INT AS height
         FROM documents
     """,
+    "multimodal_decode": """
+        SELECT doc_id,
+               octet_length(encode(text))::INT AS n_bytes,
+               'fake' AS format,
+               (octet_length(encode(text)) % 640 + 1)::INT AS width,
+               (octet_length(encode(text)) * 7 % 480 + 1)::INT AS height,
+               3 AS n_channels,
+               ((list_sum(list_transform(range(1, least(length(text), 64) + 1),
+                    i -> ascii(text[i]))) % 2551) / 10.0)::DOUBLE AS mean_luma
+        FROM documents
+    """,
+    "frame_sample": """
+        WITH f AS (
+            SELECT doc_id,
+                   octet_length(encode(text))::INT AS n_bytes,
+                   unnest(range(0, ((octet_length(encode(text)) - 1) // 64) + 1)) AS fn
+            FROM documents
+        )
+        SELECT doc_id, fn::INT AS frame_no, n_bytes,
+               (fn * 64)::INT AS byte_offset
+        FROM f
+    """,
 }
 
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_decode": q_multimodal_decode,
+    "frame_sample": q_frame_sample,
 }

@@ -18,6 +18,8 @@ casts — bit-identical across engines, so even raw doubles hash-match.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -129,34 +131,56 @@ def q_ann_lsh(t: dict) -> DataFrame:
     return ann_lsh_topk(t["embeddings"], query_vec_id=0, k=5)
 
 
+NEARDUP_T = 0.45
+
+
 def q_embedding_neardup(t: dict) -> DataFrame:
-    """Embedding near-dup pairs (cosine >= 0.45), LSH-bucket-blocked so
-    the pair space is per-bucket, not O(n²). (Threshold calibrated to
-    the driver corpus — its max pairwise cosine ≈ 0.51.)"""
-    emb = (
-        t["embeddings"]
-        .withColumn("bucket", lsh_bucket(F.col("embedding")))
-        # norm computed once per vector (map-side), not once per pair
-        .withColumn("nrm", _norm(F.col("embedding")))
-    )
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-        "bucket",
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-        "bucket",
-    )
-    sim = _dots(F.col("emb_a"), F.col("emb_b")) / F.col("nrm_a") / F.col("nrm_b")
-    return (
-        a.join(b, ["bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", sim.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.45)
+    """Embedding near-dup pairs (cosine >= NEARDUP_T), LSH-bucket
+    blocked.  (Threshold calibrated to the driver corpus — its max
+    pairwise cosine ≈ 0.51.)
+
+    Plan: groupBy(bucket).applyInPandas — each vector crosses the
+    shuffle ONCE (a bucket-join would materialize every candidate
+    pair × two 64-float vectors through the exchange: ~250 MB at
+    sf0.1 vs ~1 MB here); the within-bucket pairwise matrix is numpy.
+    Bit-parity with the DuckDB oracle: the dimension loop accumulates
+    partial sums left-to-right exactly like list_reduce/F.aggregate,
+    float32→float64 products are exact, division order dot/|a|/|b|.
+
+    At 100 TB: one shuffle on a uniform bucket key; per-bucket work
+    is dense vectorized compute — the classic blocked all-pairs
+    shape.  A hot bucket means real near-dups (the output itself)."""
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_a": pd.Series(dtype="int64"),
+                 "vec_b": pd.Series(dtype="int64"),
+                 "cos_sim": pd.Series(dtype="float64")}
+            )
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        dim = A.shape[1]
+        nrm2 = np.zeros(n)
+        dot = np.zeros((n, n))
+        for d in range(dim):  # left-to-right fold, same as the oracle
+            col = A[:, d]
+            nrm2 = nrm2 + col * col
+            dot = dot + np.outer(col, col)
+        nrm = np.sqrt(nrm2)
+        cos = dot / nrm[:, None] / nrm[None, :]
+        ia, ib = np.triu_indices(n, k=1)  # sorted ids ⇒ vec_a < vec_b
+        keep = cos[ia, ib] >= NEARDUP_T
+        return pd.DataFrame(
+            {"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]],
+             "cos_sim": cos[ia[keep], ib[keep]]}
+        )
+
+    emb = t["embeddings"].withColumn("bucket", lsh_bucket(F.col("embedding")))
+    return emb.groupBy("bucket").applyInPandas(
+        bucket_pairs, "vec_a long, vec_b long, cos_sim double"
     )
 
 
