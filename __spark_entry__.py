@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for mod in _MODULES:
         for name, fn in mod.QUERIES.items():
             out[name] = _wrap(fn)
+        # streaming entries drive (spark, sf_dir) directly
+        out.update(getattr(mod, "QUERIES_SPARK", {}))
     return out
 
 

@@ -337,13 +337,59 @@ def q_ngram_jaccard(t: dict) -> DataFrame:
     )
 
 
+def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Min-label propagation to fixpoint: every vertex ends with the
+    smallest doc_id in its connected component.  The standard Spark
+    CC shape (GraphFrames does the same under the hood): per round,
+    one join + one aggregation; rounds ≈ graph diameter (near-dup
+    components are shallow).  The driver-side loop holds only the
+    convergence counter — all data stays distributed; localCheckpoint
+    truncates lineage so plans don't grow across rounds."""
+    bidir = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    bidir = bidir.repartition("dst").localCheckpoint()
+    lab = vertices.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    # labels only ever decrease, so the label SUM is a convergence
+    # fingerprint — one cheap agg per round instead of a change-join
+    prev_sum = lab.agg(F.sum("label")).collect()[0][0]
+    for _ in range(20):  # diameter bound; near-dup graphs converge in 2-3
+        msgs = (
+            bidir.join(lab, bidir.src == lab.doc_id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        lab = (
+            lab.join(msgs, lab.doc_id == msgs.dst, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = lab.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return lab
+
+
+def q_dedup_cc(t: dict) -> DataFrame:
+    """Near-dup components: each doc labeled with the smallest doc_id
+    reachable through 3-gram-Jaccard>=0.5 edges — the correct
+    (transitive) dedup grouping vs q_dedup_survivors' greedy pass.
+    Oracle: recursive reachability CTE + MIN over reached set."""
+    edges = q_ngram_jaccard(t).select("doc_a", "doc_b")
+    return connected_components(edges, t["documents"].select("doc_id"))
+
+
 def q_dedup_survivors(t: dict) -> DataFrame:
     """Near-dup removal materialized: greedy keep-lowest-id — a doc is
     dropped when it near-duplicates (3-gram Jaccard >= 0.5) any doc
-    with a smaller id.  One anti-join against the pair list; the
-    full connected-components variant is an iterative union-find
-    (GraphFrames / iterative joins) — out of SQL's reach, noted as
-    the scale-path upgrade."""
+    with a smaller id.  One anti-join against the pair list; see
+    q_dedup_cc for the transitive connected-components variant."""
     pairs = q_ngram_jaccard(t)
     dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return t["documents"].join(dropped, "doc_id", "left_anti").select(
@@ -469,6 +515,43 @@ ORACLE: dict[str, str] = {
         JOIN cnt cb ON doc_b = cb.doc_id
         WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common) >= 0.5
     """,
+    "dedup_cc": """
+        WITH RECURSIVE
+        tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id,
+                       unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               for i in range(1, len(w) - 1)]) AS s
+                FROM tok
+            ) t
+        ),
+        cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        edges AS (
+            SELECT doc_a, doc_b FROM pairs
+            JOIN cnt ca ON doc_a = ca.doc_id
+            JOIN cnt cb ON doc_b = cb.doc_id
+            WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common) >= 0.5
+        ),
+        bidir AS (
+            SELECT doc_a AS src, doc_b AS dst FROM edges
+            UNION SELECT doc_b, doc_a FROM edges
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM bidir
+            UNION
+            SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+        ),
+        lab AS (SELECT src AS doc_id, MIN(dst) AS mn FROM reach GROUP BY src)
+        SELECT d.doc_id,
+               LEAST(d.doc_id, COALESCE(l.mn, d.doc_id)) AS label
+        FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+    """,
     "dedup_survivors": """
         WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         sh AS (
@@ -503,4 +586,5 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_survivors": q_dedup_survivors,
+    "dedup_cc": q_dedup_cc,
 }

@@ -123,12 +123,114 @@ def ann_lsh_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 5) -> DataFrame
     )
 
 
+IVF_CELLS = 16   # coarse cells (vectors 0..15 act as fixed centroids)
+IVF_PROBE = 4    # cells searched per query
+
+
+def _ivf_centroids(emb: DataFrame):
+    """Deterministic 'trained' centroids: the first IVF_CELLS vectors
+    by vec_id.  In production this is KMeans (Spark ML) — either way
+    the centroid matrix is driver-side model state, tiny (cells×dim),
+    and broadcast into the assignment UDF; collecting it is the IVF
+    design, not a driver-side data loop."""
+    rows = (
+        emb.filter(F.col("vec_id") < IVF_CELLS)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    C = np.stack([np.asarray(r.embedding) for r in rows]).astype(np.float64)
+    return C
+
+
+def _cell_assign_udf(C: "np.ndarray"):
+    """cell = argmax over centroids of cos(v, c); ties → lowest cell.
+    Sequential-fold arithmetic (dims left-to-right) for oracle parity."""
+    from pyspark.sql.functions import pandas_udf
+
+    n_cells, dim = C.shape
+    c_nrm = np.zeros(n_cells)
+    for d in range(dim):
+        c_nrm = c_nrm + C[:, d] * C[:, d]
+    c_nrm = np.sqrt(c_nrm)
+
+    @pandas_udf("int")
+    def assign(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype="int32")
+        A = np.stack(embs.to_numpy()).astype(np.float64)
+        v_nrm = np.zeros(len(A))
+        dot = np.zeros((len(A), n_cells))
+        for d in range(A.shape[1]):
+            v_nrm = v_nrm + A[:, d] * A[:, d]
+            dot = dot + np.outer(A[:, d], C[:, d])
+        cos = dot / np.sqrt(v_nrm)[:, None] / c_nrm[None, :]
+        return pd.Series(np.argmax(cos, axis=1).astype("int32"))
+
+    return assign
+
+
+def ann_ivf_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 5) -> DataFrame:
+    """IVF ANN: assign every vector to its nearest coarse cell
+    (map-side, broadcast centroid matrix), then search only the
+    query's IVF_PROBE nearest cells.  Same plan at 100 TB: the
+    assignment is a map over input splits; the probe prunes the scan
+    to n_probe/n_cells of the corpus (with cell as a partition/
+    cluster key the pruning happens at the storage layer)."""
+    C = _ivf_centroids(emb)
+    assign = _cell_assign_udf(C)
+    cells = emb.withColumn("cell", assign(F.col("embedding")))
+
+    q = (
+        cells.filter(F.col("vec_id") == query_vec_id)
+        .select(
+            F.col("embedding").alias("q_emb"),
+            _norm(F.col("embedding")).alias("q_nrm"),
+        )
+    )
+    # the query's IVF_PROBE nearest cells, computed from the same
+    # centroid matrix (driver-side: n_cells tiny)
+    q_row = emb.filter(F.col("vec_id") == query_vec_id).select("embedding").collect()
+    v = np.asarray(q_row[0].embedding, dtype=np.float64)
+    dim = len(v)
+    v_nrm = 0.0
+    dots = np.zeros(len(C))
+    for d in range(dim):
+        v_nrm = v_nrm + v[d] * v[d]
+        dots = dots + v[d] * C[:, d]
+    c_nrm = np.zeros(len(C))
+    for d in range(dim):
+        c_nrm = c_nrm + C[:, d] * C[:, d]
+    cos_c = dots / np.sqrt(v_nrm) / np.sqrt(c_nrm)
+    probe = sorted(np.argsort(-cos_c)[:IVF_PROBE].tolist())
+
+    return (
+        cells.filter(F.col("vec_id") != query_vec_id)
+        .filter(F.col("cell").isin(probe))
+        .withColumn("nrm", _norm(F.col("embedding")))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "cell",
+            (_dots(F.col("q_emb"), F.col("embedding")) / F.col("q_nrm") / F.col("nrm")).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def q_ann_brute(t: dict) -> DataFrame:
     return ann_brute_topk(t["embeddings"], query_vec_id=0, k=10)
 
 
 def q_ann_lsh(t: dict) -> DataFrame:
     return ann_lsh_topk(t["embeddings"], query_vec_id=0, k=5)
+
+
+def q_ann_ivf(t: dict) -> DataFrame:
+    return ann_ivf_topk(t["embeddings"], query_vec_id=0, k=5)
 
 
 NEARDUP_T = 0.45
@@ -186,19 +288,22 @@ def q_embedding_neardup(t: dict) -> DataFrame:
 
 # ------------------------------------------------------------- oracle
 # DuckDB lists are 1-indexed; fold order mirrors F.aggregate exactly.
-_SQL_DOT = (
-    "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
-    "i -> a_emb[i]::DOUBLE * b_emb[i]::DOUBLE)), (acc, x) -> acc + x)"
-)
-_SQL_NORM_A = (
-    "sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
-    "i -> a_emb[i]::DOUBLE * a_emb[i]::DOUBLE)), (acc, x) -> acc + x))"
-)
-_SQL_NORM_B = (
-    "sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
-    "i -> b_emb[i]::DOUBLE * b_emb[i]::DOUBLE)), (acc, x) -> acc + x))"
-)
-_SQL_COS = f"{_SQL_DOT} / {_SQL_NORM_A} / {_SQL_NORM_B}"
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (acc, x) -> acc + x)"
+    )
+
+
+def _sql_norm(a: str) -> str:
+    return f"sqrt({_sql_dot(a, a)})"
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return f"{_sql_dot(a, b)} / {_sql_norm(a)} / {_sql_norm(b)}"
+
+
+_SQL_COS = _sql_cos("a_emb", "b_emb")
 
 
 def _sql_sign(emb: str, j: int) -> str:
@@ -214,7 +319,40 @@ def _sql_bucket(emb: str) -> str:
     return "(" + " + ".join(f"{_sql_sign(emb, j)} * {2**j}" for j in range(LSH_PLANES)) + ")::INT"
 
 
+_IVF_ORACLE = f"""
+    WITH cent AS (
+        SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+        WHERE vec_id < {IVF_CELLS}
+    ),
+    scored AS (
+        SELECT v.vec_id, cent.cell,
+               {_sql_cos('v_emb', 'c_emb')} AS c_cos
+        FROM (SELECT vec_id, embedding AS v_emb FROM embeddings) v
+        CROSS JOIN cent
+    ),
+    assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY c_cos DESC, cell ASC) AS rn
+            FROM scored) t
+        WHERE rn = 1
+    ),
+    probe AS (
+        SELECT cell FROM scored WHERE vec_id = 0
+        ORDER BY c_cos DESC, cell ASC LIMIT {IVF_PROBE}
+    )
+    SELECT b.vec_id AS vec_id, a2.cell::INT AS cell, {_SQL_COS} AS cos_sim
+    FROM (SELECT embedding AS a_emb FROM embeddings WHERE vec_id = 0) q,
+         (SELECT vec_id, embedding AS b_emb FROM embeddings
+          WHERE vec_id <> 0) b
+    JOIN assigned a2 ON a2.vec_id = b.vec_id
+    WHERE a2.cell IN (SELECT cell FROM probe)
+    ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
+"""
+
 ORACLE: dict[str, str] = {
+    "ann_ivf": _IVF_ORACLE,
     "ann_brute": f"""
         SELECT b.vec_id AS vec_id, {_SQL_COS} AS cos_sim
         FROM (SELECT embedding AS a_emb FROM embeddings WHERE vec_id = 0) q,
@@ -249,5 +387,6 @@ ORACLE: dict[str, str] = {
 QUERIES = {
     "ann_brute": q_ann_brute,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "embedding_neardup": q_embedding_neardup,
 }

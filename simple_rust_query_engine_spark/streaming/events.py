@@ -59,10 +59,7 @@ def q_events_sessionize(t: dict) -> DataFrame:
     )
 
 
-def stream_events_hourly(spark: SparkSession, sf_dir: str, query_name: str = "events_hourly"):
-    """Structured Streaming twin of q_events_window: parquet source →
-    watermark → tumbling window → memory sink. Returns the started
-    StreamingQuery; caller runs processAllAvailable() + stop()."""
+def _events_stream(spark: SparkSession, sf_dir: str):
     batch_df = spark.read.parquet(f"{sf_dir}/events.parquet")
     # file stream sources take a directory; glob down to the events file
     stream = (
@@ -77,8 +74,25 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str, query_name: str = "ev
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
         )
+    return stream
+
+
+def stream_events_hourly(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "events_hourly",
+    output_mode: str = "append",
+):
+    """Structured Streaming twin of q_events_window: parquet source →
+    watermark → tumbling window → memory sink. Returns the started
+    StreamingQuery; caller runs processAllAvailable() + stop().
+
+    append mode emits only watermark-finalized windows (the unbounded
+    -input posture; the trailing window stays open); complete mode
+    re-emits everything — used for the oracle-parity entry below."""
     agg = (
-        stream.withWatermark("ts", "1 hour")
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(
@@ -89,7 +103,85 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str, query_name: str = "ev
         )
     )
     return (
-        agg.writeStream.outputMode("append")
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+_STREAM_RUN = [0]
+
+
+def q_events_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME hourly windowed aggregation, executed through the
+    Structured Streaming engine (readStream → window → memory sink,
+    availableNow) and returned as the sink table — so the STREAMING
+    path itself is held to the exact batch oracle.  Complete mode
+    re-emits every window; on unbounded input you would run append
+    mode with the watermark finalizing windows incrementally."""
+    _STREAM_RUN[0] += 1
+    name = f"events_hourly_oracle_{_STREAM_RUN[0]}"
+    q = stream_events_hourly(spark, sf_dir, query_name=name, output_mode="complete")
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+def stream_sessionize_stateful(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "sessions_stateful",
+    gap_min: int = SESSION_GAP_MIN,
+):
+    """Custom stateful streaming operator: per-user sessionization via
+    ``applyInPandasWithState`` — the arbitrary-state API the reference
+    has no counterpart for (its tokio streams are pull-based batch
+    plumbing, SURVEY §2.9).
+
+    State per user_id: (last event ts, session count, event count).
+    Each micro-batch folds its (sorted) events into the carried state
+    and emits the user's updated totals (update semantics — the memory
+    sink holds one row per user per batch; readers take the last).
+    Scale: state is two longs + a timestamp per user, partitioned by
+    the grouping key across executors; an unbounded run would add a
+    state timeout to retire idle users."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_s = gap_min * 60
+
+    def update_fn(key, pdfs, state: GroupState):
+        last_ts, n_sessions, n_events = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts in pdf["ts"].astype("int64") // 10**9:  # epoch seconds
+                ts = int(ts)
+                if last_ts is None or ts - last_ts > gap_s:
+                    n_sessions += 1
+                last_ts = ts
+            n_events += len(pdf)
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    out = (
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_fn,
+            outputStructType="user_id long, n_sessions long, n_events long",
+            stateStructType="last_ts long, n_sessions long, n_events long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return (
+        out.writeStream.outputMode("update")
         .format("memory")
         .queryName(query_name)
         .trigger(availableNow=True)
@@ -124,7 +216,14 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+ORACLE["events_window_stream"] = ORACLE["events_window"]
+
 QUERIES = {
     "events_window": q_events_window,
     "events_sessionize": q_events_sessionize,
+}
+
+#: entries that need (spark, sf_dir) directly (streaming sources)
+QUERIES_SPARK = {
+    "events_window_stream": q_events_window_stream,
 }

@@ -38,6 +38,44 @@ def test_frame_sample_explode(tables):
     assert fs.filter(F.col("byte_offset") % 64 != 0).count() == 0
 
 
+def test_streaming_complete_matches_batch_exactly(spark):
+    # complete mode re-emits every window — must EQUAL the batch twin
+    from simple_rust_query_engine_spark.streaming.events import (
+        q_events_window,
+        q_events_window_stream,
+    )
+    from simple_rust_query_engine_spark.session import load_tables
+
+    out = q_events_window_stream(spark, SF_DIR)
+    batch = q_events_window(load_tables(spark, SF_DIR))
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in batch.collect()}
+
+
+def test_stateful_sessionize_matches_batch(spark):
+    # applyInPandasWithState sessionizer == batch window-function twin
+    from simple_rust_query_engine_spark.streaming.events import (
+        q_events_sessionize,
+        stream_sessionize_stateful,
+    )
+    from simple_rust_query_engine_spark.session import load_tables
+
+    q = stream_sessionize_stateful(spark, SF_DIR, "t_sessions_stateful")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("t_sessions_stateful")
+    # update semantics: one row per user per micro-batch; totals are
+    # monotone, so the per-user max is the final state
+    last = got.groupBy("user_id").agg(
+        F.max("n_sessions").alias("n_sessions"),
+        F.max("n_events").alias("n_events"),
+    )
+    exp = q_events_sessionize(load_tables(spark, SF_DIR))
+    assert last.exceptAll(exp).count() == 0
+    assert exp.exceptAll(last).count() == 0
+
+
 def test_structured_streaming_hourly(spark):
     q = stream_events_hourly(spark, SF_DIR, "t_stream_hourly")
     try:
