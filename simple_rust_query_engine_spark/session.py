@@ -156,7 +156,17 @@ class SessionContext:
 
         The reference validates table references by hand
         (``context.rs:87-102``); Spark's analyzer does that.
-        """
+
+        Dialect shim: the reference parses with sqlparser's
+        GenericDialect, where double quotes delimit IDENTIFIERS
+        (its README orders by ``"SUM(r2)"`` — ``README.md:140``);
+        Spark reads double quotes as string literals.  Rewriting
+        them to backticks makes reference queries run verbatim
+        (string literals must use single quotes, as in the
+        reference's dialect)."""
+        import re
+
         from .dataframe import EngineDataFrame
 
+        query = re.sub(r'"([^"]*)"', lambda mt: f"`{mt.group(1)}`", query)
         return EngineDataFrame(self.spark.sql(query))

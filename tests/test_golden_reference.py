@@ -205,6 +205,24 @@ def test_sql_flagship_shape(spark, fx):
     assert got == [("c", 300, 3000.0), ("b", 200, 2000.0), ("a", 100, 1000.0)]
 
 
+def test_sql_flagship_verbatim_readme(spark, fx):
+    # the reference README's query CHARACTER-FOR-CHARACTER
+    # (README.md:133-140), incl. the GenericDialect double-quoted
+    # generated-column identifier "SUM(r2)" and tables named
+    # left/right — expected output is the README's printed table
+    from simple_rust_query_engine_spark import SessionContext
+
+    ctx = SessionContext(spark)
+    ctx.register("left", fx["join_left"])
+    ctx.register("right", fx["join_right"])
+    out = ctx.sql(
+        'SELECT l1, SUM(r2), AVG(r3) FROM left LEFT JOIN right '
+        'ON l1 = r1 WHERE l3 < 40 GROUP BY l1 ORDER BY "SUM(r2)" DESC'
+    )
+    got = [tuple(r) for r in out.collect()]
+    assert got == [("c", 300, 3000.0), ("b", 200, 2000.0), ("a", 100, 1000.0)]
+
+
 def test_kleene_and_or(spark):
     # SURVEY §4.3.8: three-valued logic (reference and_kleene/or_kleene)
     df = EngineDataFrame(
