@@ -273,11 +273,12 @@ def q_ngram_jaccard(t: dict) -> DataFrame:
 
     1. rank each doc's shingles by global document frequency
        (rarest first — a canonical total order);
-    2. a pair with J >= t must share a shingle inside the first
-       ``|A| - ceil(t*|A|) + 1`` shingles of A, so candidates are
-       generated by joining only those *prefix* shingles against the
-       corpus — the high-DF shingles that drive the quadratic blowup
-       of a naive self-join never generate candidates;
+    2. a pair with J >= t must share a shingle inside BOTH docs'
+       ``|X| - ceil(t*|X|) + 1`` prefixes (prefix-filter lemma; valid
+       under the size constraint |B| >= t|A|, which J >= t implies),
+       so candidates come from a prefix-to-prefix self-join — the
+       high-DF shingles that drive the quadratic blowup of a naive
+       self-join never generate candidates;
     3. size filter: J >= t implies |B| <= |A|/t;
     4. exact verify via array_intersect on the per-doc shingle arrays
        (map-side arrays, no extra explode).
@@ -308,7 +309,7 @@ def q_ngram_jaccard(t: dict) -> DataFrame:
     )
     cand = (
         prefix.select(F.col("doc_id").alias("pa"), "shingle")
-        .join(sh.select(F.col("doc_id").alias("pb"), "shingle"), "shingle")
+        .join(prefix.select(F.col("doc_id").alias("pb"), "shingle"), "shingle")
         .filter(F.col("pa") != F.col("pb"))
         .select(
             F.least("pa", "pb").alias("doc_a"),
