@@ -19,6 +19,30 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: SURVEY §1.2 — the reference's ScalarValue variants
+#: (src/expression/values.rs:66-80) → Spark types.  Spark has no
+#: unsigned integers: each UIntN widens to the next signed type that
+#: holds its full range; UInt64 (max 2^64−1) exceeds LongType, so it
+#: maps to DecimalType(20, 0) — exact, at the cost of decimal
+#: arithmetic.  Pipelines that know their values stay < 2^63 should
+#: use LongType instead for codegen-speed arithmetic.
+REFERENCE_TYPE_MAP = {
+    "Null": T.NullType(),
+    "Boolean": T.BooleanType(),
+    "Int8": T.ByteType(),
+    "Int16": T.ShortType(),
+    "Int32": T.IntegerType(),
+    "Int64": T.LongType(),
+    "UInt8": T.ShortType(),
+    "UInt16": T.IntegerType(),
+    "UInt32": T.LongType(),
+    "UInt64": T.DecimalType(20, 0),
+    "Float32": T.FloatType(),
+    "Float64": T.DoubleType(),
+    "Utf8": T.StringType(),
+}
 
 # direct re-exports — the complete aggregate set of the reference
 # (AggregateFunction enum, src/expression/logical/aggregate.rs:12-24)

@@ -157,7 +157,15 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     # computes signatures exactly once and is REUSED (ReusedExchange)
     # by the bands/sa/sb consumers — also the right shape on a real
     # cluster, where sigs are shuffled once and read three times.
-    sigs = minhash_signatures(docs).repartition("doc_id")
+    sigs = (
+        minhash_signatures(docs)
+        # docs shorter than SHINGLE_N tokens have all-NULL signatures;
+        # the oracle's NULL band never joins (NULL || ... = NULL), but
+        # concat_ws SKIPS nulls, which would band every short doc
+        # together — drop them up front on both semantics and cost
+        .filter(F.element_at("sig", 1).isNotNull())
+        .repartition("doc_id")
+    )
     band_arr = F.array(
         *[
             F.concat_ws(
@@ -354,7 +362,7 @@ def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     # labels only ever decrease, so the label SUM is a convergence
     # fingerprint — one cheap agg per round instead of a change-join
     prev_sum = lab.agg(F.sum("label")).collect()[0][0]
-    for _ in range(20):  # diameter bound; near-dup graphs converge in 2-3
+    while True:  # label sum strictly decreases until fixpoint ⇒ terminates
         msgs = (
             bidir.join(lab, bidir.src == lab.doc_id)
             .groupBy("dst")

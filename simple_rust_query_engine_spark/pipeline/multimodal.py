@@ -6,11 +6,12 @@ metadata; run decode / feature-extraction as Arrow-batched pandas
 functions over ``mapInPandas`` so bytes never round-trip through
 row-at-a-time Python.
 
-The container has no image/audio libs, so the actual decode is STUBBED
-(`NotImplementedError` behind an import-try, with a deterministic fake
-so the plumbing — schema, batch shape, partitioning — is real and
-tested).  The metadata path (`q_multimodal_meta`) is pure JVM-side
-expressions with a DuckDB oracle twin.
+The container has no image/audio libs, so the decode step is STUBBED
+with a deterministic fake (clearly marked in ``decode_images``) while
+the Spark-side plumbing — schema, Arrow batch shape, partitioning,
+UDF signature — is real, tested, and oracle-checked (the fake is pure
+arithmetic over the payload bytes, so even the Python path has an
+exact DuckDB twin).
 """
 
 from __future__ import annotations
@@ -26,14 +27,6 @@ DECODE_SCHEMA = (
     "doc_id long, n_bytes int, format string, width int, height int, "
     "n_channels int, mean_luma double"
 )
-
-try:  # real decoder unavailable in this container — gate behind import
-    from PIL import Image  # noqa: F401
-
-    _HAVE_PIL = True
-except ImportError:
-    _HAVE_PIL = False
-
 
 def with_binary_payload(docs: DataFrame) -> DataFrame:
     """Materialize an opaque binary column (here: utf-8 text bytes
@@ -67,10 +60,10 @@ def decode_images(payloads: DataFrame) -> DataFrame:
 
     def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if _HAVE_PIL:
-                raise NotImplementedError(
-                    "real image decode not wired in this container build"
-                )
+            # a real codec would slot in here (PIL.Image.open over
+            # pdf["payload"]); until wired, the deterministic fake
+            # keeps the plumbing testable — even when PIL happens to
+            # be importable on the executor
             decoded = [_fake_decode(p) for p in pdf["payload"]]
             out = pd.DataFrame(
                 decoded,
@@ -89,9 +82,12 @@ def frame_sample(payloads: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     each payload — the plan shape of video frame extraction (explode a
     per-row sample index, decode per sample)."""
     n = F.octet_length("payload")
-    offsets = F.sequence(
-        F.lit(0), F.floor((n - 1) / F.lit(every_n_bytes)).cast("int")
-    )
+    # guard n=0: sequence(0, -1) would COUNT DOWN ([0, -1]); an empty
+    # payload must emit no frames
+    offsets = F.when(
+        n > 0,
+        F.sequence(F.lit(0), F.floor((n - 1) / F.lit(every_n_bytes)).cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
     return payloads.select(
         "doc_id",
         F.explode(offsets).alias("frame_no"),
@@ -143,8 +139,9 @@ ORACLE: dict[str, str] = {
                (octet_length(encode(text)) % 640 + 1)::INT AS width,
                (octet_length(encode(text)) * 7 % 480 + 1)::INT AS height,
                3 AS n_channels,
-               ((list_sum(list_transform(range(1, least(length(text), 64) + 1),
-                    i -> ascii(text[i]))) % 2551) / 10.0)::DOUBLE AS mean_luma
+               ((COALESCE(list_sum(list_transform(
+                    range(1, least(length(text), 64) + 1),
+                    i -> ascii(text[i]))), 0) % 2551) / 10.0)::DOUBLE AS mean_luma
         FROM documents
     """,
     "frame_sample": """

@@ -202,7 +202,9 @@ def ann_ivf_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 5) -> DataFrame
     for d in range(dim):
         c_nrm = c_nrm + C[:, d] * C[:, d]
     cos_c = dots / np.sqrt(v_nrm) / np.sqrt(c_nrm)
-    probe = sorted(np.argsort(-cos_c)[:IVF_PROBE].tolist())
+    # stable sort: cosine ties break toward the lower cell id, like
+    # the oracle's ORDER BY c_cos DESC, cell ASC
+    probe = sorted(np.argsort(-cos_c, kind="stable")[:IVF_PROBE].tolist())
 
     return (
         cells.filter(F.col("vec_id") != query_vec_id)

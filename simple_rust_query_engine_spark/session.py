@@ -95,9 +95,11 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         for col_name in _NANO_TS_COLUMNS.get(name, ()):
             field = {f.name: f for f in df.schema.fields}.get(col_name)
             if field is not None and isinstance(field.dataType, T.LongType):
+                # integer division — `/` would go through double and
+                # lose precision above 2^53 (epoch nanos ≈ 1.7e18)
                 df = df.withColumn(
                     col_name,
-                    F.timestamp_micros(F.floor(F.col(col_name) / F.lit(1000)).cast("long")),
+                    F.timestamp_micros(F.expr(f"`{col_name}` div 1000")),
                 )
         df.createOrReplaceTempView(name)
         out[name] = df
@@ -161,12 +163,21 @@ class SessionContext:
         GenericDialect, where double quotes delimit IDENTIFIERS
         (its README orders by ``"SUM(r2)"`` — ``README.md:140``);
         Spark reads double quotes as string literals.  Rewriting
-        them to backticks makes reference queries run verbatim
-        (string literals must use single quotes, as in the
-        reference's dialect)."""
+        them to backticks makes reference queries run verbatim.
+        The rewrite is single-quote aware: double quotes INSIDE a
+        single-quoted string literal (''-escaping respected) are
+        left untouched."""
         import re
 
         from .dataframe import EngineDataFrame
 
-        query = re.sub(r'"([^"]*)"', lambda mt: f"`{mt.group(1)}`", query)
+        # alternation: match whole single-quoted literals first (with
+        # '' escapes) and keep them verbatim; only bare "..." spans
+        # outside literals become backtick identifiers
+        def repl(mt: "re.Match[str]") -> str:
+            if mt.group(1) is not None:
+                return mt.group(0)  # single-quoted literal, untouched
+            return f"`{mt.group(2)}`"
+
+        query = re.sub(r"('(?:[^']|'')*')|\"([^\"]*)\"", repl, query)
         return EngineDataFrame(self.spark.sql(query))

@@ -37,7 +37,12 @@ def read_csv(
     options: Optional[CsvReadOptions] = None,
     **kwargs,
 ) -> DataFrame:
-    opts = options or CsvReadOptions(**kwargs) if (options or kwargs) else CsvReadOptions()
+    if options is not None and kwargs:
+        raise ValueError(
+            "pass either an options object or keyword options, not both: "
+            f"got options={options!r} and kwargs={sorted(kwargs)}"
+        )
+    opts = options if options is not None else CsvReadOptions(**kwargs)
     reader = (
         spark.read.option("header", str(opts.header).lower())
         .option("sep", opts.delimiter)

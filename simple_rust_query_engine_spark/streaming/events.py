@@ -71,9 +71,9 @@ def _events_stream(spark: SparkSession, sf_dir: str):
     # driver parquet stores ts as TIMESTAMP(NANOS) → long under
     # nanosAsLong; restore event-time type for the watermark
     if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # integer division — `/` would round-trip through double and
+        # lose precision above 2^53 (epoch nanos ≈ 1.7e18)
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream
 
 
@@ -156,14 +156,21 @@ def stream_sessionize_stateful(
         last_ts, n_sessions, n_events = (
             state.get if state.exists else (None, 0, 0)
         )
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for ts in pdf["ts"].astype("int64") // 10**9:  # epoch seconds
+        # the iterator yields the group's rows as Arrow chunks in
+        # arbitrary order — materialize the whole micro-batch for
+        # this user and sort ONCE, or cross-chunk gaps miscount.
+        # (Bounded: one user's events per micro-batch; rate-limit
+        # the source if a single key can exceed executor memory.)
+        chunks = list(pdfs)
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True)
+            batch = batch.sort_values(["ts", "event_id"])
+            for ts in batch["ts"].astype("int64") // 10**9:  # epoch seconds
                 ts = int(ts)
                 if last_ts is None or ts - last_ts > gap_s:
                     n_sessions += 1
                 last_ts = ts
-            n_events += len(pdf)
+            n_events += len(batch)
         state.update((last_ts, n_sessions, n_events))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}

@@ -1,0 +1,80 @@
+"""Regression tests for latent edge cases the driver corpus never
+exercises (short/empty docs, string literals with double quotes,
+nanosecond-precision timestamps)."""
+
+from pyspark.sql import functions as F
+
+from simple_rust_query_engine_spark.pipeline.dedup import (
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_shingles,
+)
+from simple_rust_query_engine_spark.pipeline.multimodal import (
+    frame_sample,
+    with_binary_payload,
+)
+
+
+def test_minhash_short_docs_no_spurious_pairs(spark):
+    # docs under SHINGLE_N tokens have all-NULL signatures; they must
+    # NOT band together (oracle semantics: NULL band never joins)
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "c d"), (3, "x"), (4, "hello world again ok")],
+        "doc_id long, text string",
+    )
+    assert minhash_lsh_pairs(docs).count() == 0
+    sigs = {r.doc_id: r.sig for r in minhash_signatures(docs).collect()}
+    assert sigs[1] == [None] * 16 and sigs[3] == [None] * 16
+    assert all(v is not None for v in sigs[4])
+
+
+def test_ngram_shingles_short_docs_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, "one two three")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id", ngram_shingles(F.col("text")).alias("s")
+        ).collect()
+    }
+    assert out[1] == [] and out[2] == []
+    assert out[3] == ["one two three"]
+
+
+def test_frame_sample_empty_payload_emits_nothing(spark):
+    docs = spark.createDataFrame([(1, ""), (2, "x" * 65)], "doc_id long, text string")
+    fs = frame_sample(with_binary_payload(docs))
+    rows = fs.collect()
+    # doc 1 (0 bytes): no frames; doc 2 (65 bytes): frames 0 and 1
+    assert {(r.doc_id, r.frame_no) for r in rows} == {(2, 0), (2, 1)}
+
+
+def test_sql_shim_preserves_double_quotes_in_string_literals(spark):
+    from simple_rust_query_engine_spark import SessionContext
+
+    ctx = SessionContext(spark)
+    row = ctx.sql("""SELECT 'he said "ok"' AS s, 'it''s' AS t""").collect()[0]
+    assert row.s == 'he said "ok"'
+    assert row.t == "it's"
+
+
+def test_sql_shim_still_rewrites_identifiers(spark):
+    from simple_rust_query_engine_spark import SessionContext
+
+    ctx = SessionContext(spark)
+    spark.createDataFrame([(1,)], "x long").createOrReplaceTempView("shim_t")
+    out = ctx.sql('SELECT "x" FROM shim_t ORDER BY "x"')
+    assert out.collect()[0].x == 1
+
+
+def test_nanos_to_micros_is_integer_exact(spark):
+    # epoch nanos > 2^53: double division would round to 256-ns
+    # multiples; integer div must keep exact microseconds
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1700000000000000999,)], "ns long").select(
+        F.timestamp_micros(F.expr("ns div 1000")).alias("ts")
+    )
+    micros = df.select(F.unix_micros("ts").alias("us")).collect()[0].us
+    assert micros == 1700000000000000

@@ -205,6 +205,26 @@ def test_sql_flagship_shape(spark, fx):
     assert got == [("c", 300, 3000.0), ("b", 200, 2000.0), ("a", 100, 1000.0)]
 
 
+def test_zero_column_projection_keeps_row_count(fx):
+    # reference ProjectionExec handles zero-column output via an
+    # explicit row count (projection.rs:21-132 RecordBatchOptions);
+    # Spark's select() with no columns must preserve it too
+    out = fx["join_left"].select()
+    assert len(out.df.columns) == 0
+    assert out.count() == fx["join_left"].count()
+
+
+def test_reference_type_map_unsigned_widening():
+    # SURVEY §1.2: unsigned widening decision, incl. UInt64→Decimal(20,0)
+    from pyspark.sql import types as T
+
+    from simple_rust_query_engine_spark.functions import REFERENCE_TYPE_MAP
+
+    assert REFERENCE_TYPE_MAP["UInt8"] == T.ShortType()
+    assert REFERENCE_TYPE_MAP["UInt64"] == T.DecimalType(20, 0)
+    assert len(REFERENCE_TYPE_MAP) == 13  # all ScalarValue variants
+
+
 def test_sql_flagship_verbatim_readme(spark, fx):
     # the reference README's query CHARACTER-FOR-CHARACTER
     # (README.md:133-140), incl. the GenericDialect double-quoted
