@@ -95,6 +95,58 @@ def frame_sample(payloads: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     ).withColumn("byte_offset", F.col("frame_no") * F.lit(every_n_bytes))
 
 
+FEAT_SCHEMA = (
+    "doc_id long, n_bytes int, min_byte int, max_byte int, "
+    "mean_byte double, dominant_bin int"
+)
+
+
+def extract_features(payloads: DataFrame) -> DataFrame:
+    """Feature extraction over the raw payload (the stand-in for an
+    image/audio embedding step): byte-range stats + the dominant
+    16-bin byte-histogram bin.  Arrow-batched mapInPandas, numpy per
+    batch; deterministic integer arithmetic → exact DuckDB twin
+    (mean is a single sum/n double division, same in both engines)."""
+
+    def feat_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(payload, dtype=np.uint8)
+                n = len(b)
+                if n == 0:
+                    rows.append((doc_id, 0, 0, 0, 0.0, 0))
+                    continue
+                hist = np.bincount(b >> 4, minlength=16)
+                rows.append(
+                    (
+                        doc_id,
+                        n,
+                        int(b.min()),
+                        int(b.max()),
+                        int(b.sum()) / n,          # one double division
+                        int(np.argmax(hist)),      # ties → lowest bin
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "min_byte", "max_byte",
+                    "mean_byte", "dominant_bin",
+                ],
+            )
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        feat_batch, schema=FEAT_SCHEMA
+    )
+
+
+def q_feature_extract(t: dict) -> DataFrame:
+    return extract_features(with_binary_payload(t["documents"]))
+
+
 def q_multimodal_meta(t: dict) -> DataFrame:
     """Metadata extraction over the binary payload — pure JVM
     expressions (oracle-checkable); the mapInPandas decode path is
@@ -144,6 +196,28 @@ ORACLE: dict[str, str] = {
                     i -> ascii(text[i]))), 0) % 2551) / 10.0)::DOUBLE AS mean_luma
         FROM documents
     """,
+    "feature_extract": """
+        WITH codes AS (
+            SELECT doc_id, octet_length(encode(text))::INT AS n_bytes,
+                   list_transform(range(1, length(text) + 1),
+                                  i -> ascii(text[i])) AS cs
+            FROM documents
+        ), hist AS (
+            SELECT doc_id, n_bytes, cs,
+                   [len(list_filter(cs, c -> c // 16 = b))
+                    for b in range(0, 16)] AS h
+            FROM codes
+        )
+        SELECT doc_id, n_bytes,
+               COALESCE(list_min(cs), 0)::INT AS min_byte,
+               COALESCE(list_max(cs), 0)::INT AS max_byte,
+               CASE WHEN n_bytes = 0 THEN 0.0
+                    ELSE list_sum(cs)::DOUBLE / n_bytes END AS mean_byte,
+               (CASE WHEN n_bytes = 0 THEN 0
+                     ELSE list_position(h, list_max(h)) - 1 END)::INT
+                   AS dominant_bin
+        FROM hist
+    """,
     "frame_sample": """
         WITH f AS (
             SELECT doc_id,
@@ -160,5 +234,6 @@ ORACLE: dict[str, str] = {
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
+    "feature_extract": q_feature_extract,
     "frame_sample": q_frame_sample,
 }
