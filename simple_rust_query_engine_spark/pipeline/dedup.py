@@ -303,7 +303,15 @@ def q_ngram_jaccard(t: dict) -> DataFrame:
     arrs = d.select(
         "doc_id", ngram_shingles(F.col("text")).alias("shingles")
     ).repartition("doc_id")
-    sh = arrs.select("doc_id", F.explode("shingles").alias("shingle"))
+    # candidate generation runs on xxhash64(shingle) longs — cheaper
+    # to shuffle/group/join than 30-char strings.  A hash collision
+    # can only ADD a candidate pair; the exact string-array verify
+    # below filters it, so the output is collision-proof.  The prefix
+    # lemma needs only a consistent global total order — (df, hash)
+    # is one.
+    sh = arrs.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("shingle")
+    )
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
