@@ -4,18 +4,18 @@ Four families, each idiomatic Spark with a DuckDB oracle twin built
 from identical deterministic arithmetic:
 
 exact        hash-groupBy on md5(text) — one shuffle on the digest.
-minhash_lsh  shingle→minhash→band→bucket-join. Signatures are pure
-             vectorized array expressions (NO explode, no shuffle);
+minhash_lsh  shingle→minhash→band→bucket-join.  Signatures are
+             map-only Arrow/numpy UDF work (no explode, no shuffle);
              only the band-bucket self-join shuffles, on the band key.
              This is the shape that survives 100 TB: candidate pairs
              ≈ true near-dups, never O(n²).
-simhash      per-bit affine-hash votes folded over the token array;
-             near-dup pairs by hamming distance over a band-bucketed
-             self-join (band on high bits blocks the O(n²) compare).
-ngram_jaccard exact 3-gram shingle Jaccard via explode + self-join —
-             the *exact* verifier used downstream of LSH candidates;
-             quadratic in colliding buckets, so keep it behind
-             blocking at scale.
+simhash      per-bit affine-hash votes over the shingle-hash set
+             (map-only numpy UDF); near-dup pairs by hamming distance
+             over a self-join blocked on the hash's high 16 bits.
+ngram_jaccard EXACT 3-gram Jaccard via the AllPairs/PPJoin prefix
+             filter (hash-keyed candidates, string-array verify).
+dedup_cc     transitive components over the jaccard edges (iterative
+             min-label propagation) + greedy `dedup_survivors`.
 
 Cross-engine determinism: the word hash is an affine combo of
 codepoints (see ``text.word_hash``); all arithmetic stays < 2^53 so
@@ -35,14 +35,10 @@ from .text import word_hash
 MH_K = 16          # minhash functions
 MH_BANDS = 4       # LSH bands (rows per band = MH_K // MH_BANDS)
 MH_MOD = 1000003   # prime modulus for the affine permutations
-SH_BITS = 16       # simhash width
+SH_BITS = 32       # simhash width (16 bits degenerates on small-vocab
+                   # corpora: most pairs land within hamming<=3)
 SH_MOD = 1048583   # prime for per-bit mixing
-
-
-def _distinct_word_hashes(text_col):
-    return F.array_distinct(
-        F.transform(F.array_distinct(F.split(text_col, " ")), word_hash)
-    )
+SH_BLOCK = 65536   # pair-search block = high 16 bits of the hash
 
 
 SHINGLE_N = 3
@@ -208,22 +204,50 @@ def q_dedup_minhash(t: dict) -> DataFrame:
 
 # ---------------------------------------------------------- simhash
 def simhash(docs: DataFrame) -> DataFrame:
-    """SH_BITS-bit simhash: per bit j, fold +1/-1 votes of an affine
-    per-bit hash parity over the (distinct) token hashes."""
-    whs = _distinct_word_hashes(F.col("text"))
+    """SH_BITS-bit simhash over word-3-gram SHINGLE hashes: per bit
+    j, +1/-1 votes of an affine per-bit hash parity, folded over the
+    doc's distinct shingles.
 
-    def vote(j):
-        def step(acc, x):
-            bit = ((x * F.lit(2 * j + 3) + F.lit(j)) % F.lit(SH_MOD)) % 2
-            return acc + F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+    Shingle-level (like minhash above) because token-set simhash
+    degenerates on small-vocabulary corpora — every doc contains
+    most words, so token-set fingerprints collapse to near-identical
+    values and hamming blocking returns ~all pairs.
 
-        return F.aggregate(whs, F.lit(0), step)
+    Arrow-batched numpy UDF for the same reason as
+    ``minhash_signatures``: 32 interpreted higher-order folds per row
+    would be ~10× slower.  All arithmetic int64-exact (< 2^53),
+    mirrored in the oracle; docs under SHINGLE_N tokens hash to 0 on
+    both engines (empty vote never exceeds 0)."""
+    from pyspark.sql.functions import pandas_udf
 
-    sh = None
-    for j in range(SH_BITS):
-        term = F.when(vote(j) > 0, F.lit(2**j)).otherwise(F.lit(0))
-        sh = term if sh is None else sh + term
-    return docs.select("doc_id", sh.cast("long").alias("simhash"))
+    mult = np.arange(SH_BITS, dtype=np.int64) * 2 + 3
+    add = np.arange(SH_BITS, dtype=np.int64)
+    weights = (1 << np.arange(SH_BITS, dtype=np.int64))
+
+    @pandas_udf("long")
+    def sh_udf(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, text in enumerate(texts):
+            words = text.split(" ")
+            if len(words) < SHINGLE_N:
+                continue  # empty shingle set → all votes 0 → hash 0
+            wh = np.fromiter(
+                (
+                    (ord(w[0]) * 131 + len(w) * 31 + ord(w[-1])) if w else 0
+                    for w in words
+                ),
+                dtype=np.int64,
+                count=len(words),
+            )
+            g = np.unique(
+                ((wh[:-2] * SH_P + wh[1:-1]) % SH_M * SH_P + wh[2:]) % SH_M
+            )
+            bits = ((g[None, :] * mult[:, None] + add[:, None]) % SH_MOD) % 2
+            votes = (2 * bits - 1).sum(axis=1)
+            out[i] = int(weights[votes > 0].sum())
+        return pd.Series(out)
+
+    return docs.select("doc_id", sh_udf(F.col("text")).alias("simhash"))
 
 
 def q_simhash(t: dict) -> DataFrame:
@@ -232,10 +256,10 @@ def q_simhash(t: dict) -> DataFrame:
 
 def q_simhash_pairs(t: dict) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= 3, blocked on the high
-    byte of the hash (cheap band) so the self-join isn't O(n²) on big
-    corpora: near-identical docs agree on high bits with high prob."""
+    16 bits of the hash (cheap band) so the self-join isn't O(n²) on
+    big corpora: near-identical docs agree on high bits w.h.p."""
     sh = simhash(t["documents"]).withColumn(
-        "block", (F.col("simhash") / F.lit(256)).cast("long")
+        "block", (F.col("simhash") / F.lit(SH_BLOCK)).cast("long")
     )
     a = sh.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "block"
@@ -323,15 +347,44 @@ def q_ngram_jaccard(t: dict) -> DataFrame:
     prefix = ranked.filter(
         F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(JACCARD_T) * F.col("n_sh")) + 1
     )
+    # PPJoin positional filter: at the FIRST common shingle (canonical
+    # order, positions rn_a/rn_b) the overlap is bounded by
+    # 1 + min(n_a - rn_a, n_b - rn_b); J >= t needs overlap >=
+    # t/(1+t)·(n_a+n_b), and for a true pair the first common shingle
+    # is provably inside both prefixes, so max-over-matches of the
+    # bound is >= the requirement.  Pairs failing it are pruned BEFORE
+    # the array-verify join ships the shingle arrays (ε guards double
+    # rounding; pruning is recall-safe — verify is exact anyway).
+    pa = prefix.select(
+        F.col("doc_id").alias("pa"), "shingle",
+        F.col("rn").alias("rn_a"), F.col("n_sh").alias("na"),
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("pb"), "shingle",
+        F.col("rn").alias("rn_b"), F.col("n_sh").alias("nb"),
+    )
+    ubound = (
+        F.least(F.col("na") - F.col("rn_a"), F.col("nb") - F.col("rn_b")) + 1
+    )
     cand = (
-        prefix.select(F.col("doc_id").alias("pa"), "shingle")
-        .join(prefix.select(F.col("doc_id").alias("pb"), "shingle"), "shingle")
+        pa.join(pb, "shingle")
         .filter(F.col("pa") != F.col("pb"))
-        .select(
+        .groupBy(
             F.least("pa", "pb").alias("doc_a"),
             F.greatest("pa", "pb").alias("doc_b"),
         )
-        .distinct()
+        .agg(
+            F.max(ubound).alias("ub"),
+            # both join orientations of a pair land in this group;
+            # na+nb is the same constant on every row, while
+            # max(na)+max(nb) would double-count the larger doc
+            F.max(F.col("na") + F.col("nb")).alias("nsum"),
+        )
+        .filter(
+            F.col("ub")
+            >= F.lit(JACCARD_T / (1.0 + JACCARD_T)) * F.col("nsum") - F.lit(1e-9)
+        )
+        .select("doc_a", "doc_b")
     )
     aa = arrs.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
@@ -416,10 +469,6 @@ def q_dedup_survivors(t: dict) -> DataFrame:
 
 # ------------------------------------------------------------ oracle
 _SQL_WH = "(ascii(w)*131 + length(w)*31 + ascii(reverse(w)))::BIGINT"
-_SQL_WHS = (
-    "list_distinct(list_transform(list_distinct(string_split(text, ' ')), "
-    f"w -> {_SQL_WH}))"
-)
 # ordered (with multiplicity) word hashes → shingle hashes, mirroring
 # _shingle_hashes exactly (1-indexed DuckDB lists)
 _SQL_WHS_ORDERED = f"list_transform(string_split(text, ' '), w -> {_SQL_WH})"
@@ -477,10 +526,17 @@ def _simhash_expr_sql() -> str:
     return "(" + " + ".join(terms) + ")::BIGINT"
 
 
+#: shingle-hash list per doc (the simhash/minhash input set)
+_SQL_SHINGLE_SRC = (
+    f"(SELECT doc_id, {_SQL_SHINGLE_HS} AS hs FROM "
+    f"(SELECT doc_id, {_SQL_WHS_ORDERED} AS whs FROM documents) w)"
+)
+
+
 def _simhash_oracle() -> str:
     return f"""
         SELECT doc_id, {_simhash_expr_sql()} AS simhash
-        FROM (SELECT doc_id, {_SQL_WHS} AS hs FROM documents) t
+        FROM {_SQL_SHINGLE_SRC} t
     """
 
 
@@ -488,9 +544,9 @@ def _simhash_pairs_oracle() -> str:
     return f"""
         WITH sh AS (
             SELECT doc_id, {_simhash_expr_sql()} AS simhash
-            FROM (SELECT doc_id, {_SQL_WHS} AS hs FROM documents) t
+            FROM {_SQL_SHINGLE_SRC} t
         ), blocked AS (
-            SELECT doc_id, simhash, simhash // 256 AS block FROM sh
+            SELECT doc_id, simhash, simhash // {SH_BLOCK} AS block FROM sh
         )
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                bit_count(xor(a.simhash, b.simhash))::INT AS hamming
