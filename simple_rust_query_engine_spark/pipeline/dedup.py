@@ -145,14 +145,14 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     """Candidate near-dup pairs via banded LSH + exact signature
     agreement estimate. Returns (doc_a, doc_b, n_match, est_jaccard)."""
     rows = MH_K // MH_BANDS
-    # The repartition is a deliberate materialization barrier: without
-    # it Catalyst's CollapseProject inlines the full 16-permutation
-    # signature expression into every element_at() below (16 band
-    # components × 2 join sides × 3 consumers ⇒ ~100× recompute of the
-    # shingle hash — measured 71s vs 2s at sf0.01). The exchange
-    # computes signatures exactly once and is REUSED (ReusedExchange)
-    # by the bands/sa/sb consumers — also the right shape on a real
-    # cluster, where sigs are shuffled once and read three times.
+    # localCheckpoint = hard materialization barrier: the signature
+    # UDF column feeds three consumers (bands + both verify sides) and
+    # Catalyst re-plans the Arrow UDF evaluation into each one (the
+    # static plan showed EIGHT ArrowEvalPython nodes, zero reuse).
+    # Checkpointing computes signatures exactly once and every
+    # consumer reads the materialized rows.  At cluster scale the same
+    # holds per-executor; recompute-on-executor-loss is the accepted
+    # trade (or persist(DISK) for reliability).
     sigs = (
         minhash_signatures(docs)
         # docs shorter than SHINGLE_N tokens have all-NULL signatures;
@@ -160,7 +160,7 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
         # concat_ws SKIPS nulls, which would band every short doc
         # together — drop them up front on both semantics and cost
         .filter(F.element_at("sig", 1).isNotNull())
-        .repartition("doc_id")
+        .localCheckpoint()
     )
     band_arr = F.array(
         *[
@@ -321,12 +321,12 @@ def q_ngram_jaccard(t: dict) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = t["documents"]
-    # barrier: the shingle arrays feed three consumers (explode, and
-    # both sides of the verify join) — one exchange, reused, instead
+    # hard barrier: the shingle arrays feed three consumers (explode,
+    # and both sides of the verify join) — materialize once instead
     # of three inlined recomputes (same trick as minhash_lsh_pairs)
     arrs = d.select(
         "doc_id", ngram_shingles(F.col("text")).alias("shingles")
-    ).repartition("doc_id")
+    ).localCheckpoint()
     # candidate generation runs on xxhash64(shingle) longs — cheaper
     # to shuffle/group/join than 30-char strings.  A hash collision
     # can only ADD a candidate pair; the exact string-array verify
