@@ -52,9 +52,13 @@ def main() -> None:
 
     # warm the JVM (codegen, shuffle machinery) + parquet footers +
     # view registration once so the first timed query doesn't pay
-    # session fixed costs; 'distinct' touches scan+shuffle+agg paths
+    # session fixed costs; 'distinct' touches scan+shuffle+agg paths.
+    # 'simhash' additionally spawns the Arrow/pandas Python workers
+    # (numpy+pandas import in each of the 32 workers, ~3s) so the
+    # first UDF query measures steady-state compute, not fork cost.
     qs["distinct"](spark, SF_DIR).count()
     qs["join_inner"](spark, SF_DIR).count()
+    qs["simhash"](spark, SF_DIR).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -303,105 +303,90 @@ def q_ngram_jaccard(t: dict) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.5), computed
     with the AllPairs/PPJoin prefix filter so it scales:
 
-    1. rank each doc's shingles by global document frequency
+    1. candidate generation runs on xxhash64(shingle) longs (hashed
+       post-explode, inside whole-stage codegen — hashing inside an
+       interpreted ``transform`` lambda measured 4× slower), never on
+       30-char strings;
+    2. rank each doc's shingles by global document frequency
        (rarest first — a canonical total order);
-    2. a pair with J >= t must share a shingle inside BOTH docs'
-       ``|X| - ceil(t*|X|) + 1`` prefixes (prefix-filter lemma; valid
-       under the size constraint |B| >= t|A|, which J >= t implies),
-       so candidates come from a prefix-to-prefix self-join — the
+    3. candidates come from a prefix-to-prefix self-join (prefix =
+       first ``|X| - ceil(t·|X|) + 1`` shingles in df order) — the
        high-DF shingles that drive the quadratic blowup of a naive
-       self-join never generate candidates;
-    3. size filter: J >= t implies |B| <= |A|/t;
-    4. exact verify via array_intersect on the per-doc shingle arrays
-       (map-side arrays, no extra explode).
+       self-join never generate candidates.  ``pa < pb`` keeps one
+       orientation per unordered pair, halving the enumerated
+       matches;
+    4. the PPJoin positional filter and the symmetric length filter
+       (``t·|B| <= |A| <= |B|/t``) are applied per matched row
+       BEFORE the pair-distinct — the pair requirement ``overlap >=
+       t/(1+t)(na+nb)`` is constant per pair, so any-row-passes ⟺
+       max-over-rows-passes, and filtering first shrinks the
+       distinct's shuffle.  All conditions are CONJUNCTIVE
+       two-column predicates: a variant with disjunctive conditions
+       (shorter-side orientation, a pushdown-guarded PPJoin
+       indexing-prefix bound) measured ~2× slower end-to-end;
+    5. exact verify via array_intersect on the per-doc string shingle
+       arrays — checkpoint stats let Spark auto-broadcast them at
+       bench scale; at cluster scale AQE falls back to a shuffled
+       join.
 
     Output is identical to the naive all-pairs join (the DuckDB
-    oracle IS the naive join) — only the plan is different.
+    oracle IS the naive string-level join) — only the plan differs.
+    A hash collision in candidate generation can only ADD a
+    candidate; the string-level verify removes it, so the result is
+    collision-proof.
     """
     from pyspark.sql.window import Window
 
     d = t["documents"]
-    # hard barrier: the shingle arrays feed three consumers (explode,
-    # and both sides of the verify join) — materialize once instead
-    # of three inlined recomputes (same trick as minhash_lsh_pairs)
+    # hard barrier: the shingle arrays feed three consumers (explode
+    # and both verify sides) — materialize once instead of three
+    # inlined recomputes (same trick as minhash_lsh_pairs)
     arrs = d.select(
         "doc_id", ngram_shingles(F.col("text")).alias("shingles")
     ).localCheckpoint()
-    # candidate generation runs on xxhash64(shingle) longs — cheaper
-    # to shuffle/group/join than 30-char strings.  A hash collision
-    # can only ADD a candidate pair; the exact string-array verify
-    # below filters it, so the output is collision-proof.  The prefix
-    # lemma needs only a consistent global total order — (df, hash)
-    # is one.
-    sh = arrs.select("doc_id", F.explode("shingles").alias("s")).select(
-        "doc_id", F.xxhash64("s").alias("shingle")
-    )
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # n_sh rides along with the explode — no per-doc count groupBy
+    sh = arrs.select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("s"),
+    ).select("doc_id", "n_sh", F.xxhash64("s").alias("shingle"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
-    ranked = (
-        sh.join(dfreq, "shingle")
-        .withColumn("rn", F.row_number().over(w))
-        .join(cnt, "doc_id")
-    )
-    prefix = ranked.filter(
+    ranked = sh.join(dfreq, "shingle").withColumn("rn", F.row_number().over(w))
+    probe = ranked.filter(
         F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(JACCARD_T) * F.col("n_sh")) + 1
     )
-    # PPJoin positional filter: at the FIRST common shingle (canonical
-    # order, positions rn_a/rn_b) the overlap is bounded by
-    # 1 + min(n_a - rn_a, n_b - rn_b); J >= t needs overlap >=
-    # t/(1+t)·(n_a+n_b), and for a true pair the first common shingle
-    # is provably inside both prefixes, so max-over-matches of the
-    # bound is >= the requirement.  Pairs failing it are pruned BEFORE
-    # the array-verify join ships the shingle arrays (ε guards double
-    # rounding; pruning is recall-safe — verify is exact anyway).
-    pa = prefix.select(
+    pa = probe.select(
         F.col("doc_id").alias("pa"), "shingle",
         F.col("rn").alias("rn_a"), F.col("n_sh").alias("na"),
     )
-    pb = prefix.select(
+    pb = probe.select(
         F.col("doc_id").alias("pb"), "shingle",
         F.col("rn").alias("rn_b"), F.col("n_sh").alias("nb"),
     )
-    ubound = (
-        F.least(F.col("na") - F.col("rn_a"), F.col("nb") - F.col("rn_b")) + 1
+    # positional filter: at a common shingle (positions rn_a/rn_b) the
+    # overlap is bounded by 1 + min(na - rn_a, nb - rn_b); a true pair
+    # needs overlap >= t/(1+t)·(na+nb) (ε guards double rounding;
+    # recall-safe — verify is exact anyway)
+    ubound = F.least(F.col("na") - F.col("rn_a"), F.col("nb") - F.col("rn_b")) + 1
+    req = F.lit(JACCARD_T / (1.0 + JACCARD_T)) * (F.col("na") + F.col("nb"))
+    # symmetric length filter: J >= t forces t·|B| <= |A| <= |B|/t
+    lenf = (F.col("na") >= F.lit(JACCARD_T) * F.col("nb")) & (
+        F.col("nb") >= F.lit(JACCARD_T) * F.col("na")
     )
     cand = (
         pa.join(pb, "shingle")
-        .filter(F.col("pa") != F.col("pb"))
-        .groupBy(
-            F.least("pa", "pb").alias("doc_a"),
-            F.greatest("pa", "pb").alias("doc_b"),
-        )
-        .agg(
-            F.max(ubound).alias("ub"),
-            # both join orientations of a pair land in this group;
-            # na+nb is the same constant on every row, while
-            # max(na)+max(nb) would double-count the larger doc
-            F.max(F.col("na") + F.col("nb")).alias("nsum"),
-        )
-        .filter(
-            F.col("ub")
-            >= F.lit(JACCARD_T / (1.0 + JACCARD_T)) * F.col("nsum") - F.lit(1e-9)
-        )
-        .select("doc_a", "doc_b")
+        .filter((F.col("pa") < F.col("pb")) & lenf & (ubound >= req - F.lit(1e-9)))
+        .select(F.col("pa").alias("doc_a"), F.col("pb").alias("doc_b"))
+        .distinct()
     )
-    aa = arrs.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
-    )
-    bb = arrs.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
-    )
+    aa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    bb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     common = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = common.cast("double") / (F.size("sh_a") + F.size("sh_b") - common)
     return (
         cand.join(aa, "doc_a")
         .join(bb, "doc_b")
-        # size filter: J >= t  ⇒  t·|B| <= |A| (and symmetric)
-        .filter(
-            (F.size("sh_b") * F.lit(JACCARD_T) <= F.size("sh_a"))
-            & (F.size("sh_a") * F.lit(JACCARD_T) <= F.size("sh_b"))
-        )
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_T)
     )
