@@ -353,6 +353,11 @@ def q_ngram_jaccard(t: dict) -> DataFrame:
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
     ranked = sh.join(dfreq, "shingle").withColumn("rn", F.row_number().over(w))
+    # NOTE: do NOT localCheckpoint probe — although it feeds both
+    # sides of the self-join, Spark's ReusedExchange already shares
+    # the shuffle output of the identical rank subtrees; an explicit
+    # barrier here breaks that reuse and measured 2-4× SLOWER A/B'd
+    # in a fresh session (3.0s vs 6.2-14.8s at sf0.1).
     probe = ranked.filter(
         F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(JACCARD_T) * F.col("n_sh")) + 1
     )
