@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from simple_rust_query_engine_spark import session as _session
 from simple_rust_query_engine_spark.operators import relational as _rel
+from simple_rust_query_engine_spark.operators import skew as _skew
 from simple_rust_query_engine_spark.pipeline import (
     dedup as _dedup,
     multimodal as _mm,
@@ -27,7 +28,7 @@ from simple_rust_query_engine_spark.pipeline import (
 )
 from simple_rust_query_engine_spark.streaming import events as _events
 
-_MODULES = (_rel, _text, _dedup, _sim, _mm, _events)
+_MODULES = (_rel, _skew, _text, _dedup, _sim, _mm, _events)
 
 # per-(session, sf_dir) table cache so repeated queries() calls don't
 # re-register views

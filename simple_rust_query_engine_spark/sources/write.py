@@ -26,3 +26,37 @@ def write_parquet(
 def write_csv(df, path: str, mode: str = "overwrite", header: bool = True) -> None:
     inner = getattr(df, "df", df)
     inner.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_bucketed(
+    df,
+    table: str,
+    path: str,
+    bucket_by: Sequence[str],
+    num_buckets: int,
+    sort_by: Optional[Sequence[str]] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table: rows hash-partitioned into
+    ``num_buckets`` files by ``bucket_by`` at WRITE time, registered in
+    the session catalog (bucketing metadata lives in the catalog, so
+    ``saveAsTable`` rather than a bare path write).
+
+    This is the 100 TB co-location contract: a join or aggregation on
+    the bucket key between two tables bucketed the same way needs NO
+    shuffle at read time — the scan's output partitioning already
+    satisfies the join's distribution requirement
+    (`tests/test_plans.py::test_bucketed_join_is_shuffle_free` pins
+    the Exchange-free plan).  Pay the shuffle once when the table is
+    laid down; every downstream consumer skips it.  ``sort_by`` also
+    pre-sorts within buckets, letting sort-merge joins skip the sort.
+    """
+    inner = getattr(df, "df", df)
+    writer = (
+        inner.write.mode(mode)
+        .option("path", path)
+        .bucketBy(num_buckets, *bucket_by)
+    )
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)

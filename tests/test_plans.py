@@ -73,3 +73,33 @@ def test_whole_stage_codegen_covers_scan_filter(spark):
     # ("* Filter (3)"), not the literal WholeStageCodegen node name
     text = explain_str(_q(spark, "filter_predicate"))
     assert "* Filter" in text and "* Project" in text, text
+
+
+def test_bucketed_join_is_shuffle_free(spark, tables, tmp_path):
+    # co-located join: both sides bucketed on the join key at write
+    # time → the scan's output partitioning satisfies the join's
+    # distribution requirement, no Exchange in the plan
+    from simple_rust_query_engine_spark.plans.inspect import explain_str
+    from simple_rust_query_engine_spark.sources.write import write_bucketed
+
+    write_bucketed(
+        tables["orders"], "b_orders", str(tmp_path / "bo"), ["o_custkey"], 8
+    )
+    write_bucketed(
+        tables["customer"], "b_customer", str(tmp_path / "bc"), ["c_custkey"], 8
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.table("b_orders")
+        b = spark.table("b_customer")
+        j = a.join(b, a.o_custkey == b.c_custkey).groupBy("o_custkey").count()
+        text = explain_str(j)
+        assert "Exchange" not in text, text
+        assert "SortMergeJoin" in text, text
+        # and the data actually flows
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
