@@ -26,9 +26,10 @@ from simple_rust_query_engine_spark.pipeline import (
     similarity as _sim,
     text as _text,
 )
+from simple_rust_query_engine_spark.streaming import dedup as _sdedup
 from simple_rust_query_engine_spark.streaming import events as _events
 
-_MODULES = (_rel, _skew, _text, _dedup, _sim, _mm, _events)
+_MODULES = (_rel, _skew, _text, _dedup, _sim, _mm, _events, _sdedup)
 
 # per-(session, sf_dir) table cache so repeated queries() calls don't
 # re-register views

@@ -1,0 +1,119 @@
+"""Streaming deduplication — exact dedup of an unbounded document
+feed, the ingest-time twin of ``pipeline/dedup.q_dedup_exact``.
+
+Beyond reference parity (the reference has no stream processing,
+SURVEY §2.9).  A training-data ingest pipeline dedups documents as
+they ARRIVE, not in nightly batches; Structured Streaming's stateful
+``dropDuplicates`` is exactly that operator:
+
+* ``stream_dedup_exact`` — full-history dedup on the content digest.
+  State is one entry per distinct digest, sharded across executors by
+  the digest (uniform, no skew).  Unbounded history means unbounded
+  state — correct for "never emit a duplicate ever", and the digest
+  set is tiny relative to the corpus (16 bytes vs whole documents).
+* ``stream_dedup_within_watermark`` — the bounded-state variant:
+  ``dropDuplicatesWithinWatermark`` retires state once the watermark
+  passes it, for the common case where duplicates cluster in time
+  (re-crawls, retry storms).  State is bounded by the watermark
+  horizon regardless of stream length.
+
+The streaming path is held to the batch oracle (``SELECT DISTINCT
+md5(text)``) through the memory sink, like ``events_window_stream``:
+the emitted digest SET is deterministic even though which physical
+row emits it is not — which is also why the query emits the digest
+only (attaching "the first doc_id seen" would be a race; batch
+``q_dedup_exact`` provides the deterministic min-id choice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _documents_stream(spark: SparkSession, sf_dir: str):
+    batch_df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # file stream sources take a directory; glob down to the one file
+    return (
+        spark.readStream.schema(batch_df.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+
+
+def stream_dedup_exact(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "dedup_exact_stream",
+):
+    """readStream → md5(text) → stateful dropDuplicates → memory sink.
+    Returns the started StreamingQuery; caller runs
+    processAllAvailable() + stop()."""
+    deduped = (
+        _documents_stream(spark, sf_dir)
+        .select(F.md5(F.col("text")).alias("content_hash"))
+        .dropDuplicates(["content_hash"])
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+_STREAM_RUN = [0]
+
+
+def q_dedup_exact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: the streaming dedup executed to completion, sink
+    table returned — the STREAMING engine's output is hash-checked
+    against the batch DISTINCT oracle."""
+    _STREAM_RUN[0] += 1
+    name = f"dedup_exact_stream_{_STREAM_RUN[0]}"
+    q = stream_dedup_exact(spark, sf_dir, query_name=name)
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+def stream_dedup_within_watermark(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "dedup_events_wm",
+    horizon: str = "2 hours",
+):
+    """Bounded-state dedup over the events stream: one row per
+    (user_id, hour) key, with per-key state retired once the event
+    -time watermark passes ``horizon`` beyond it.  The shape for
+    unbounded feeds where duplicates arrive close together."""
+    from .events import _events_stream
+
+    keyed = (
+        _events_stream(spark, sf_dir)
+        .withColumn("hour_start", F.date_trunc("hour", F.col("ts")))
+        .withWatermark("hour_start", horizon)
+        .select("user_id", "hour_start")
+        .dropDuplicatesWithinWatermark(["user_id", "hour_start"])
+    )
+    return (
+        keyed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+ORACLE: dict[str, str] = {
+    "dedup_exact_stream": "SELECT DISTINCT md5(text) AS content_hash FROM documents",
+}
+
+QUERIES: dict = {}
+
+#: entries that need (spark, sf_dir) directly (streaming sources)
+QUERIES_SPARK = {
+    "dedup_exact_stream": q_dedup_exact_stream,
+}

@@ -76,6 +76,43 @@ def test_stateful_sessionize_matches_batch(spark):
     assert exp.exceptAll(last).count() == 0
 
 
+def test_streaming_dedup_matches_batch_distinct(spark):
+    # stateful dropDuplicates through the streaming engine == batch
+    # DISTINCT digest set
+    from simple_rust_query_engine_spark.streaming.dedup import q_dedup_exact_stream
+
+    out = q_dedup_exact_stream(spark, SF_DIR)
+    batch = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.md5("text").alias("content_hash")
+    ).distinct()
+    assert {r.content_hash for r in out.collect()} == {
+        r.content_hash for r in batch.collect()
+    }
+
+
+def test_streaming_dedup_within_watermark(spark):
+    # bounded-state variant: one row per (user_id, hour) key; since a
+    # single availableNow run never retires state mid-batch here, the
+    # output equals the batch distinct of the same keys
+    from simple_rust_query_engine_spark.streaming.dedup import (
+        stream_dedup_within_watermark,
+    )
+    from simple_rust_query_engine_spark.session import load_tables
+
+    q = stream_dedup_within_watermark(spark, SF_DIR, "t_dedup_wm")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("t_dedup_wm")
+    e = load_tables(spark, SF_DIR)["events"]
+    exp = e.select(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).distinct()
+    assert got.count() == exp.count()
+    assert got.distinct().count() == got.count()
+
+
 def test_structured_streaming_hourly(spark):
     q = stream_events_hourly(spark, SF_DIR, "t_stream_hourly")
     try:
