@@ -123,6 +123,47 @@ def ann_lsh_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 5) -> DataFrame
     )
 
 
+def ann_lsh_multiprobe_topk(
+    emb: DataFrame, query_vec_id: int = 0, k: int = 5
+) -> DataFrame:
+    """Multi-probe LSH: search the query's bucket PLUS every bucket at
+    hamming distance 1 (one hyperplane bit flipped) — the standard
+    recall upgrade over single-probe without adding hash tables.  The
+    vectors most likely lost to single-probe sit just across ONE
+    hyperplane; probing the LSH_PLANES+1 nearest buckets recovers
+    them while still scanning only (planes+1)/2^planes of the corpus.
+    Plan shape is unchanged: map-side bucketing, 1-row broadcast,
+    disjunctive equi-probes on the broadcast side, TakeOrdered."""
+    bucketed = emb.withColumn("bucket", lsh_bucket(F.col("embedding")))
+    q = (
+        bucketed.filter(F.col("vec_id") == query_vec_id)
+        .select(
+            F.col("embedding").alias("q_emb"),
+            _norm(F.col("embedding")).alias("q_nrm"),
+            F.col("bucket").alias("q_bucket"),
+        )
+    )
+    probe = F.col("bucket") == F.col("q_bucket")
+    for j in range(LSH_PLANES):
+        probe = probe | (
+            F.col("bucket") == F.col("q_bucket").bitwiseXOR(F.lit(1 << j))
+        )
+    return (
+        bucketed.filter(F.col("vec_id") != query_vec_id)
+        .withColumn("nrm", _norm(F.col("embedding")))
+        .join(F.broadcast(q), probe)
+        .select(
+            "vec_id",
+            "bucket",
+            (_dots(F.col("q_emb"), F.col("embedding")) / F.col("q_nrm") / F.col("nrm")).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 IVF_CELLS = 16   # coarse cells (vectors 0..15 act as fixed centroids)
 IVF_PROBE = 4    # cells searched per query
 
@@ -233,6 +274,10 @@ def q_ann_lsh(t: dict) -> DataFrame:
 
 def q_ann_ivf(t: dict) -> DataFrame:
     return ann_ivf_topk(t["embeddings"], query_vec_id=0, k=5)
+
+
+def q_ann_multiprobe(t: dict) -> DataFrame:
+    return ann_lsh_multiprobe_topk(t["embeddings"], query_vec_id=0, k=5)
 
 
 NEARDUP_T = 0.45
@@ -373,6 +418,19 @@ ORACLE: dict[str, str] = {
           ON q.bucket = b.bucket
         ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
     """,
+    "ann_multiprobe": f"""
+        WITH bucketed AS (
+            SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket
+            FROM embeddings
+        )
+        SELECT b.vec_id AS vec_id, b.bucket AS bucket, {_SQL_COS} AS cos_sim
+        FROM (SELECT embedding AS a_emb, bucket FROM bucketed WHERE vec_id = 0) q
+        JOIN (SELECT vec_id, embedding AS b_emb, bucket FROM bucketed
+              WHERE vec_id <> 0) b
+          ON (b.bucket = q.bucket
+              {' '.join(f'OR b.bucket = xor(q.bucket, {1 << j})' for j in range(LSH_PLANES))})
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
+    """,
     "embedding_neardup": f"""
         WITH bucketed AS (
             SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket
@@ -389,6 +447,7 @@ ORACLE: dict[str, str] = {
 QUERIES = {
     "ann_brute": q_ann_brute,
     "ann_lsh": q_ann_lsh,
+    "ann_multiprobe": q_ann_multiprobe,
     "ann_ivf": q_ann_ivf,
     "embedding_neardup": q_embedding_neardup,
 }

@@ -76,6 +76,21 @@ def test_stateful_sessionize_matches_batch(spark):
     assert exp.exceptAll(last).count() == 0
 
 
+def test_multiprobe_recall_dominates_single_probe(tables):
+    # multi-probe searches a strict superset of buckets, so its k-th
+    # best cosine can never be worse than single-probe's
+    from simple_rust_query_engine_spark.pipeline.similarity import (
+        ann_lsh_multiprobe_topk,
+        ann_lsh_topk,
+    )
+
+    single = ann_lsh_topk(tables["embeddings"], 0, k=5).collect()
+    multi = ann_lsh_multiprobe_topk(tables["embeddings"], 0, k=5).collect()
+    assert len(multi) >= len(single)
+    if single and multi:
+        assert min(r.cos_sim for r in multi) >= min(r.cos_sim for r in single) - 1e-12
+
+
 def test_streaming_dedup_matches_batch_distinct(spark):
     # stateful dropDuplicates through the streaming engine == batch
     # DISTINCT digest set
