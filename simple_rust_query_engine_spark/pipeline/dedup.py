@@ -202,6 +202,71 @@ def q_dedup_minhash(t: dict) -> DataFrame:
     return minhash_lsh_pairs(t["documents"])
 
 
+#: "new arrival" predicate for the incremental demo: every 5th doc
+INCR_MOD = 5
+
+
+def minhash_lsh_pairs_incremental(docs: DataFrame, is_new) -> DataFrame:
+    """Incremental LSH dedup: candidate pairs where at least one side
+    is a NEW document — the shape of continuous ingest at 100 TB.
+
+    A full corpus re-join is O(corpus²) work repeated every batch;
+    joining the new batch's bands against the full band index is
+    O(new × collisions) and produces exactly the pairs the full join
+    would add.  With the signature/band table persisted (bucketed on
+    the band key), each ingest batch shuffles only its own bands.
+    Output pairs are normalized (doc_a < doc_b) so a pair arriving
+    from either orientation dedups to one row."""
+    rows = MH_K // MH_BANDS
+    sigs = (
+        minhash_signatures(docs)
+        .filter(F.element_at("sig", 1).isNotNull())
+        .localCheckpoint()
+    )
+    band_arr = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                F.lit(b),
+                *[F.element_at("sig", b * rows + j + 1).cast("string") for j in range(rows)],
+            )
+            for b in range(MH_BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_arr).alias("band"))
+    new_bands = bands.filter(is_new(F.col("doc_id")))
+    n, a = new_bands.alias("n"), bands.alias("a")
+    cand = (
+        n.join(a, (F.col("n.band") == F.col("a.band")) & (F.col("n.doc_id") != F.col("a.doc_id")))
+        .select(
+            F.least(F.col("n.doc_id"), F.col("a.doc_id")).alias("doc_a"),
+            F.greatest(F.col("n.doc_id"), F.col("a.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    n_match = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_match.alias("n_match"),
+            (n_match.cast("double") / F.lit(float(MH_K))).alias("est_jaccard"),
+        )
+    )
+
+
+def q_dedup_minhash_incr(t: dict) -> DataFrame:
+    return minhash_lsh_pairs_incremental(
+        t["documents"], lambda d: d % INCR_MOD == 0
+    )
+
+
 # ---------------------------------------------------------- simhash
 def simhash(docs: DataFrame) -> DataFrame:
     """SH_BITS-bit simhash over word-3-gram SHINGLE hashes: per bit
@@ -505,6 +570,32 @@ def _minhash_oracle() -> str:
     """
 
 
+def _minhash_incr_oracle() -> str:
+    rows = MH_K // MH_BANDS
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, '{b},' || {parts} AS band FROM sig".format(
+            b=b,
+            parts=" || ',' || ".join(f"s{b * rows + j}::VARCHAR" for j in range(rows)),
+        )
+        for b in range(MH_BANDS)
+    )
+    n_match = " + ".join(f"(x.s{i} = y.s{i})::INT" for i in range(MH_K))
+    return f"""
+        WITH sig AS ({_minhash_sig_sql()}),
+        bands AS ({band_selects}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.doc_id < b.doc_id
+            WHERE a.doc_id % {INCR_MOD} = 0 OR b.doc_id % {INCR_MOD} = 0
+        )
+        SELECT doc_a, doc_b, ({n_match}) AS n_match,
+               ({n_match})::DOUBLE / {MH_K}.0 AS est_jaccard
+        FROM cand JOIN sig x ON cand.doc_a = x.doc_id
+                  JOIN sig y ON cand.doc_b = y.doc_id
+    """
+
+
 def _simhash_expr_sql() -> str:
     terms = []
     for j in range(SH_BITS):
@@ -553,6 +644,7 @@ ORACLE: dict[str, str] = {
         FROM documents GROUP BY md5(text)
     """,
     "dedup_minhash": _minhash_oracle(),
+    "dedup_minhash_incr": _minhash_incr_oracle(),
     "simhash": _simhash_oracle(),
     "simhash_pairs": _simhash_pairs_oracle(),
     "ngram_jaccard": """
@@ -645,6 +737,7 @@ ORACLE: dict[str, str] = {
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_minhash_incr": q_dedup_minhash_incr,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,

@@ -107,8 +107,53 @@ def stream_dedup_within_watermark(
     )
 
 
+def stream_minhash_signatures(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "minhash_sig_stream",
+):
+    """Ingest-time featurization: the SAME map-only Arrow/numpy
+    signature UDF the batch dedup uses (``pipeline/dedup.
+    minhash_signatures``), applied to the document stream.  Because
+    the operator is stateless and per-row, it streams unchanged — the
+    plan is a map over arriving files/micro-batches, no state store,
+    no watermark.  This is how a 100 TB pipeline computes near-dup
+    features on arrival instead of re-scanning the corpus nightly;
+    the banded LSH pair join then runs as periodic batch over the
+    accumulated signature table."""
+    from ..pipeline.dedup import minhash_signatures
+
+    sigs = minhash_signatures(_documents_stream(spark, sf_dir))
+    return (
+        sigs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def q_minhash_sig_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: signatures computed THROUGH the streaming engine,
+    hash-checked against the batch signature oracle."""
+    _STREAM_RUN[0] += 1
+    name = f"minhash_sig_stream_{_STREAM_RUN[0]}"
+    q = stream_minhash_signatures(spark, sf_dir, query_name=name)
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+def _minhash_sig_stream_oracle() -> str:
+    from ..pipeline.dedup import MH_K, _minhash_sig_sql
+
+    sig_list = "[" + ", ".join(f"s{i}" for i in range(MH_K)) + "]"
+    return f"SELECT doc_id, {sig_list} AS sig FROM ({_minhash_sig_sql()}) t"
+
+
 ORACLE: dict[str, str] = {
     "dedup_exact_stream": "SELECT DISTINCT md5(text) AS content_hash FROM documents",
+    "minhash_sig_stream": _minhash_sig_stream_oracle(),
 }
 
 QUERIES: dict = {}
@@ -116,4 +161,5 @@ QUERIES: dict = {}
 #: entries that need (spark, sf_dir) directly (streaming sources)
 QUERIES_SPARK = {
     "dedup_exact_stream": q_dedup_exact_stream,
+    "minhash_sig_stream": q_minhash_sig_stream,
 }

@@ -76,6 +76,27 @@ def test_stateful_sessionize_matches_batch(spark):
     assert exp.exceptAll(last).count() == 0
 
 
+def test_incremental_minhash_is_restriction_of_full(tables):
+    # incremental (new-vs-all) pairs == full self-join pairs that
+    # touch at least one new doc — nothing extra, nothing lost
+    from simple_rust_query_engine_spark.pipeline.dedup import (
+        INCR_MOD,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = tables["documents"]
+    full = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs).collect()}
+    incr = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs_incremental(
+            docs, lambda d: d % INCR_MOD == 0
+        ).collect()
+    }
+    expected = {p for p in full if p[0] % INCR_MOD == 0 or p[1] % INCR_MOD == 0}
+    assert incr == expected
+
+
 def test_multiprobe_recall_dominates_single_probe(tables):
     # multi-probe searches a strict superset of buckets, so its k-th
     # best cosine can never be worse than single-probe's
