@@ -21,6 +21,7 @@ from simple_rust_query_engine_spark import session as _session
 from simple_rust_query_engine_spark.operators import relational as _rel
 from simple_rust_query_engine_spark.operators import skew as _skew
 from simple_rust_query_engine_spark.pipeline import (
+    clean as _clean,
     dedup as _dedup,
     multimodal as _mm,
     similarity as _sim,
@@ -29,7 +30,7 @@ from simple_rust_query_engine_spark.pipeline import (
 from simple_rust_query_engine_spark.streaming import dedup as _sdedup
 from simple_rust_query_engine_spark.streaming import events as _events
 
-_MODULES = (_rel, _skew, _text, _dedup, _sim, _mm, _events, _sdedup)
+_MODULES = (_rel, _skew, _text, _dedup, _clean, _sim, _mm, _events, _sdedup)
 
 # per-(session, sf_dir) table cache so repeated queries() calls don't
 # re-register views
