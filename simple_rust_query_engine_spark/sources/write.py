@@ -28,6 +28,38 @@ def write_csv(df, path: str, mode: str = "overwrite", header: bool = True) -> No
     inner.write.mode(mode).option("header", str(header).lower()).csv(path)
 
 
+def compact_parquet(
+    spark,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet dataset into ~``target_file_bytes`` files;
+    returns the output file count.
+
+    Small-file proliferation is the classic failure mode of
+    incremental ingest at scale: thousands of KB-sized files per
+    batch turn every downstream scan into open/footer overhead and
+    blow up driver split planning.  The fix is a periodic rewrite
+    sized by BYTES, not by partition count: total input size /
+    target file size.  Locally sizes come from the file system; on a
+    cluster the same numbers come from the FileSystem API / catalog
+    statistics.  The rewrite is one shuffle-free-ish repartition
+    (round-robin) — at 100 TB run it per partition-directory so each
+    rewrite is bounded."""
+    import math
+    import os
+
+    df = spark.read.parquet(path)
+    total = sum(
+        os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
+        for f in df.inputFiles()
+    )
+    n = max(1, math.ceil(total / target_file_bytes))
+    df.repartition(n).write.mode("overwrite").parquet(out_path)
+    return len(spark.read.parquet(out_path).inputFiles())
+
+
 def write_bucketed(
     df,
     table: str,

@@ -75,6 +75,29 @@ def test_whole_stage_codegen_covers_scan_filter(spark):
     assert "* Filter" in text and "* Project" in text, text
 
 
+#: streaming-engine entries execute eagerly on call — exercised by
+#: their own tests; plan text of the returned sink table is trivial
+_STREAMING_QUERIES = {"events_window_stream", "dedup_exact_stream", "minhash_sig_stream"}
+
+
+def test_no_query_plans_a_cartesian_product(spark):
+    # blanket plan hygiene: an unintended CartesianProduct is the
+    # silent O(n²) cliff at scale.  Every declared query must plan
+    # without one — keyless joins go through BroadcastNestedLoopJoin
+    # with an explicitly tiny side (cross_join_filter's dim tables,
+    # ANN's 1-row query vector), never a shuffled cartesian.
+    from simple_rust_query_engine_spark.plans.inspect import explain_str
+
+    offenders = {}
+    for name, fn in entry_mod.queries().items():
+        if name in _STREAMING_QUERIES:
+            continue
+        text = explain_str(fn(spark, SF_DIR))
+        if "CartesianProduct" in text:
+            offenders[name] = True
+    assert not offenders, f"cartesian products in: {sorted(offenders)}"
+
+
 def test_bucketed_join_is_shuffle_free(spark, tables, tmp_path):
     # co-located join: both sides bucketed on the join key at write
     # time → the scan's output partitioning satisfies the join's

@@ -52,3 +52,18 @@ def test_parquet_write_roundtrip(spark, tables, tmp_path):
     assert pruned.count() == src.filter(F.col("n_regionkey") == 0).count()
     # partition dirs exist
     assert any(d.startswith("n_regionkey=") for d in os.listdir(out_dir))
+
+
+def test_compact_parquet_reduces_file_count(spark, tables, tmp_path):
+    from simple_rust_query_engine_spark.sources.write import compact_parquet
+
+    frag = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    # simulate incremental-ingest fragmentation: 40 tiny files
+    tables["orders"].repartition(40).write.parquet(frag)
+    n_in = len(spark.read.parquet(frag).inputFiles())
+    assert n_in >= 40
+    n_out = compact_parquet(spark, frag, out)
+    assert n_out < n_in
+    # contents survive the rewrite
+    assert spark.read.parquet(out).count() == tables["orders"].count()
