@@ -78,3 +78,39 @@ def test_nanos_to_micros_is_integer_exact(spark):
     )
     micros = df.select(F.unix_micros("ts").alias("us")).collect()[0].us
     assert micros == 1700000000000000
+
+
+def test_all_identical_corpus_collapses_to_one_component(spark):
+    # hot-bucket degenerate case: every doc identical → every pair is
+    # a candidate AND a true duplicate; CC collapses to one label
+    from simple_rust_query_engine_spark.pipeline.dedup import (
+        connected_components,
+        q_ngram_jaccard,
+    )
+
+    n = 12
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(n)],
+        "doc_id long, text string",
+    )
+    t = {"documents": docs}
+    pairs = q_ngram_jaccard(t)
+    assert pairs.count() == n * (n - 1) // 2
+    assert pairs.filter(F.col("jaccard") != 1.0).count() == 0
+    lab = connected_components(
+        pairs.select("doc_a", "doc_b"), docs.select("doc_id")
+    )
+    assert lab.select("label").distinct().count() == 1
+
+
+def test_empty_corpus_all_dedup_paths_return_empty(spark):
+    from simple_rust_query_engine_spark.pipeline.dedup import (
+        q_dedup_exact,
+        q_ngram_jaccard,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    t = {"documents": empty}
+    assert q_dedup_exact(t).count() == 0
+    assert q_ngram_jaccard(t).count() == 0
+    assert minhash_lsh_pairs(empty).count() == 0
