@@ -41,15 +41,17 @@ def salted_collect(
     """groupBy(key) → sorted array of ``val`` + row count, with the
     holistic collect spread over ``n_salt`` reducers per key.
 
-    The salt is ``val % n_salt`` (any uniform function of the value
-    works — pmod keeps it deterministic for the oracle).  Stage 1
-    collects per (key, salt); stage 2 merges the ≤ ``n_salt`` partial
-    arrays per key — the second shuffle carries one row per (key,
-    salt), not per input row.  The final ``array_sort`` restores the
-    canonical order a single-reducer collect would need anyway to be
-    deterministic."""
+    The salt is ``hash(val) % n_salt`` — works for ANY value type
+    (``val % n_salt`` would implicitly cast strings to double, turn
+    non-numeric values into NULL, and silently funnel the whole hot
+    key back onto one reducer).  The salt never reaches the output,
+    so the result is salt-independent.  Stage 1 collects per (key,
+    salt); stage 2 merges the ≤ ``n_salt`` partial arrays per key —
+    the second shuffle carries one row per (key, salt), not per input
+    row.  The final ``array_sort`` restores the canonical order a
+    single-reducer collect would need anyway to be deterministic."""
     part = (
-        df.groupBy(key, F.pmod(F.col(val), F.lit(n_salt)).alias("_salt"))
+        df.groupBy(key, F.pmod(F.hash(F.col(val)), F.lit(n_salt)).alias("_salt"))
         .agg(F.collect_list(val).alias("_part"), F.count(F.lit(1)).alias("_pc"))
     )
     return part.groupBy(key).agg(
@@ -62,12 +64,16 @@ def two_phase_ndistinct(df: DataFrame, key: str, val: str) -> DataFrame:
     """Exact per-key COUNT(DISTINCT val) as dedup-then-count: shuffle 1
     groups on the (key, val) pair (uniform, map-side combinable),
     shuffle 2 counts the surviving pairs per key — one row per
-    distinct pair crosses it, never per-key set state."""
+    distinct pair crosses it, never per-key set state.  Phase 2
+    counts the VAL column (``count(val)`` skips NULL), so a NULL
+    group survives phase 1 to keep its key in the output but is not
+    counted as a value — exactly COUNT(DISTINCT) semantics, including
+    ``0`` for a key whose values are all NULL."""
     return (
         df.groupBy(key, val)
         .agg(F.lit(1))
         .groupBy(key)
-        .agg(F.count(F.lit(1)).alias("n_distinct"))
+        .agg(F.count(F.col(val)).alias("n_distinct"))
     )
 
 

@@ -27,8 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import q_ngram_jaccard
-from .text import _EN_STOP, _ES_STOP, _DE_STOP, tokens
+from .dedup import SQL_NGRAM_DROPPED_CTES, q_ngram_jaccard
+from .text import _EN_STOP, _ES_STOP, _DE_STOP, _sql_in, tokens
 
 MIN_TOKENS = 5
 MIN_ALPHA = 0.5
@@ -63,34 +63,9 @@ def q_pipeline_clean(t: dict) -> DataFrame:
     return gated.join(dropped, "doc_id", "left_anti")
 
 
-def _sql_in(col: str, words) -> str:
-    lst = ", ".join(f"'{w}'" for w in words)
-    return f"len(list_filter(string_split(text, ' '), {col} -> {col} IN ({lst})))"
-
-
 ORACLE: dict[str, str] = {
     "pipeline_clean": f"""
-        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        sh AS (
-            SELECT DISTINCT doc_id, s FROM (
-                SELECT doc_id,
-                       unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                               for i in range(1, len(w) - 1)]) AS s
-                FROM tok
-            ) t
-        ),
-        cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        pairs AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ),
-        dropped AS (
-            SELECT DISTINCT doc_b AS doc_id FROM pairs
-            JOIN cnt ca ON doc_a = ca.doc_id
-            JOIN cnt cb ON doc_b = cb.doc_id
-            WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common) >= 0.5
-        ),
+        WITH {SQL_NGRAM_DROPPED_CTES},
         gated AS (
             SELECT doc_id, lang,
                    len(string_split(text, ' '))::INT AS n_tokens,

@@ -141,19 +141,19 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", sig_udf(F.col("text")).alias("sig"))
 
 
-def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
-    """Candidate near-dup pairs via banded LSH + exact signature
-    agreement estimate. Returns (doc_a, doc_b, n_match, est_jaccard)."""
-    rows = MH_K // MH_BANDS
-    # localCheckpoint = hard materialization barrier: the signature
-    # UDF column feeds three consumers (bands + both verify sides) and
-    # Catalyst re-plans the Arrow UDF evaluation into each one (the
-    # static plan showed EIGHT ArrowEvalPython nodes, zero reuse).
-    # Checkpointing computes signatures exactly once and every
-    # consumer reads the materialized rows.  At cluster scale the same
-    # holds per-executor; recompute-on-executor-loss is the accepted
-    # trade (or persist(DISK) for reliability).
-    sigs = (
+def _checkpointed_sigs(docs: DataFrame) -> DataFrame:
+    """Materialized signature table shared by the full and incremental
+    pair joins.
+
+    localCheckpoint = hard materialization barrier: the signature UDF
+    column feeds three consumers (bands + both verify sides) and
+    Catalyst re-plans the Arrow UDF evaluation into each one (the
+    static plan showed EIGHT ArrowEvalPython nodes, zero reuse).
+    Checkpointing computes signatures exactly once and every consumer
+    reads the materialized rows.  At cluster scale the same holds
+    per-executor; recompute-on-executor-loss is the accepted trade
+    (or persist(DISK) for reliability)."""
+    return (
         minhash_signatures(docs)
         # docs shorter than SHINGLE_N tokens have all-NULL signatures;
         # the oracle's NULL band never joins (NULL || ... = NULL), but
@@ -162,6 +162,11 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
         .filter(F.element_at("sig", 1).isNotNull())
         .localCheckpoint()
     )
+
+
+def _band_exploded(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band) rows: one banded-signature string per band."""
+    rows = MH_K // MH_BANDS
     band_arr = F.array(
         *[
             F.concat_ws(
@@ -172,19 +177,15 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
             for b in range(MH_BANDS)
         ]
     )
-    bands = sigs.select("doc_id", F.explode(band_arr).alias("band"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return sigs.select("doc_id", F.explode(band_arr).alias("band"))
+
+
+def _with_pair_stats(cand: DataFrame, sigs: DataFrame) -> DataFrame:
+    """Attach signature-agreement stats to normalized candidate pairs."""
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     n_match = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
-        )
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
     )
     return (
         cand.join(sa, "doc_a")
@@ -196,6 +197,20 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
             (n_match.cast("double") / F.lit(float(MH_K))).alias("est_jaccard"),
         )
     )
+
+
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH + exact signature
+    agreement estimate. Returns (doc_a, doc_b, n_match, est_jaccard)."""
+    sigs = _checkpointed_sigs(docs)
+    bands = _band_exploded(sigs)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _with_pair_stats(cand, sigs)
 
 
 def q_dedup_minhash(t: dict) -> DataFrame:
@@ -217,23 +232,8 @@ def minhash_lsh_pairs_incremental(docs: DataFrame, is_new) -> DataFrame:
     the band key), each ingest batch shuffles only its own bands.
     Output pairs are normalized (doc_a < doc_b) so a pair arriving
     from either orientation dedups to one row."""
-    rows = MH_K // MH_BANDS
-    sigs = (
-        minhash_signatures(docs)
-        .filter(F.element_at("sig", 1).isNotNull())
-        .localCheckpoint()
-    )
-    band_arr = F.array(
-        *[
-            F.concat_ws(
-                ",",
-                F.lit(b),
-                *[F.element_at("sig", b * rows + j + 1).cast("string") for j in range(rows)],
-            )
-            for b in range(MH_BANDS)
-        ]
-    )
-    bands = sigs.select("doc_id", F.explode(band_arr).alias("band"))
+    sigs = _checkpointed_sigs(docs)
+    bands = _band_exploded(sigs)
     new_bands = bands.filter(is_new(F.col("doc_id")))
     n, a = new_bands.alias("n"), bands.alias("a")
     cand = (
@@ -244,21 +244,7 @@ def minhash_lsh_pairs_incremental(docs: DataFrame, is_new) -> DataFrame:
         )
         .distinct()
     )
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    n_match = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
-    )
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            n_match.alias("n_match"),
-            (n_match.cast("double") / F.lit(float(MH_K))).alias("est_jaccard"),
-        )
-    )
+    return _with_pair_stats(cand, sigs)
 
 
 def q_dedup_minhash_incr(t: dict) -> DataFrame:
@@ -545,7 +531,10 @@ def _minhash_sig_sql() -> str:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(cand_where: str = "") -> str:
+    """Banded-LSH pair oracle; ``cand_where`` narrows the candidate
+    CTE (used by the incremental variant) so full and incremental
+    stay one definition apart, never two diverging copies."""
     rows = MH_K // MH_BANDS
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, '{b},' || {parts} AS band FROM sig".format(
@@ -562,6 +551,7 @@ def _minhash_oracle() -> str:
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.doc_id < b.doc_id
+            {cand_where}
         )
         SELECT doc_a, doc_b, ({n_match}) AS n_match,
                ({n_match})::DOUBLE / {MH_K}.0 AS est_jaccard
@@ -571,29 +561,9 @@ def _minhash_oracle() -> str:
 
 
 def _minhash_incr_oracle() -> str:
-    rows = MH_K // MH_BANDS
-    band_selects = " UNION ALL ".join(
-        "SELECT doc_id, '{b},' || {parts} AS band FROM sig".format(
-            b=b,
-            parts=" || ',' || ".join(f"s{b * rows + j}::VARCHAR" for j in range(rows)),
-        )
-        for b in range(MH_BANDS)
+    return _minhash_oracle(
+        f"WHERE a.doc_id % {INCR_MOD} = 0 OR b.doc_id % {INCR_MOD} = 0"
     )
-    n_match = " + ".join(f"(x.s{i} = y.s{i})::INT" for i in range(MH_K))
-    return f"""
-        WITH sig AS ({_minhash_sig_sql()}),
-        bands AS ({band_selects}),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.doc_id < b.doc_id
-            WHERE a.doc_id % {INCR_MOD} = 0 OR b.doc_id % {INCR_MOD} = 0
-        )
-        SELECT doc_a, doc_b, ({n_match}) AS n_match,
-               ({n_match})::DOUBLE / {MH_K}.0 AS est_jaccard
-        FROM cand JOIN sig x ON cand.doc_a = x.doc_id
-                  JOIN sig y ON cand.doc_b = y.doc_id
-    """
 
 
 def _simhash_expr_sql() -> str:
@@ -637,42 +607,12 @@ def _simhash_pairs_oracle() -> str:
     """
 
 
-ORACLE: dict[str, str] = {
-    "dedup_exact": """
-        SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
-               COUNT(*) AS n_copies
-        FROM documents GROUP BY md5(text)
-    """,
-    "dedup_minhash": _minhash_oracle(),
-    "dedup_minhash_incr": _minhash_incr_oracle(),
-    "simhash": _simhash_oracle(),
-    "simhash_pairs": _simhash_pairs_oracle(),
-    "ngram_jaccard": """
-        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        sh AS (
-            SELECT DISTINCT doc_id, s FROM (
-                SELECT doc_id,
-                       unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                               for i in range(1, len(w) - 1)]) AS s
-                FROM tok
-            ) t
-        ),
-        cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        common AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        )
-        SELECT doc_a, doc_b,
-               common::DOUBLE / (ca.n_sh + cb.n_sh - common) AS jaccard
-        FROM common
-        JOIN cnt ca ON doc_a = ca.doc_id
-        JOIN cnt cb ON doc_b = cb.doc_id
-        WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common) >= 0.5
-    """,
-    "dedup_cc": """
-        WITH RECURSIVE
-        tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+#: shared CTE block for the exact n-gram pair oracles — ONE definition
+#: of tokenize → distinct shingles → per-doc counts → common-shingle
+#: pair counts, reused by ngram_jaccard / dedup_cc / dedup_survivors
+#: here and pipeline_clean in clean.py, so a change to shingle
+#: construction can never desynchronize one of the four.
+SQL_NGRAM_PAIR_CTES = """tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         sh AS (
             SELECT DISTINCT doc_id, s FROM (
                 SELECT doc_id,
@@ -686,12 +626,45 @@ ORACLE: dict[str, str] = {
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY 1, 2
-        ),
+        )"""
+
+#: pair CTEs + the greedy drop set (docs near-duplicating a lower id)
+SQL_NGRAM_DROPPED_CTES = f"""{SQL_NGRAM_PAIR_CTES},
+        dropped AS (
+            SELECT DISTINCT doc_b AS doc_id FROM pairs
+            JOIN cnt ca ON doc_a = ca.doc_id
+            JOIN cnt cb ON doc_b = cb.doc_id
+            WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common) >= {JACCARD_T}
+        )"""
+
+
+ORACLE: dict[str, str] = {
+    "dedup_exact": """
+        SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_minhash": _minhash_oracle(),
+    "dedup_minhash_incr": _minhash_incr_oracle(),
+    "simhash": _simhash_oracle(),
+    "simhash_pairs": _simhash_pairs_oracle(),
+    "ngram_jaccard": f"""
+        WITH {SQL_NGRAM_PAIR_CTES}
+        SELECT doc_a, doc_b,
+               common::DOUBLE / (ca.n_sh + cb.n_sh - common) AS jaccard
+        FROM pairs
+        JOIN cnt ca ON doc_a = ca.doc_id
+        JOIN cnt cb ON doc_b = cb.doc_id
+        WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common) >= {JACCARD_T}
+    """,
+    "dedup_cc": f"""
+        WITH RECURSIVE
+        {SQL_NGRAM_PAIR_CTES},
         edges AS (
             SELECT doc_a, doc_b FROM pairs
             JOIN cnt ca ON doc_a = ca.doc_id
             JOIN cnt cb ON doc_b = cb.doc_id
-            WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common) >= 0.5
+            WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common) >= {JACCARD_T}
         ),
         bidir AS (
             SELECT doc_a AS src, doc_b AS dst FROM edges
@@ -707,28 +680,8 @@ ORACLE: dict[str, str] = {
                LEAST(d.doc_id, COALESCE(l.mn, d.doc_id)) AS label
         FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
     """,
-    "dedup_survivors": """
-        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        sh AS (
-            SELECT DISTINCT doc_id, s FROM (
-                SELECT doc_id,
-                       unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                               for i in range(1, len(w) - 1)]) AS s
-                FROM tok
-            ) t
-        ),
-        cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        pairs AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ),
-        dropped AS (
-            SELECT DISTINCT doc_b AS doc_id FROM pairs
-            JOIN cnt ca ON doc_a = ca.doc_id
-            JOIN cnt cb ON doc_b = cb.doc_id
-            WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common) >= 0.5
-        )
+    "dedup_survivors": f"""
+        WITH {SQL_NGRAM_DROPPED_CTES}
         SELECT doc_id, lang, source FROM documents
         WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
     """,

@@ -42,19 +42,23 @@ def compact_parquet(
     batch turn every downstream scan into open/footer overhead and
     blow up driver split planning.  The fix is a periodic rewrite
     sized by BYTES, not by partition count: total input size /
-    target file size.  Locally sizes come from the file system; on a
-    cluster the same numbers come from the FileSystem API / catalog
-    statistics.  The rewrite is one shuffle-free-ish repartition
-    (round-robin) — at 100 TB run it per partition-directory so each
-    rewrite is bounded."""
+    target file size.  Sizes come from the Hadoop FileSystem API, so
+    any scheme (file:, hdfs:, s3a:) and percent-encoded paths work —
+    ``inputFiles()`` returns encoded URIs that ``os.path.getsize``
+    would misread.  The rewrite is one round-robin repartition — at
+    100 TB run it per partition-directory so each rewrite is
+    bounded."""
     import math
-    import os
 
     df = spark.read.parquet(path)
-    total = sum(
-        os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
-        for f in df.inputFiles()
-    )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _size(uri: str) -> int:
+        p = jvm.org.apache.hadoop.fs.Path(uri)
+        return p.getFileSystem(hconf).getFileStatus(p).getLen()
+
+    total = sum(_size(f) for f in df.inputFiles())
     n = max(1, math.ceil(total / target_file_bytes))
     df.repartition(n).write.mode("overwrite").parquet(out_path)
     return len(spark.read.parquet(out_path).inputFiles())

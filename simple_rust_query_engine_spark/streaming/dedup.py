@@ -32,14 +32,9 @@ from pyspark.sql import functions as F
 
 
 def _documents_stream(spark: SparkSession, sf_dir: str):
-    batch_df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # file stream sources take a directory; glob down to the one file
-    return (
-        spark.readStream.schema(batch_df.schema)
-        .format("parquet")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-    )
+    from .source import file_stream
+
+    return file_stream(spark, sf_dir, "documents")
 
 
 def stream_dedup_exact(

@@ -60,21 +60,9 @@ def q_events_sessionize(t: dict) -> DataFrame:
 
 
 def _events_stream(spark: SparkSession, sf_dir: str):
-    batch_df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # file stream sources take a directory; glob down to the events file
-    stream = (
-        spark.readStream.schema(batch_df.schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    # driver parquet stores ts as TIMESTAMP(NANOS) → long under
-    # nanosAsLong; restore event-time type for the watermark
-    if dict(stream.dtypes).get("ts") == "bigint":
-        # integer division — `/` would round-trip through double and
-        # lose precision above 2^53 (epoch nanos ≈ 1.7e18)
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    from .source import file_stream
+
+    return file_stream(spark, sf_dir, "events")
 
 
 def stream_events_hourly(

@@ -114,3 +114,24 @@ def test_empty_corpus_all_dedup_paths_return_empty(spark):
     assert q_dedup_exact(t).count() == 0
     assert q_ngram_jaccard(t).count() == 0
     assert minhash_lsh_pairs(empty).count() == 0
+
+
+def test_skew_ops_null_and_string_semantics(spark):
+    # two_phase_ndistinct must match COUNT(DISTINCT): NULLs don't
+    # count as a value, all-NULL keys stay in the output with 0;
+    # salted_collect's salt must work on STRING values (a naive
+    # `val % n` would cast to double→NULL and un-spread the hot key)
+    from simple_rust_query_engine_spark.operators.skew import (
+        salted_collect,
+        two_phase_ndistinct,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"), ("a", None), ("b", None)],
+        "k string, v string",
+    )
+    nd = {r.k: r.n_distinct for r in two_phase_ndistinct(df, "k", "v").collect()}
+    assert nd == {"a": 2, "b": 0}
+
+    sc = {r.k: r.vs for r in salted_collect(df.filter(F.col("v").isNotNull()), "k", "v").collect()}
+    assert sc == {"a": ["x", "x", "y"]}

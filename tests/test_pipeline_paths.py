@@ -108,8 +108,11 @@ def test_multiprobe_recall_dominates_single_probe(tables):
     single = ann_lsh_topk(tables["embeddings"], 0, k=5).collect()
     multi = ann_lsh_multiprobe_topk(tables["embeddings"], 0, k=5).collect()
     assert len(multi) >= len(single)
-    if single and multi:
-        assert min(r.cos_sim for r in multi) >= min(r.cos_sim for r in single) - 1e-12
+    # dominance holds pairwise over the top-|single| prefix (both are
+    # sorted desc); comparing raw mins would be wrong when the query
+    # bucket holds fewer than k vectors and multi returns MORE rows
+    for s, m in zip(single, multi):
+        assert m.cos_sim >= s.cos_sim - 1e-12
 
 
 def test_streaming_dedup_matches_batch_distinct(spark):

@@ -86,6 +86,11 @@ def test_no_query_plans_a_cartesian_product(spark):
     # without one — keyless joins go through BroadcastNestedLoopJoin
     # with an explicitly tiny side (cross_join_filter's dim tables,
     # ANN's 1-row query vector), never a shuffled cartesian.
+    # Scope caveat: for queries built on localCheckpoint barriers
+    # (minhash/ngram/cc) the inspected plan covers the stages AFTER
+    # the final checkpoint — pre-checkpoint subtrees are map-only
+    # selects here (no joins to misplan), but a new checkpointed
+    # JOIN stage would need its own plan assertion.
     from simple_rust_query_engine_spark.plans.inspect import explain_str
 
     offenders = {}
