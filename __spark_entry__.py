@@ -18,8 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from simple_rust_query_engine_spark import session as _session
+from simple_rust_query_engine_spark.operators import olap as _olap
 from simple_rust_query_engine_spark.operators import relational as _rel
 from simple_rust_query_engine_spark.operators import skew as _skew
+from simple_rust_query_engine_spark.operators import temporal as _temporal
 from simple_rust_query_engine_spark.pipeline import (
     clean as _clean,
     dedup as _dedup,
@@ -30,7 +32,19 @@ from simple_rust_query_engine_spark.pipeline import (
 from simple_rust_query_engine_spark.streaming import dedup as _sdedup
 from simple_rust_query_engine_spark.streaming import events as _events
 
-_MODULES = (_rel, _skew, _text, _dedup, _clean, _sim, _mm, _events, _sdedup)
+_MODULES = (
+    _rel,
+    _olap,
+    _temporal,
+    _skew,
+    _text,
+    _dedup,
+    _clean,
+    _sim,
+    _mm,
+    _events,
+    _sdedup,
+)
 
 # per-(session, sf_dir) table cache so repeated queries() calls don't
 # re-register views

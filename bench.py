@@ -29,6 +29,10 @@ BENCH_QUERIES = [
     "join_inner",
     "join_left",
     "window_topk_per_group",
+    "join_asof",
+    "range_join",
+    "agg_rollup",
+    "quantile",
     "distinct",
     "dedup_exact",
     "dedup_minhash",

@@ -1,0 +1,125 @@
+"""OLAP aggregation surfaces beyond the reference's five plain
+aggregates: grouping sets (ROLLUP / CUBE), PIVOT, and exact
+distributional statistics (percentiles).
+
+The reference's aggregate surface is exactly COUNT/SUM/AVG/MIN/MAX
+with a single flat GROUP BY (``/root/reference/src/expression/logical/
+aggregate.rs:12-24``; no grouping sets anywhere in the plan enum,
+``src/plan/logical/plan.rs:12-44``).  These are the standard report
+shapes a warehouse adds on top, all Catalyst built-ins:
+
+* ROLLUP/CUBE expand to grouping sets in ONE pass over the data —
+  Spark's ``Expand`` node replicates each input row per grouping set
+  before one hash aggregate, so partial (map-side) aggregation still
+  applies; no per-level rescan.
+* PIVOT with an explicit value list compiles to one groupBy with a
+  conditional aggregate per value — no shuffle per pivot column, and
+  no extra driver job to discover values (ALWAYS pass the list at
+  scale; the discovery path is a distinct + collect over 100 TB).
+* ``percentile`` is Spark's exact single-pass implementation; for a
+  100 TB column swap in ``percentile_approx`` (t-digest, mergeable,
+  bounded memory) — kept exact here so the DuckDB ``quantile_cont``
+  oracle can hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def q_agg_rollup(t: dict) -> DataFrame:
+    """Quantity totals at (flag, status), per-flag subtotal, and grand
+    total in one pass; ``gid`` disambiguates subtotal NULLs from data
+    NULLs (bitmask, leftmost grouping column = MSB — same convention
+    as standard-SQL GROUPING())."""
+    return (
+        t["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+def q_agg_cube(t: dict) -> DataFrame:
+    """All four grouping sets of (returnflag, linestatus)."""
+    return (
+        t["lineitem"]
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+PIVOT_STATUSES = ("F", "O", "P")
+
+
+def q_pivot(t: dict) -> DataFrame:
+    """Order totals by priority, one column per order status.
+
+    The status list is explicit — at scale the implicit form runs a
+    distinct+collect job over the full table just to name columns."""
+    piv = (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(PIVOT_STATUSES))
+        .agg(F.sum("o_totalprice"))
+    )
+    for s in PIVOT_STATUSES:
+        piv = piv.withColumnRenamed(s, f"total_{s.lower()}")
+    return piv
+
+
+def q_quantile(t: dict) -> DataFrame:
+    """Exact price quartiles per return flag (linear interpolation —
+    the ANSI ``PERCENTILE_CONT`` definition on both engines)."""
+    price = F.col("l_extendedprice")
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.percentile(price, F.lit(0.25)).alias("p25"),
+        F.percentile(price, F.lit(0.5)).alias("p50"),
+        F.percentile(price, F.lit(0.75)).alias("p75"),
+    )
+
+
+ORACLE: dict[str, str] = {
+    "agg_rollup": """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty, count(*) AS n_rows,
+               GROUPING(l_returnflag, l_linestatus) AS gid
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "agg_cube": """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               avg(l_extendedprice) AS avg_price,
+               GROUPING(l_returnflag, l_linestatus) AS gid
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "pivot": """
+        SELECT o_orderpriority,
+               sum(o_totalprice) FILTER (o_orderstatus = 'F') AS total_f,
+               sum(o_totalprice) FILTER (o_orderstatus = 'O') AS total_o,
+               sum(o_totalprice) FILTER (o_orderstatus = 'P') AS total_p
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "quantile": """
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.25) AS p25,
+               quantile_cont(l_extendedprice, 0.50) AS p50,
+               quantile_cont(l_extendedprice, 0.75) AS p75
+        FROM lineitem GROUP BY l_returnflag
+    """,
+}
+
+QUERIES = {
+    "agg_rollup": q_agg_rollup,
+    "agg_cube": q_agg_cube,
+    "pivot": q_pivot,
+    "quantile": q_quantile,
+}

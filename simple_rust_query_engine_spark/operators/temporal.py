@@ -1,0 +1,181 @@
+"""Temporal join operators Spark has no built-in for: backward as-of
+join and bounded range (interval) self-join.
+
+The reference has no temporal joins at all (its join surface is Inner/
+Left equi + keyless nested-loop — ``/root/reference/src/plan/logical/
+join.rs:14-17``, ``src/sql/join.rs:43-48``), but any event/feature
+pipeline over the driver's ``events`` table needs them, and the naive
+SQL forms are exactly the plans that die at 100 TB:
+
+* as-of as a correlated ``MAX(t') WHERE t' <= t`` subquery or an
+  inequality join explodes into a per-row scan / BroadcastNestedLoop.
+* ``|t_a - t_b| <= w`` range predicates have no equi keys, so Catalyst
+  plans a cartesian per user.
+
+Both operators here re-shape the problem into ONE hash shuffle:
+
+* ``merge_asof`` — union the two sides, single window over
+  (key, time, side) with ``last(..., ignorenulls=True)``: the classic
+  distributed merge-asof.  Work is O(n log n) per key partition
+  (sort), no join node at all.
+* ``range_join_pairs`` — time-bucket both sides at the window width,
+  explode one side to its 3 neighboring buckets, equi-join on
+  (key, bucket).  A qualifying pair has bucket distance <= 1, so it
+  matches exactly once (the exploded bucket values are distinct) —
+  no post-``distinct`` needed.  Shuffle is hash(key, bucket): skewed
+  users spread over their time range, and AQE's skew-join splitting
+  covers hot (user, hour) cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_asof(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+) -> DataFrame:
+    """Backward as-of LEFT join: each left row picks the single right
+    row with the greatest ``right_time <= left_time`` for the same key
+    (ties on time include the right row, like DuckDB ``ASOF`` with
+    ``>=``); left rows with no prior right row keep NULLs.
+
+    Implementation is union + window, not a join: tag each side, union
+    by name with the other side's payload NULLed, then one window
+    partitioned by key and ordered by (time, side) — right rows sort
+    before left rows at equal time — carrying the last non-NULL right
+    payload forward.  One shuffle, one per-partition sort, zero join
+    nodes.  The right side must be unique per (key, time) — ties there
+    are ambiguous in any as-of definition; pre-aggregate to enforce.
+    """
+    overlap = (set(left.columns) & set(right.columns)) - {left_on}
+    if overlap:
+        raise ValueError(f"ambiguous columns on both sides: {sorted(overlap)}")
+    l_types, r_types = dict(left.dtypes), dict(right.dtypes)
+    r_payload = [c for c in right.columns if c != right_on]
+
+    lt = left.withColumn("_side", F.lit(1)).withColumn("_t", F.col(left_time))
+    for c in r_payload:
+        lt = lt.withColumn(c, F.lit(None).cast(r_types[c]))
+    rt = right.withColumnRenamed(right_on, left_on)
+    rt = rt.withColumn("_side", F.lit(0)).withColumn("_t", F.col(right_time))
+    for c in left.columns:
+        if c != left_on:
+            rt = rt.withColumn(c, F.lit(None).cast(l_types[c]))
+
+    u = lt.unionByName(rt.select(*lt.columns))
+    w = (
+        Window.partitionBy(left_on)
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *[c for c in left.columns],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in r_payload],
+        "_side",
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+def range_join_pairs(
+    events: DataFrame,
+    key: str,
+    time: str,
+    id_col: str,
+    window_ms: int,
+) -> DataFrame:
+    """All pairs of rows sharing ``key`` whose ``time`` values are
+    within ``window_ms`` of each other, normalized ``id_a < id_b``.
+
+    Bucketing turns the inequality into equi keys: a pair within the
+    window spans at most adjacent buckets of width ``window_ms``, so
+    joining side A exploded to buckets {b-1, b, b+1} against side B's
+    single bucket finds every pair exactly once (the three exploded
+    values are distinct, so at most one can equal B's bucket).
+    """
+    base = events.select(
+        F.col(id_col), F.col(key), F.unix_millis(F.col(time)).alias("_ms")
+    ).withColumn("_bkt", F.floor(F.col("_ms") / F.lit(window_ms)))
+    probe = base.withColumn(
+        "_bkt",
+        F.explode(F.array(F.col("_bkt") - 1, F.col("_bkt"), F.col("_bkt") + 1)),
+    )
+    a, b = probe.alias("a"), base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{key}") == F.col(f"b.{key}"))
+            & (F.col("a._bkt") == F.col("b._bkt"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(F.abs(F.col("a._ms") - F.col("b._ms")) <= F.lit(window_ms))
+        .select(
+            F.col(f"a.{id_col}").alias(f"{id_col}_a"),
+            F.col(f"b.{id_col}").alias(f"{id_col}_b"),
+            F.col(f"a.{key}").alias(key),
+            (F.col("b._ms") - F.col("a._ms")).alias("delta_ms"),
+        )
+    )
+
+
+# ------------------------------------------------------------ driver
+RANGE_WINDOW_MS = 3_600_000  # 1 hour
+
+
+def q_join_asof(t: dict) -> DataFrame:
+    """Each event joined to the customer's latest order at event time.
+
+    The right side is pre-aggregated to one row per (custkey, date) —
+    deterministic tie-break by highest orderkey — because as-of is
+    ambiguous under right-side time ties."""
+    ev = t["events"].select("event_id", "user_id", "ts")
+    last_order = t["orders"].groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("last_orderkey"),
+        F.max_by("o_totalprice", "o_orderkey").alias("last_totalprice"),
+    )
+    return merge_asof(ev, last_order, "user_id", "o_custkey", "ts", "o_orderdate")
+
+
+def q_range_join(t: dict) -> DataFrame:
+    """Same-user event pairs within one hour of each other."""
+    return range_join_pairs(
+        t["events"], "user_id", "ts", "event_id", RANGE_WINDOW_MS
+    )
+
+
+ORACLE: dict[str, str] = {
+    # DuckDB's native ASOF JOIN is the oracle — the textbook semantics
+    # our union+window plan must reproduce
+    "join_asof": """
+        WITH last_order AS (
+            SELECT o_custkey, o_orderdate,
+                   max(o_orderkey) AS last_orderkey,
+                   arg_max(o_totalprice, o_orderkey) AS last_totalprice
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id, e.ts,
+               o.o_orderdate, o.last_orderkey, o.last_totalprice
+        FROM events e ASOF LEFT JOIN last_order o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    # the oracle is the naive inequality join the bucketed plan avoids
+    "range_join": f"""
+        SELECT a.event_id AS event_id_a, b.event_id AS event_id_b,
+               a.user_id,
+               date_diff('millisecond', a.ts, b.ts) AS delta_ms
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id AND a.event_id < b.event_id
+         AND abs(date_diff('millisecond', a.ts, b.ts)) <= {RANGE_WINDOW_MS}
+    """,
+}
+
+QUERIES = {
+    "join_asof": q_join_asof,
+    "range_join": q_range_join,
+}

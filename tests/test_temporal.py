@@ -1,0 +1,98 @@
+"""Semantics tests for the temporal operators: as-of tie/miss/NULL
+behavior and range-join bucket-boundary coverage — the cases the
+driver corpus (dense events, full match) never exercises."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from simple_rust_query_engine_spark.operators.temporal import (
+    merge_asof,
+    range_join_pairs,
+)
+from simple_rust_query_engine_spark.plans.inspect import explain_str
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _sides(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 10:00:00")),  # after both rights
+            (2, 10, _ts("2024-01-01 08:00:00")),  # tie with right @08
+            (3, 10, _ts("2024-01-01 07:00:00")),  # before all rights
+            (4, 99, _ts("2024-01-01 10:00:00")),  # key with no rights
+        ],
+        "id long, k long, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 08:00:00"), "r8"),
+            (10, _ts("2024-01-01 09:00:00"), "r9"),
+        ],
+        "rk long, rt timestamp, payload string",
+    )
+    return left, right
+
+
+def test_asof_backward_tie_and_miss_semantics(spark):
+    left, right = _sides(spark)
+    out = {r.id: r for r in merge_asof(left, right, "k", "rk", "t", "rt").collect()}
+    assert len(out) == 4  # LEFT semantics: every left row survives
+    assert out[1].payload == "r9"  # latest right <= t
+    assert out[2].payload == "r8"  # tie at equal time matches (>=)
+    assert out[3].payload is None  # no prior right -> NULLs
+    assert out[3].rt is None
+    assert out[4].payload is None  # unseen key -> NULLs
+
+
+def test_asof_rejects_ambiguous_columns(spark):
+    left, right = _sides(spark)
+    try:
+        merge_asof(left, right.withColumnRenamed("payload", "t"), "k", "rk", "t", "rt")
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "ambiguous" in str(e)
+
+
+def test_asof_plan_has_no_join_node(spark):
+    # the point of union+window: zero join nodes, one hash exchange of
+    # the unioned sides feeding the window sort
+    left, right = _sides(spark)
+    text = explain_str(merge_asof(left, right, "k", "rk", "t", "rt"))
+    assert "Join" not in text, text
+    assert "Window" in text
+
+
+def test_range_join_crosses_bucket_boundary_exactly_once(spark):
+    # window 1000ms; events at 900ms and 1100ms sit in DIFFERENT
+    # buckets but are 200ms apart -> must pair exactly once; events
+    # 0ms and 1500ms are 1500ms apart -> excluded even though their
+    # buckets are adjacent
+    ev = spark.createDataFrame(
+        [
+            (1, 7, _ts("2024-01-01 00:00:00.000")),
+            (2, 7, _ts("2024-01-01 00:00:00.900")),
+            (3, 7, _ts("2024-01-01 00:00:01.100")),
+            (4, 7, _ts("2024-01-01 00:00:01.500")),
+            (5, 8, _ts("2024-01-01 00:00:00.950")),  # other key
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    rows = range_join_pairs(ev, "user_id", "ts", "event_id", 1000).collect()
+    pairs = {(r.event_id_a, r.event_id_b): r.delta_ms for r in rows}
+    # (1,3) is 1100ms apart -> excluded despite adjacent buckets;
+    # (2,3) crosses the bucket-1 boundary -> found exactly once;
+    # event 5 shares times but not the key -> never paired
+    assert pairs == {(1, 2): 900, (2, 3): 200, (2, 4): 600, (3, 4): 400}
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    ev = spark.createDataFrame(
+        [(1, 7, _ts("2024-01-01 00:00:00"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    text = explain_str(range_join_pairs(ev, "user_id", "ts", "event_id", 1000))
+    assert "NestedLoop" not in text and "Cartesian" not in text, text
