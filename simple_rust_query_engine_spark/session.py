@@ -71,47 +71,100 @@ def get_spark(app_name: str = "simple_rust_query_engine_spark") -> SparkSession:
     return spark
 
 
+def ensure_nano_read(spark: SparkSession) -> None:
+    """Make THIS session able to read parquet TIMESTAMP(NANOS) files.
+
+    The driver harness (and any real user) passes its own bare
+    SparkSession — we cannot rely on configs set by ``get_spark()``.
+    ``nanosAsLong`` is runtime-settable and applies to subsequent
+    reads, so setting it here makes every entry point self-sufficient.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def nano_ts_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS) in ``path``.
+
+    Probed from the parquet footer (pyarrow) instead of a hardcoded
+    registry — empirically only ``events.ts`` is nano in the driver
+    testdata, but the data, not a table name list, is the authority.
+    """
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):
+        inner = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if not inner:
+            return ()
+        probe = os.path.join(path, inner[0])
+    try:
+        schema = pq.read_schema(probe)
+    except Exception:
+        return ()
+    import pyarrow as pa
+
+    return tuple(
+        f.name
+        for f in schema
+        if isinstance(f.type, pa.TimestampType) and f.type.unit == "ns"
+    )
+
+
+def restore_nano_ts(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """Convert nanosAsLong ``LongType`` columns back to timestamps.
+
+    Truncates to micros (exactly what DuckDB does; the driver data has
+    no sub-microsecond components) via integer division — ``/`` would
+    round-trip through double and lose precision above 2^53 (epoch
+    nanos ≈ 1.7e18).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    fields = {f.name: f for f in df.schema.fields}
+    for col_name in cols:
+        field = fields.get(col_name)
+        if field is not None and isinstance(field.dataType, T.LongType):
+            df = df.withColumn(
+                col_name,
+                F.timestamp_micros(F.expr(f"`{col_name}` div 1000")),
+            )
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every driver parquet table under ``sf_dir`` and register
     each as a temp view named after the table.
+
+    Works on ANY SparkSession — including one not built by
+    ``get_spark()`` — and one unreadable table cannot prevent the
+    other nine from loading.
 
     Parquet scans give Catalyst pushdown + pruning for free — the
     reference's hand-written ``ProjectionPushDownRule`` /
     ``PredicatePushDownRule`` (``src/optimize/rules/*.rs``) reduce to
     "read parquet declaratively".
     """
-    from pyspark.sql import functions as F
-    from pyspark.sql import types as T
+    import warnings
+
+    ensure_nano_read(spark)
 
     out: dict[str, DataFrame] = {}
     for name in TPCH_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
-        # TIMESTAMP(NANOS) columns arrive as LongType under
-        # nanosAsLong; truncate to micros (exactly what DuckDB does)
-        # and restore TimestampType so date semantics work.
-        for col_name in _NANO_TS_COLUMNS.get(name, ()):
-            field = {f.name: f for f in df.schema.fields}.get(col_name)
-            if field is not None and isinstance(field.dataType, T.LongType):
-                # integer division — `/` would go through double and
-                # lose precision above 2^53 (epoch nanos ≈ 1.7e18)
-                df = df.withColumn(
-                    col_name,
-                    F.timestamp_micros(F.expr(f"`{col_name}` div 1000")),
-                )
+        try:
+            df = spark.read.parquet(path)
+            df = restore_nano_ts(df, nano_ts_columns(path))
+        except Exception as exc:  # pragma: no cover - hardening path
+            warnings.warn(f"load_tables: skipping {path}: {exc}")
+            continue
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
-
-
-#: driver testdata columns written as parquet TIMESTAMP(NANOS)
-_NANO_TS_COLUMNS = {
-    "orders": ("o_orderdate",),
-    "lineitem": ("l_shipdate",),
-    "events": ("ts",),
-}
 
 
 class SessionContext:
@@ -135,13 +188,15 @@ class SessionContext:
     def read_parquet(self, path: str) -> "EngineDataFrame":
         from .dataframe import EngineDataFrame
 
-        return EngineDataFrame(self.spark.read.parquet(path))
+        ensure_nano_read(self.spark)
+        df = restore_nano_ts(self.spark.read.parquet(path), nano_ts_columns(path))
+        return EngineDataFrame(df)
 
     def register_csv(self, name: str, path: str, **options) -> None:
         self.read_csv(path, **options).df.createOrReplaceTempView(name)
 
     def register_parquet(self, name: str, path: str) -> None:
-        self.spark.read.parquet(path).createOrReplaceTempView(name)
+        self.read_parquet(path).df.createOrReplaceTempView(name)
 
     def register(self, name: str, df) -> None:
         inner = getattr(df, "df", df)

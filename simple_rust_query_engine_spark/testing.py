@@ -34,11 +34,22 @@ def _norm_cell(v):
     return v
 
 
+def _sort_cell(v):
+    # rows that compare equal under the 1e-6 tolerance must also sort
+    # identically, or cross-engine float jitter between 1e-9 and 1e-6
+    # could misalign the pairwise zip — so the SORT key rounds floats
+    # to the comparison tolerance (the compare itself stays at 1e-9
+    # cells + 1e-6 isclose).
+    if isinstance(v, float) and not isinstance(v, bool):
+        return str(round(v, 6)) if not math.isnan(v) else "NaN"
+    return str(v)
+
+
 def _norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
-    return [c for _, c in sorted(zip(cols, cols))], out
+    out.sort(key=lambda r: tuple((x is None, _sort_cell(x)) for x in r))
+    return sorted(cols), out
 
 
 def compare(spark_df, con, sql: str, float_tol: float = 1e-6) -> list[str]:
