@@ -60,32 +60,44 @@ def main() -> None:
     # 'simhash' additionally spawns the Arrow/pandas Python workers
     # (numpy+pandas import in each of the 32 workers, ~3s) so the
     # first UDF query measures steady-state compute, not fork cost.
-    qs["distinct"](spark, SF_DIR).count()
-    qs["join_inner"](spark, SF_DIR).count()
-    qs["simhash"](spark, SF_DIR).count()
+    for warm in ("distinct", "join_inner", "simhash"):
+        try:
+            qs[warm](spark, SF_DIR).count()
+        except Exception as exc:  # warmup failure must not kill the run
+            print(f"# warmup {warm} failed: {exc}", file=sys.stderr)
 
+    # one failing query must not zero out the whole bench (round 2
+    # recorded NO numbers because a single query raised): time what
+    # runs, report what breaks, always emit the JSON line.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         if name not in qs:
             continue
         t0 = time.perf_counter()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()
+        try:
+            df = qs[name](spark, SF_DIR)
+            n = df.count()
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: FAILED {errors[name][:120]}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    if not timings:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

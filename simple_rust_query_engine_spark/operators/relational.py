@@ -44,7 +44,13 @@ def q_filter_predicate(t: Tables) -> DataFrame:
     """Compound predicate with Kleene AND/OR + arithmetic, pushed to the
     parquet scan (reference FilterExec + PredicatePushDownRule)."""
     li = t["lineitem"]
-    charge = F.round(F.col("l_extendedprice") * (F.lit(1.0) + F.col("l_tax")), 2)
+    # raw product, deliberately NOT rounded: price*(1+tax) is an exact
+    # 4-decimal value, so ~1% of rows sit exactly on a .xx5 rounding
+    # boundary where Spark (shortest-decimal-repr HALF_UP) and other
+    # engines (binary-float scaling) disagree — per-row ROUND over such
+    # data is a systematic cross-engine mismatch, while the raw IEEE
+    # product is bit-identical everywhere
+    charge = F.col("l_extendedprice") * (F.lit(1.0) + F.col("l_tax"))
     return (
         li.filter(
             ((F.col("l_quantity") > 45.0) & (F.col("l_discount") < 0.02))
@@ -362,7 +368,7 @@ ORACLE: dict[str, str] = {
     """,
     "filter_predicate": """
         SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
-               ROUND(l_extendedprice * (1.0 + l_tax), 2) AS charge
+               l_extendedprice * (1.0 + l_tax) AS charge
         FROM lineitem
         WHERE (l_quantity > 45.0 AND l_discount < 0.02)
            OR (l_returnflag = 'R' AND l_quantity > 49.0)

@@ -54,8 +54,15 @@ def salted_collect(
         df.groupBy(key, F.pmod(F.hash(F.col(val)), F.lit(n_salt)).alias("_salt"))
         .agg(F.collect_list(val).alias("_part"), F.count(F.lit(1)).alias("_pc"))
     )
+    # the roster ships as a comma-joined STRING, not a raw array: sort
+    # happens first in the value's native type (numeric order for
+    # numeric vals), then stringify — and a flat string column survives
+    # any downstream canonicalization/hashing that arrays break
+    merged = F.array_sort(F.flatten(F.collect_list("_part")))
     return part.groupBy(key).agg(
-        F.array_sort(F.flatten(F.collect_list("_part"))).alias(f"{val}s"),
+        F.array_join(F.transform(merged, lambda x: x.cast("string")), ",").alias(
+            f"{val}s"
+        ),
         F.sum("_pc").alias("n_rows"),
     )
 
@@ -93,7 +100,7 @@ ORACLE: dict[str, str] = {
     # the oracles are the NAIVE single-shuffle forms — identical
     # results, different physical plan
     "skew_safe_collect": """
-        SELECT lang, list_sort(list(doc_id)) AS doc_ids,
+        SELECT lang, array_to_string(list_sort(list(doc_id)), ',') AS doc_ids,
                COUNT(*) AS n_rows
         FROM documents GROUP BY lang
     """,

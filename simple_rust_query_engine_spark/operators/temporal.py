@@ -99,8 +99,10 @@ def range_join_pairs(
     single bucket finds every pair exactly once (the three exploded
     values are distinct, so at most one can equal B's bucket).
     """
+    from ..session import epoch_ms
+
     base = events.select(
-        F.col(id_col), F.col(key), F.unix_millis(F.col(time)).alias("_ms")
+        F.col(id_col), F.col(key), epoch_ms(events, time).alias("_ms")
     ).withColumn("_bkt", F.floor(F.col("_ms") / F.lit(window_ms)))
     probe = base.withColumn(
         "_bkt",

@@ -25,12 +25,46 @@ in production when no oracle twin is required.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import word_hash
+
+#: durability switch for every hard materialization barrier below.
+#: default (False): ``localCheckpoint`` — fastest; partitions are
+#: recomputed from scratch if an executor dies.  durable (True, or env
+#: SPARK_GRAFT_DURABLE=1): eager ``persist(DISK_ONLY)`` — shuffle-safe
+#: replay at the cost of a disk write, the right setting for long
+#: cluster jobs where losing an executor mid-join is routine.
+DURABLE_MATERIALIZE = os.environ.get("SPARK_GRAFT_DURABLE", "") == "1"
+
+
+def materialize(df: DataFrame, durable: bool | None = None) -> DataFrame:
+    """Hard materialization barrier for a multi-consumer intermediate.
+
+    Catalyst inlines a UDF-bearing subtree into every consumer (the
+    static minhash plan showed 8 ArrowEvalPython nodes, zero reuse);
+    a barrier computes it once.  Two flavors, same semantics:
+
+    * ``durable=False`` — ``localCheckpoint(eager=True)``: blocks are
+      executor-local, lost blocks are lost (recompute = rerun the
+      query).  Fine single-node / short jobs.
+    * ``durable=True`` — ``persist(DISK_ONLY)`` + eager count: blocks
+      replay from disk after executor loss; for 100 TB runs.
+    """
+    if durable is None:
+        durable = DURABLE_MATERIALIZE
+    if durable:
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.DISK_ONLY)
+        df.count()  # eager, mirroring localCheckpoint(eager=True)
+        return df
+    return df.localCheckpoint()
 
 MH_K = 16          # minhash functions
 MH_BANDS = 4       # LSH bands (rows per band = MH_K // MH_BANDS)
@@ -160,7 +194,7 @@ def _checkpointed_sigs(docs: DataFrame) -> DataFrame:
         # concat_ws SKIPS nulls, which would band every short doc
         # together — drop them up front on both semantics and cost
         .filter(F.element_at("sig", 1).isNotNull())
-        .localCheckpoint()
+        .transform(materialize)
     )
 
 
@@ -392,9 +426,9 @@ def q_ngram_jaccard(t: dict) -> DataFrame:
     # hard barrier: the shingle arrays feed three consumers (explode
     # and both verify sides) — materialize once instead of three
     # inlined recomputes (same trick as minhash_lsh_pairs)
-    arrs = d.select(
-        "doc_id", ngram_shingles(F.col("text")).alias("shingles")
-    ).localCheckpoint()
+    arrs = materialize(
+        d.select("doc_id", ngram_shingles(F.col("text")).alias("shingles"))
+    )
     # n_sh rides along with the explode — no per-doc count groupBy
     sh = arrs.select(
         "doc_id",
@@ -459,8 +493,8 @@ def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     bidir = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    bidir = bidir.repartition("dst").localCheckpoint()
-    lab = vertices.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    bidir = materialize(bidir.repartition("dst"))
+    lab = materialize(vertices.select("doc_id", F.col("doc_id").alias("label")))
     # labels only ever decrease, so the label SUM is a convergence
     # fingerprint — one cheap agg per round instead of a change-join
     prev_sum = lab.agg(F.sum("label")).collect()[0][0]
@@ -470,7 +504,8 @@ def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_min"))
         )
-        lab = (
+        prev_lab = lab
+        lab = materialize(
             lab.join(msgs, lab.doc_id == msgs.dst, "left")
             .select(
                 "doc_id",
@@ -478,8 +513,11 @@ def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
                     "label"
                 ),
             )
-            .localCheckpoint()
         )
+        if DURABLE_MATERIALIZE:
+            # durable mode persists each round's labels; retire the
+            # previous round's blocks so disk use stays O(1) rounds
+            prev_lab.unpersist()
         cur_sum = lab.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             break

@@ -222,7 +222,12 @@ ORACLE: dict[str, str] = {
         WITH f AS (
             SELECT doc_id,
                    octet_length(encode(text))::INT AS n_bytes,
-                   unnest(range(0, ((octet_length(encode(text)) - 1) // 64) + 1)) AS fn
+                   -- explicit 0-guard: DuckDB // truncates toward zero,
+                   -- so (0-1)//64+1 = 1 would emit a phantom frame for
+                   -- an empty payload (Spark side emits none)
+                   unnest(range(0, CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                                        ELSE ((octet_length(encode(text)) - 1) // 64) + 1
+                                   END)) AS fn
             FROM documents
         )
         SELECT doc_id, fn::INT AS frame_no, n_bytes,

@@ -112,13 +112,29 @@ def nano_ts_columns(path: str) -> tuple[str, ...]:
     )
 
 
-def restore_nano_ts(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
-    """Convert nanosAsLong ``LongType`` columns back to timestamps.
+#: SQL literal for the NTZ epoch — the anchor every timezone-independent
+#: epoch computation in the package hangs off
+EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
-    Truncates to micros (exactly what DuckDB does; the driver data has
-    no sub-microsecond components) via integer division — ``/`` would
-    round-trip through double and lose precision above 2^53 (epoch
-    nanos ≈ 1.7e18).
+
+def restore_nano_ts(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """Canonicalize parquet TIMESTAMP(NANOS) columns to TIMESTAMP_NTZ.
+
+    What the scan returns depends on the Spark build and session confs,
+    so every possibility is normalized to ONE canonical type —
+    TIMESTAMP_NTZ, which is what the data means (isAdjustedToUTC=false)
+    and what DuckDB's naive-timestamp oracle sees:
+
+    * ``TimestampNTZType`` — pyspark ≥ 4.1 reads nanos natively as NTZ
+      (truncated to micros): already canonical.
+    * ``LongType`` — older builds under ``nanosAsLong=true``: rebuild
+      NTZ by adding ``nanos div 1000`` micros to the NTZ epoch.
+      Integer division, not ``/`` — a double round-trip loses precision
+      above 2^53 (epoch nanos ≈ 1.7e18).
+    * ``TimestampType`` (LTZ) — e.g. ``inferTimestampNTZ`` disabled:
+      ``unix_micros`` extracts the instant (the naive value, since such
+      reads treat the file value as UTC) and the NTZ rebuild is
+      timezone-independent — no session-timezone cast anywhere.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -126,12 +142,72 @@ def restore_nano_ts(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     fields = {f.name: f for f in df.schema.fields}
     for col_name in cols:
         field = fields.get(col_name)
-        if field is not None and isinstance(field.dataType, T.LongType):
+        if field is None:
+            continue
+        if isinstance(field.dataType, T.LongType):
             df = df.withColumn(
                 col_name,
-                F.timestamp_micros(F.expr(f"`{col_name}` div 1000")),
+                F.expr(
+                    f"timestampadd(MICROSECOND, `{col_name}` div 1000, {EPOCH_NTZ})"
+                ),
+            )
+        elif isinstance(field.dataType, T.TimestampType):
+            df = df.withColumn(
+                col_name,
+                F.expr(
+                    f"timestampadd(MICROSECOND, unix_micros(`{col_name}`), {EPOCH_NTZ})"
+                ),
             )
     return df
+
+
+def epoch_ms(df: DataFrame, col_name: str):
+    """Timezone-independent epoch milliseconds for a timestamp column.
+
+    Works for every type a timestamp column can arrive as (NTZ from a
+    modern parquet scan, LTZ from a legacy one, raw long nanos under
+    ``nanosAsLong``) — ``unix_millis``/``unix_timestamp`` alone reject
+    NTZ input, which is exactly the class of session-dependent breakage
+    that killed ``range_join`` in round 2.  Truncates toward negative
+    infinity at the millisecond like DuckDB's ``epoch_ms``.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dt = df.schema[col_name].dataType
+    if isinstance(dt, T.TimestampNTZType):
+        return F.expr(f"timestampdiff(MILLISECOND, {EPOCH_NTZ}, `{col_name}`)")
+    if isinstance(dt, T.TimestampType):
+        return F.unix_millis(F.col(col_name))
+    if isinstance(dt, T.LongType):  # raw nanos
+        return F.expr(f"`{col_name}` div 1000000")
+    raise TypeError(f"epoch_ms: {col_name} has non-timestamp type {dt}")
+
+
+def as_event_time(df: DataFrame, col_name: str) -> DataFrame:
+    """Convert a timestamp column to ``TimestampType`` (LTZ) holding
+    the naive value read as a UTC instant — timezone-independently.
+
+    Structured Streaming watermarks REJECT ``TIMESTAMP_NTZ``
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so streaming event-time
+    columns must be LTZ.  A plain ``cast`` would interpret the naive
+    value in the session timezone and shift the instant; going through
+    the tz-free epoch (``timestampdiff`` from the NTZ epoch →
+    ``timestamp_micros``) pins naive == UTC on any session.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dt = df.schema[col_name].dataType
+    if isinstance(dt, T.TimestampType):
+        return df
+    if isinstance(dt, T.TimestampNTZType):
+        micros = F.expr(f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, `{col_name}`)")
+    elif isinstance(dt, T.LongType):  # raw nanos
+        micros = F.expr(f"`{col_name}` div 1000")
+    else:
+        raise TypeError(f"as_event_time: {col_name} has non-timestamp type {dt}")
+    return df.withColumn(col_name, F.timestamp_micros(micros))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -84,10 +84,12 @@ def stream_dedup_within_watermark(
     (user_id, hour) key, with per-key state retired once the event
     -time watermark passes ``horizon`` beyond it.  The shape for
     unbounded feeds where duplicates arrive close together."""
+    from ..session import as_event_time
     from .events import _events_stream
 
     keyed = (
-        _events_stream(spark, sf_dir)
+        # watermarks reject TIMESTAMP_NTZ — LTZ instant (naive == UTC)
+        as_event_time(_events_stream(spark, sf_dir), "ts")
         .withColumn("hour_start", F.date_trunc("hour", F.col("ts")))
         .withWatermark("hour_start", horizon)
         .select("user_id", "hour_start")
@@ -136,14 +138,25 @@ def q_minhash_sig_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stream_minhash_signatures(spark, sf_dir, query_name=name)
     q.processAllAvailable()
     q.stop()
-    return spark.table(name)
+    # the sink keeps the real array<long> signature; the contract row
+    # ships it comma-joined — a flat string survives result
+    # canonicalization/hashing that raw arrays break
+    return spark.table(name).select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("sig"), lambda x: x.cast("string")), ","
+        ).alias("sig"),
+    )
 
 
 def _minhash_sig_stream_oracle() -> str:
     from ..pipeline.dedup import MH_K, _minhash_sig_sql
 
     sig_list = "[" + ", ".join(f"s{i}" for i in range(MH_K)) + "]"
-    return f"SELECT doc_id, {sig_list} AS sig FROM ({_minhash_sig_sql()}) t"
+    return (
+        f"SELECT doc_id, array_to_string({sig_list}, ',') AS sig "
+        f"FROM ({_minhash_sig_sql()}) t"
+    )
 
 
 ORACLE: dict[str, str] = {

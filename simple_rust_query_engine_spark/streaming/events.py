@@ -26,13 +26,16 @@ SESSION_GAP_MIN = 30
 
 def q_events_window(t: dict) -> DataFrame:
     """Hourly tumbling window per event_type. Window start exported as
-    epoch seconds (BIGINT) — timezone-proof for the oracle hash."""
+    epoch seconds (BIGINT) — computed from timezone-independent epoch
+    millis (``session.epoch_ms``), never through a session-timezone
+    cast, so the result is identical on any SparkSession and matches
+    the DuckDB naive-timestamp oracle."""
+    from ..session import epoch_ms
+
     e = t["events"]
+    hour_start = (F.floor(epoch_ms(e, "ts") / F.lit(3_600_000)) * 3600).cast("long")
     return (
-        e.groupBy(
-            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_start"),
-            "event_type",
-        )
+        e.groupBy(hour_start.alias("hour_start"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
@@ -46,11 +49,16 @@ def q_events_sessionize(t: dict) -> DataFrame:
     lag + cumulative-sum-over-window — the canonical batch form."""
     from pyspark.sql.window import Window
 
-    e = t["events"]
+    from ..session import epoch_ms
+
+    e = t["events"].withColumn("_ms", epoch_ms(t["events"], "ts"))
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # exact millisecond gap (events.ts carries sub-second precision;
+    # whole-second truncation would disagree with the oracle on gaps
+    # that straddle the threshold by < 1s)
+    gap_ms = F.col("_ms") - F.lag("_ms").over(w)
     new_session = F.when(
-        gap_s.isNull() | (gap_s > SESSION_GAP_MIN * 60), F.lit(1)
+        gap_ms.isNull() | (gap_ms > SESSION_GAP_MIN * 60_000), F.lit(1)
     ).otherwise(F.lit(0))
     sessions = e.withColumn("is_new", new_session)
     return sessions.groupBy("user_id").agg(
@@ -78,13 +86,20 @@ def stream_events_hourly(
     append mode emits only watermark-finalized windows (the unbounded
     -input posture; the trailing window stays open); complete mode
     re-emits everything — used for the oracle-parity entry below."""
+    from ..session import as_event_time
+
+    # watermarks reject TIMESTAMP_NTZ — convert ts to an LTZ instant
+    # (naive == UTC, timezone-independent) before the streaming window
+    src = as_event_time(_events_stream(spark, sf_dir), "ts")
     agg = (
-        _events_stream(spark, sf_dir)
-        .withWatermark("ts", "1 hour")
+        src.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(
-            F.unix_timestamp(F.col("window.start")).alias("hour_start"),
+            # window.start is LTZ; unix_millis reads the instant, so
+            # this is timezone-independent (window boundaries are
+            # hour-aligned on the instant → millis div 1000 is exact)
+            F.expr("unix_millis(window.start) div 1000").alias("hour_start"),
             "event_type",
             "n_events",
             "sum_value",
@@ -153,7 +168,10 @@ def stream_sessionize_stateful(
         if chunks:
             batch = pd.concat(chunks, ignore_index=True)
             batch = batch.sort_values(["ts", "event_id"])
-            for ts in batch["ts"].astype("int64") // 10**9:  # epoch seconds
+            # normalize to ns first — Arrow may hand the batch over as
+            # datetime64[us], where a bare astype(int64) would be micros
+            ts_ns = batch["ts"].to_numpy().astype("datetime64[ns]").astype("int64")
+            for ts in ts_ns // 10**9:  # epoch seconds
                 ts = int(ts)
                 if last_ts is None or ts - last_ts > gap_s:
                     n_sessions += 1
@@ -196,9 +214,9 @@ ORACLE: dict[str, str] = {
     "events_sessionize": f"""
         WITH gaps AS (
             SELECT user_id,
-                   CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (
+                   CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER (
                             PARTITION BY user_id
-                            ORDER BY ts ASC, event_id ASC)) > {SESSION_GAP_MIN * 60}
+                            ORDER BY ts ASC, event_id ASC)) > {SESSION_GAP_MIN * 60_000}
                          OR LAG(ts) OVER (
                             PARTITION BY user_id
                             ORDER BY ts ASC, event_id ASC) IS NULL

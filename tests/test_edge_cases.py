@@ -134,4 +134,6 @@ def test_skew_ops_null_and_string_semantics(spark):
     assert nd == {"a": 2, "b": 0}
 
     sc = {r.k: r.vs for r in salted_collect(df.filter(F.col("v").isNotNull()), "k", "v").collect()}
-    assert sc == {"a": ["x", "x", "y"]}
+    # roster is a comma-joined string (flat columns survive downstream
+    # canonicalization/hashing that raw arrays break)
+    assert sc == {"a": "x,x,y"}
