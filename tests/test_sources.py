@@ -67,3 +67,41 @@ def test_compact_parquet_reduces_file_count(spark, tables, tmp_path):
     assert n_out < n_in
     # contents survive the rewrite
     assert spark.read.parquet(out).count() == tables["orders"].count()
+
+
+def test_json_ndjson_roundtrip(spark, tmp_path):
+    from simple_rust_query_engine_spark.sources import read_json, write_json
+
+    p = str(tmp_path / "docs.ndjson")
+    with open(p, "w") as f:
+        f.write('{"id": 1, "text": "hello world"}\n')
+        f.write('{"id": 2, "text": "json; with, chars"}\n')
+    df = read_json(spark, p, schema="id long, text string")
+    rows = sorted(tuple(r) for r in df.collect())
+    assert rows == [(1, "hello world"), (2, "json; with, chars")]
+    # inferred schema agrees with the explicit one
+    inf = read_json(spark, p)
+    assert dict(inf.dtypes) == {"id": "bigint", "text": "string"}
+    out = str(tmp_path / "docs_out")
+    write_json(df, out)
+    assert sorted(tuple(r) for r in read_json(spark, out, schema="id long, text string").collect()) == rows
+
+
+def test_json_multiline_array(spark, tmp_path):
+    from simple_rust_query_engine_spark.sources import read_json
+
+    p = str(tmp_path / "arr.json")
+    with open(p, "w") as f:
+        f.write('[{"id": 1, "v": 2.5}, {"id": 2, "v": 3.5}]')
+    df = read_json(spark, p, multiline=True)
+    assert sorted(tuple(r) for r in df.collect()) == [(1, 2.5), (2, 3.5)]
+
+
+def test_orc_roundtrip(spark, tables, tmp_path):
+    from simple_rust_query_engine_spark.sources import read_orc, write_orc
+
+    out = str(tmp_path / "nation_orc")
+    write_orc(tables["nation"], out)
+    back = read_orc(spark, out)
+    assert back.count() == tables["nation"].count()
+    assert dict(back.dtypes) == dict(tables["nation"].dtypes)
