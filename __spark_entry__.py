@@ -26,6 +26,7 @@ from simple_rust_query_engine_spark.pipeline import (
     clean as _clean,
     dedup as _dedup,
     multimodal as _mm,
+    pack as _pack,
     similarity as _sim,
     text as _text,
 )
@@ -42,6 +43,7 @@ _MODULES = (
     _clean,
     _sim,
     _mm,
+    _pack,
     _events,
     _sdedup,
 )
@@ -66,6 +68,11 @@ _DEFER_PAST_CAP = (
     "simhash_pairs",
     "dedup_minhash_incr",
     "dedup_survivors",
+    # join_anti matched 0 rows at sf0.01 (hash check is vacuous there;
+    # join_semi keeps the semi/anti family checked); multimodal_meta's
+    # outputs are a strict subset of multimodal_decode's
+    "join_anti",
+    "multimodal_meta",
 )
 
 

@@ -1,0 +1,170 @@
+"""Training-batch layout operators: sequence packing and deterministic
+mixture sampling.
+
+Beyond reference parity (the reference is a pure relational engine);
+these are the two steps between "curated corpus" and "tensors":
+
+* ``pack_sequences`` — concat-and-chunk layout: within each shard,
+  documents are concatenated in deterministic order and split every
+  ``seq_len`` tokens — exactly how LLM pretraining data is packed
+  (documents straddle sequence boundaries; nothing is padded away).
+  Emitted as one row per (document × sequence) overlap, which is the
+  index a loader needs to materialize any sequence.
+
+  Scale: the running token sum is a window per SHARD (here the
+  ``source`` column; any hash bucket works) — never a global
+  single-partition window.  One shuffle on the shard key; each shard
+  packs independently, exactly how a 1000-executor job shards 100 TB.
+
+* ``sample_mixture`` — per-language downsampling to target mixture
+  rates, decided by a deterministic affine hash of ``doc_id`` — the
+  same doc set is kept on every engine, every run, every cluster
+  (``rand()`` would be none of those).  Map-only, no shuffle.
+
+Both have exact DuckDB oracle twins (integer arithmetic < 2^53).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SEQ_LEN = 64            # tokens per packed sequence (driver-scale)
+MIX_MOD = 1_000_003     # sampling-hash modulus (prime)
+MIX_A = 2_654_435       # affine multiplier (< 2^22 keeps products < 2^53)
+MIX_B = 1_013_904       # affine offset
+
+#: target keep-rates per language — the classic mixture-rebalance
+#: (keep all English, thin the long tail) expressed as exact
+#: thousandths so the threshold is integer on both engines
+MIX_RATES = {"en": 1.0, "es": 0.5, "de": 0.5, "fr": 0.25, "zh": 0.25}
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = SEQ_LEN,
+    shard_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk packing index: (shard, seq_id, doc_id,
+    n_tok_in_seq) for every sequence a document contributes tokens to.
+
+    Within a shard, docs are ordered by doc_id; token spans
+    [cum_start, cum_end) map onto fixed windows of ``seq_len`` via
+    floor division; a doc spanning a boundary appears in both
+    sequences with the split token counts.  Sum(n_tok_in_seq) per
+    (shard, seq_id) == seq_len for every full sequence, == remainder
+    for the shard's last one — pinned by tests.
+    """
+    n_tok = F.regexp_count(F.col(text_col), F.lit(r"\S+"))
+    w = Window.partitionBy(shard_col).orderBy("doc_id")
+    spans = (
+        docs.select(shard_col, "doc_id", n_tok.alias("n_tok"))
+        .filter(F.col("n_tok") > 0)
+        .withColumn("cum_end", F.sum("n_tok").over(w))
+        .withColumn("cum_start", F.col("cum_end") - F.col("n_tok"))
+    )
+    first_seq = F.floor(F.col("cum_start") / seq_len).cast("long")
+    last_seq = F.floor((F.col("cum_end") - 1) / seq_len).cast("long")
+    exploded = spans.select(
+        shard_col,
+        "doc_id",
+        "cum_start",
+        "cum_end",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    seq_lo = F.col("seq_id") * seq_len
+    tok_in = F.least(F.col("cum_end"), seq_lo + seq_len) - F.greatest(
+        F.col("cum_start"), seq_lo
+    )
+    return exploded.select(
+        shard_col, "seq_id", "doc_id", tok_in.alias("n_tok_in_seq")
+    )
+
+
+def sample_mixture(
+    docs: DataFrame,
+    rates: dict[str, float] | None = None,
+    key_col: str = "lang",
+) -> DataFrame:
+    """Keep each row iff ``affine_hash(doc_id) mod M < rate(key) * M``.
+
+    The hash is uniform enough for rate targeting and exactly
+    reproducible anywhere; unknown keys default to keep-all.  Returns
+    (doc_id, key, bucket) for the surviving rows — bucket exposed so
+    downstream stages can sub-sample consistently (a stricter rate
+    keeps a subset of a looser one: thresholds nest).
+    """
+    rates = MIX_RATES if rates is None else rates
+    bucket = (F.col("doc_id") % MIX_MOD * MIX_A + MIX_B) % MIX_MOD
+    thresh = F.lit(None).cast("long")
+    expr = None
+    for k, r in rates.items():
+        cond = F.lit(int(r * MIX_MOD))
+        expr = (
+            F.when(F.col(key_col) == k, cond)
+            if expr is None
+            else expr.when(F.col(key_col) == k, cond)
+        )
+    thresh = expr.otherwise(F.lit(MIX_MOD)) if expr is not None else F.lit(MIX_MOD)
+    return (
+        docs.select("doc_id", key_col, bucket.alias("bucket"), thresh.alias("_t"))
+        .filter(F.col("bucket") < F.col("_t"))
+        .drop("_t")
+    )
+
+
+# ------------------------------------------------------------ driver
+def q_pack_sequences(t: dict) -> DataFrame:
+    return pack_sequences(t["documents"])
+
+
+def q_sample_mixture(t: dict) -> DataFrame:
+    return sample_mixture(t["documents"])
+
+
+def _rates_case_sql() -> str:
+    whens = "\n".join(
+        f"WHEN lang = '{k}' THEN {int(r * MIX_MOD)}" for k, r in MIX_RATES.items()
+    )
+    return f"CASE {whens} ELSE {MIX_MOD} END"
+
+
+ORACLE: dict[str, str] = {
+    "pack_sequences": rf"""
+        WITH spans AS (
+            SELECT source, doc_id,
+                   len(regexp_extract_all(text, '\S+')) AS n_tok,
+                   -- ::BIGINT — DuckDB window SUM over BIGINT yields
+                   -- HUGEINT, which range() refuses
+                   SUM(len(regexp_extract_all(text, '\S+'))) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                   )::BIGINT AS cum_end
+            FROM documents
+            WHERE len(regexp_extract_all(text, '\S+')) > 0
+        ), exploded AS (
+            SELECT source, doc_id,
+                   cum_end - n_tok AS cum_start, cum_end,
+                   unnest(range((cum_end - n_tok) // {SEQ_LEN},
+                                (cum_end - 1) // {SEQ_LEN} + 1)) AS seq_id
+            FROM spans
+        )
+        SELECT source, seq_id::BIGINT AS seq_id, doc_id,
+               (least(cum_end, seq_id * {SEQ_LEN} + {SEQ_LEN})
+                - greatest(cum_start, seq_id * {SEQ_LEN}))::BIGINT
+                   AS n_tok_in_seq
+        FROM exploded
+    """,
+    "sample_mixture": f"""
+        SELECT doc_id, lang,
+               (doc_id % {MIX_MOD} * {MIX_A} + {MIX_B}) % {MIX_MOD} AS bucket
+        FROM documents
+        WHERE (doc_id % {MIX_MOD} * {MIX_A} + {MIX_B}) % {MIX_MOD}
+              < {_rates_case_sql()}
+    """,
+}
+
+QUERIES = {
+    "pack_sequences": q_pack_sequences,
+    "sample_mixture": q_sample_mixture,
+}
