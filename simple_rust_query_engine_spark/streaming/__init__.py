@@ -1,5 +1,5 @@
 """Structured Streaming (beyond reference parity — SURVEY §2.9)."""
 
-from . import events
+from . import events, sink
 
-__all__ = ["events"]
+__all__ = ["events", "sink"]

@@ -175,3 +175,40 @@ def test_structured_streaming_hourly(spark):
     missing = b_rows - s_rows
     max_hour = max(r[0] for r in b_rows)
     assert all(r[0] >= max_hour - 2 * 3600 for r in missing), missing
+
+
+def test_stream_to_parquet_exactly_once(spark, tmp_path):
+    # file sink + checkpoint: drain the events stream to parquet, then
+    # RERUN with the same checkpoint — the commit log must prevent any
+    # re-emission (exactly-once), and the landed rows equal the batch read
+    from simple_rust_query_engine_spark.streaming.sink import stream_to_parquet
+    from simple_rust_query_engine_spark.streaming.source import file_stream
+
+    out = str(tmp_path / "events_out")
+    ckpt = str(tmp_path / "ckpt")
+    src = file_stream(spark, SF_DIR, "events").select("event_id", "event_type")
+    q = stream_to_parquet(src, out, ckpt, query_name="t_sink_1")
+    q.awaitTermination(120)
+    n_batch = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert spark.read.parquet(out).count() == n_batch
+
+    src2 = file_stream(spark, SF_DIR, "events").select("event_id", "event_type")
+    q2 = stream_to_parquet(src2, out, ckpt, query_name="t_sink_2")
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n_batch  # no duplicates
+
+
+def test_stream_foreach_batch_upsert(spark, tmp_path):
+    from simple_rust_query_engine_spark.streaming.sink import stream_foreach_batch
+    from simple_rust_query_engine_spark.streaming.source import file_stream
+
+    seen = []
+
+    def fold(batch_df, batch_id):
+        seen.append((batch_id, batch_df.count()))
+
+    src = file_stream(spark, SF_DIR, "documents").select("doc_id")
+    q = stream_foreach_batch(src, fold, str(tmp_path / "ckpt_fb"), query_name="t_fb")
+    q.awaitTermination(120)
+    total = sum(n for _, n in seen)
+    assert total == spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
