@@ -73,6 +73,8 @@ _DEFER_PAST_CAP = (
     # outputs are a strict subset of multimodal_decode's
     "join_anti",
     "multimodal_meta",
+    # grouping-sets family already has agg_rollup checked
+    "agg_grouping_sets",
 )
 
 

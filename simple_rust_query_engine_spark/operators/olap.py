@@ -60,6 +60,26 @@ def q_agg_cube(t: dict) -> DataFrame:
 PIVOT_STATUSES = ("F", "O", "P")
 
 
+def q_agg_grouping_sets(t: dict) -> DataFrame:
+    """Arbitrary GROUPING SETS — subtotals by each dimension
+    INDEPENDENTLY ((flag), (status)), a shape neither rollup nor cube
+    expresses (no pair level, no grand total).  Spark plans one Expand
+    + one aggregation, the same single-pass strategy as rollup."""
+    return (
+        t["lineitem"]
+        .groupingSets(
+            [["l_returnflag"], ["l_linestatus"]],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
 def q_pivot(t: dict) -> DataFrame:
     """Order totals by priority, one column per order status.
 
@@ -101,6 +121,13 @@ ORACLE: dict[str, str] = {
                GROUPING(l_returnflag, l_linestatus) AS gid
         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
+    "agg_grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty, count(*) AS n_rows,
+               GROUPING(l_returnflag, l_linestatus) AS gid
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
     "pivot": """
         SELECT o_orderpriority,
                sum(o_totalprice) FILTER (o_orderstatus = 'F') AS total_f,
@@ -120,6 +147,7 @@ ORACLE: dict[str, str] = {
 QUERIES = {
     "agg_rollup": q_agg_rollup,
     "agg_cube": q_agg_cube,
+    "agg_grouping_sets": q_agg_grouping_sets,
     "pivot": q_pivot,
     "quantile": q_quantile,
 }
