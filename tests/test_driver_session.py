@@ -29,6 +29,11 @@ PROBE_QUERIES = [
     "events_sessionize",
     "skew_safe_collect",
     "filter_predicate",
+    # streaming entries run a full Structured Streaming job (source →
+    # watermark/state → memory sink) — the watermark NTZ rejection was
+    # a bare-session-only failure mode, so they belong in this probe
+    "events_window_stream",
+    "dedup_exact_stream",
 ]
 
 _SCRIPT = """
