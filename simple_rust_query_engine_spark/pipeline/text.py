@@ -115,6 +115,35 @@ def q_lang_id(t: dict) -> DataFrame:
     )
 
 
+#: conservative PII patterns — deliberately restricted to syntax that
+#: behaves identically under Java regex (Spark) and RE2 (DuckDB):
+#: character classes, bounded repetition, no backrefs/lookaround
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"(\+?[0-9]{1,2}[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails / phone numbers / SSN-shaped strings, replacing
+    each with a typed placeholder, and count what was removed.
+
+    Map-only JVM regexp work — at 100 TB this runs at scan speed like
+    the other text ops.  Patterns are conservative (prefer false
+    negatives): corpus-scale PII removal layers a learned NER pass on
+    top; this is the cheap high-precision first pass every pipeline
+    runs."""
+    out = df
+    redacted = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat))
+        )
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    return out.withColumn(f"{text_col}_redacted", redacted)
+
+
 def q_fingerprint(t: dict) -> DataFrame:
     """Order-sensitive rolling hash over the token stream — a document
     fingerprint stable across engines (all arithmetic < 2^53)."""

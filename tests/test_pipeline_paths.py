@@ -212,3 +212,26 @@ def test_stream_foreach_batch_upsert(spark, tmp_path):
     q.awaitTermination(120)
     total = sum(n for _, n in seen)
     assert total == spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+
+
+def test_redact_pii_synthetic(spark):
+    # driver corpus has no PII — exercise on synthetic rows instead
+    from simple_rust_query_engine_spark.pipeline.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk or 555-123-4567 today"),
+            (2, "ssn 123-45-6789 appears once"),
+            (3, "clean text with no identifiers at all"),
+            (4, "two mails: a@b.io c.d@e-f.org and +1 (212) 555-0199"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[1].n_email == 1 and out[1].n_phone == 1
+    assert "<EMAIL>" in out[1].text_redacted and "<PHONE>" in out[1].text_redacted
+    assert "bob.smith" not in out[1].text_redacted
+    assert out[2].n_ssn == 1 and "<SSN>" in out[2].text_redacted
+    assert out[3].n_email == out[3].n_phone == out[3].n_ssn == 0
+    assert out[3].text_redacted == out[3].text
+    assert out[4].n_email == 2 and out[4].n_phone == 1
