@@ -131,3 +131,19 @@ def test_bucketed_join_is_shuffle_free(spark, tables, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_pack_sequences_shards_never_global_sort(spark):
+    # the running token sum must be windowed per SHARD: the physical
+    # plan may exchange on hashpartitioning(source) but NEVER on
+    # SinglePartition — a global-window pack would serialize 100 TB
+    # through one task
+    plan = _q(spark, "pack_sequences")._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" in plan and "source" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_sample_mixture_is_map_only(spark):
+    # deterministic-hash sampling is a scan + filter: zero exchanges
+    plan = _q(spark, "sample_mixture")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
