@@ -137,3 +137,17 @@ def test_skew_ops_null_and_string_semantics(spark):
     # roster is a comma-joined string (flat columns survive downstream
     # canonicalization/hashing that raw arrays break)
     assert sc == {"a": "x,x,y"}
+
+
+def test_connected_components_durable_mode(spark, monkeypatch):
+    # exercise the persist(DISK_ONLY) + per-round unpersist branch of
+    # the CC loop end-to-end (the default path uses localCheckpoint)
+    import simple_rust_query_engine_spark.pipeline.dedup as D
+
+    monkeypatch.setattr(D, "DURABLE_MATERIALIZE", True)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    verts = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long")
+    lab = {r.doc_id: r.label for r in D.connected_components(edges, verts).collect()}
+    assert lab == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}

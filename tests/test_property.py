@@ -91,3 +91,54 @@ def test_minhash_signature_matches_python(spark, ws):
             for i in range(MH_K)
         ]
     assert list(got) == exp
+
+
+# ---------------------------------------------------------------- pack
+def _py_pack(rows, seq_len):
+    """Pure-Python concat-and-chunk reference: rows = [(shard, doc_id,
+    n_tok)]; returns {(shard, seq_id, doc_id): n_tok_in_seq}."""
+    out = {}
+    by_shard = {}
+    for shard, doc_id, n in rows:
+        by_shard.setdefault(shard, []).append((doc_id, n))
+    for shard, docs in by_shard.items():
+        cum = 0
+        for doc_id, n in sorted(docs):
+            if n <= 0:
+                continue
+            start, end = cum, cum + n
+            cum = end
+            for seq in range(start // seq_len, (end - 1) // seq_len + 1):
+                lo, hi = seq * seq_len, (seq + 1) * seq_len
+                out[(shard, seq, doc_id)] = min(end, hi) - max(start, lo)
+    return out
+
+
+PACK_ROWS = st.lists(
+    st.tuples(
+        st.sampled_from(["s0", "s1"]),
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=40),
+    ),
+    min_size=0,
+    max_size=15,
+    unique_by=lambda r: (r[0], r[1]),  # one row per (shard, doc_id)
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=PACK_ROWS, seq_len=st.sampled_from([1, 7, 64]))
+def test_pack_sequences_matches_python(spark, rows, seq_len):
+    from simple_rust_query_engine_spark.pipeline.pack import pack_sequences
+
+    df = spark.createDataFrame(
+        [(s, d, "w " * n) for s, d, n in rows] or [("s0", 0, "")],
+        "source string, doc_id long, text string",
+    )
+    # "w " * n has exactly n whitespace tokens
+    got = {
+        (r.source, r.seq_id, r.doc_id): r.n_tok_in_seq
+        for r in pack_sequences(df, seq_len=seq_len).collect()
+    }
+    want = _py_pack(rows if rows else [("s0", 0, 0)], seq_len)
+    assert got == want
