@@ -52,8 +52,40 @@ def _norm_rows(cols, rows):
     return sorted(cols), out
 
 
-def compare(spark_df, con, sql: str, float_tol: float = 1e-6) -> list[str]:
-    """Return a list of mismatch descriptions (empty == parity)."""
+#: coarse cross-engine type vocabulary — the driver's schema gate
+#: compares types, so the local mirror must too; coarse because the
+#: engines legitimately differ in width (DuckDB SUM(BIGINT)→HUGEINT,
+#: quantile→DECIMAL) while a string-vs-number or ts-vs-number slip is
+#: always a bug
+_TYPE_CANON = {
+    "tinyint": "int", "smallint": "int", "int": "int", "integer": "int",
+    "bigint": "int", "hugeint": "int", "ubigint": "int", "uinteger": "int",
+    "float": "float", "real": "float", "double": "float",
+    "boolean": "bool", "varchar": "str", "string": "str",
+    "date": "date",
+}
+
+
+def _canon_type(t: str) -> str:
+    t = str(t).lower()
+    if t.startswith("decimal"):
+        return "float"
+    if "timestamp" in t:
+        return "ts"
+    if t.startswith("array") or t.endswith("[]") or t.startswith("list"):
+        return "array"
+    return _TYPE_CANON.get(t, t)
+
+
+def compare(spark_df, con, sql: str, float_tol: float = 1e-9) -> list[str]:
+    """Return a list of mismatch descriptions (empty == parity).
+
+    ``float_tol`` default is deliberately tight (1e-9): every oracle
+    twin is built from identical deterministic arithmetic, so floats
+    agree to the last decimal the comparison sees — a looser default
+    would hide exactly the class of cross-engine drift (round-boundary
+    flips) that the driver's exact value-hash catches.
+    """
     problems: list[str] = []
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
@@ -63,6 +95,16 @@ def compare(spark_df, con, sql: str, float_tol: float = 1e-6) -> list[str]:
 
     if sorted(s_cols) != sorted(o_cols):
         problems.append(f"columns: spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+        return problems
+
+    s_types = {c: _canon_type(t) for c, t in spark_df.dtypes}
+    o_types = {c: _canon_type(t) for c, t in zip(o_res.columns, o_res.types)}
+    for c in s_cols:
+        if s_types[c] != o_types.get(c):
+            problems.append(
+                f"dtype {c}: spark={s_types[c]} oracle={o_types.get(c)}"
+            )
+    if problems:
         return problems
     if len(s_rows) != len(o_rows):
         problems.append(f"row count: spark={len(s_rows)} oracle={len(o_rows)}")
