@@ -75,6 +75,8 @@ _DEFER_PAST_CAP = (
     "multimodal_meta",
     # grouping-sets family already has agg_rollup checked
     "agg_grouping_sets",
+    # tumbling events_window keeps the event-window family checked
+    "events_window_sliding",
 )
 
 

@@ -43,6 +43,25 @@ def q_events_window(t: dict) -> DataFrame:
     )
 
 
+def q_events_window_sliding(t: dict) -> DataFrame:
+    """Hopping (sliding) window: 1-hour windows every 30 minutes —
+    each event lands in exactly 2 hops.  Batch form of
+    ``F.window(ts, '1 hour', '30 minutes')``, expressed directly from
+    timezone-free epoch millis so the hop arithmetic is identical in
+    the oracle: hop k covers [k*30min, k*30min + 1h); an event at m
+    belongs to hops floor(m/30min)-1 and floor(m/30min)."""
+    from ..session import epoch_ms
+
+    e = t["events"]
+    half = 1_800_000  # 30 min in ms
+    hop0 = F.floor(epoch_ms(e, "ts") / F.lit(half)).cast("long")
+    return (
+        e.select("event_type", "value", F.explode(F.array(hop0 - 1, hop0)).alias("hop"))
+        .groupBy((F.col("hop") * 1800).alias("win_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+
+
 def q_events_sessionize(t: dict) -> DataFrame:
     """Sessionization: a new session starts when the gap to the
     previous event of the same user exceeds SESSION_GAP_MIN minutes.
@@ -231,8 +250,21 @@ ORACLE: dict[str, str] = {
 
 ORACLE["events_window_stream"] = ORACLE["events_window"]
 
+ORACLE["events_window_sliding"] = """
+    WITH hops AS (
+        SELECT event_type, value,
+               unnest([epoch_ms(ts) // 1800000 - 1,
+                       epoch_ms(ts) // 1800000]) AS hop
+        FROM events
+    )
+    SELECT (hop * 1800)::BIGINT AS win_start, event_type,
+           COUNT(*) AS n_events, SUM(value) AS sum_value
+    FROM hops GROUP BY 1, 2
+"""
+
 QUERIES = {
     "events_window": q_events_window,
+    "events_window_sliding": q_events_window_sliding,
     "events_sessionize": q_events_sessionize,
 }
 
