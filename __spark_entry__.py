@@ -77,6 +77,8 @@ _DEFER_PAST_CAP = (
     "agg_grouping_sets",
     # tumbling events_window keeps the event-window family checked
     "events_window_sliding",
+    # lag-based events_sessionize keeps the session family checked
+    "events_session_window",
 )
 
 

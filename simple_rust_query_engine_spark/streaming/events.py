@@ -86,6 +86,37 @@ def q_events_sessionize(t: dict) -> DataFrame:
     )
 
 
+def q_events_session_window(t: dict) -> DataFrame:
+    """Per-user sessions via Spark's BUILT-IN ``session_window`` (the
+    declarative twin of the ``applyInPandasWithState`` operator below;
+    also valid under ``groupBy`` in streaming).  Semantics: a session
+    extends while the next event lands STRICTLY inside
+    ``last_ts + gap`` — an event at exactly the gap boundary starts a
+    new session (window end is exclusive), which is the ``>=`` rule in
+    the oracle.  Emitted as epoch-millis bounds: start = first event,
+    end = last event + gap."""
+    from ..session import EPOCH_NTZ
+
+    e = t["events"]
+    return (
+        e.groupBy(
+            "user_id",
+            F.session_window(F.col("ts"), f"{SESSION_GAP_MIN} minutes"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.expr(
+                f"timestampdiff(MILLISECOND, {EPOCH_NTZ}, session_window.start)"
+            ).alias("sess_start"),
+            F.expr(
+                f"timestampdiff(MILLISECOND, {EPOCH_NTZ}, session_window.end)"
+            ).alias("sess_end"),
+            "n_events",
+        )
+    )
+
+
 def _events_stream(spark: SparkSession, sf_dir: str):
     from .source import file_stream
 
@@ -262,10 +293,34 @@ ORACLE["events_window_sliding"] = """
     FROM hops GROUP BY 1, 2
 """
 
+ORACLE["events_session_window"] = f"""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w)
+                         >= {SESSION_GAP_MIN * 60_000}
+                     OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), segs AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC
+                                 ROWS UNBOUNDED PRECEDING) AS seg
+        FROM marked
+    )
+    SELECT user_id,
+           epoch_ms(min(ts)) AS sess_start,
+           epoch_ms(max(ts)) + {SESSION_GAP_MIN * 60_000} AS sess_end,
+           COUNT(*) AS n_events
+    FROM segs GROUP BY user_id, seg
+"""
+
 QUERIES = {
     "events_window": q_events_window,
     "events_window_sliding": q_events_window_sliding,
     "events_sessionize": q_events_sessionize,
+    "events_session_window": q_events_session_window,
 }
 
 #: entries that need (spark, sf_dir) directly (streaming sources)
