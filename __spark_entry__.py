@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from simple_rust_query_engine_spark import session as _session
 from simple_rust_query_engine_spark.operators import olap as _olap
 from simple_rust_query_engine_spark.operators import relational as _rel
+from simple_rust_query_engine_spark.operators import sketch as _sketch
 from simple_rust_query_engine_spark.operators import skew as _skew
 from simple_rust_query_engine_spark.operators import temporal as _temporal
 from simple_rust_query_engine_spark.pipeline import (
@@ -38,6 +39,7 @@ _MODULES = (
     _olap,
     _temporal,
     _skew,
+    _sketch,
     _text,
     _dedup,
     _clean,
@@ -79,6 +81,9 @@ _DEFER_PAST_CAP = (
     "events_window_sliding",
     # lag-based events_sessionize keeps the session family checked
     "events_session_window",
+    # exact two-phase skew_safe_ndistinct keeps the distinct-count
+    # family checked
+    "kmv_ndistinct",
 )
 
 

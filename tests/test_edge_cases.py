@@ -151,3 +151,24 @@ def test_connected_components_durable_mode(spark, monkeypatch):
     verts = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long")
     lab = {r.doc_id: r.label for r in D.connected_components(edges, verts).collect()}
     assert lab == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_kmv_sketch_accuracy_and_exact_path(spark):
+    from simple_rust_query_engine_spark.operators.sketch import (
+        KMV_K,
+        kmv_ndistinct,
+    )
+
+    # exact path: cardinality below k → n_seen IS the exact count
+    small = spark.createDataFrame(
+        [("a", i) for i in range(20)] * 3, "k string, v long"
+    )
+    row = kmv_ndistinct(small, "k", "v").collect()[0]
+    assert row.n_seen == 20 and row.est_ndistinct == 20.0
+
+    # sketch path: 5000 distinct values, estimate within the textbook
+    # ~2/sqrt(k-2) relative error band
+    big = spark.createDataFrame([("a", i) for i in range(5000)], "k string, v long")
+    est = kmv_ndistinct(big, "k", "v").collect()[0].est_ndistinct
+    rel_err = abs(est - 5000) / 5000
+    assert rel_err < 2.5 / (KMV_K - 2) ** 0.5, (est, rel_err)
