@@ -84,6 +84,8 @@ _DEFER_PAST_CAP = (
     # exact two-phase skew_safe_ndistinct keeps the distinct-count
     # family checked
     "kmv_ndistinct",
+    # backward join_asof keeps the as-of family checked
+    "join_asof_fwd",
 )
 
 

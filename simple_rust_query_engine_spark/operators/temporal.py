@@ -40,20 +40,27 @@ def merge_asof(
     right_on: str,
     left_time: str,
     right_time: str,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of LEFT join: each left row picks the single right
-    row with the greatest ``right_time <= left_time`` for the same key
-    (ties on time include the right row, like DuckDB ``ASOF`` with
-    ``>=``); left rows with no prior right row keep NULLs.
+    """As-of LEFT join: each left row picks ONE right row for the same
+    key — ``backward`` (default): the greatest ``right_time <=
+    left_time``; ``forward``: the smallest ``right_time >=
+    left_time``.  Ties on time include the right row (DuckDB ``ASOF``
+    with ``>=``/``<=``); left rows with no qualifying right row keep
+    NULLs.
 
     Implementation is union + window, not a join: tag each side, union
     by name with the other side's payload NULLed, then one window
     partitioned by key and ordered by (time, side) — right rows sort
-    before left rows at equal time — carrying the last non-NULL right
+    before left rows at equal time (time order is reversed for
+    ``forward``, which turns "first at or after" into the same
+    carry-last-non-NULL scan) — carrying the last non-NULL right
     payload forward.  One shuffle, one per-partition sort, zero join
     nodes.  The right side must be unique per (key, time) — ties there
     are ambiguous in any as-of definition; pre-aggregate to enforce.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     overlap = (set(left.columns) & set(right.columns)) - {left_on}
     if overlap:
         raise ValueError(f"ambiguous columns on both sides: {sorted(overlap)}")
@@ -70,9 +77,10 @@ def merge_asof(
             rt = rt.withColumn(c, F.lit(None).cast(l_types[c]))
 
     u = lt.unionByName(rt.select(*lt.columns))
+    t_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
     w = (
         Window.partitionBy(left_on)
-        .orderBy("_t", "_side")
+        .orderBy(t_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(
@@ -144,6 +152,21 @@ def q_join_asof(t: dict) -> DataFrame:
     return merge_asof(ev, last_order, "user_id", "o_custkey", "ts", "o_orderdate")
 
 
+def q_join_asof_fwd(t: dict) -> DataFrame:
+    """Forward as-of: each event joined to the customer's NEXT order
+    at or after event time (same deterministic right-side
+    pre-aggregation as the backward query)."""
+    ev = t["events"].select("event_id", "user_id", "ts")
+    next_order = t["orders"].groupBy("o_custkey", "o_orderdate").agg(
+        F.min("o_orderkey").alias("next_orderkey"),
+        F.min_by("o_totalprice", "o_orderkey").alias("next_totalprice"),
+    )
+    return merge_asof(
+        ev, next_order, "user_id", "o_custkey", "ts", "o_orderdate",
+        direction="forward",
+    )
+
+
 def q_range_join(t: dict) -> DataFrame:
     """Same-user event pairs within one hour of each other."""
     return range_join_pairs(
@@ -166,6 +189,18 @@ ORACLE: dict[str, str] = {
         FROM events e ASOF LEFT JOIN last_order o
           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
     """,
+    "join_asof_fwd": """
+        WITH next_order AS (
+            SELECT o_custkey, o_orderdate,
+                   min(o_orderkey) AS next_orderkey,
+                   arg_min(o_totalprice, o_orderkey) AS next_totalprice
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id, e.ts,
+               o.o_orderdate, o.next_orderkey, o.next_totalprice
+        FROM events e ASOF LEFT JOIN next_order o
+          ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    """,
     # the oracle is the naive inequality join the bucketed plan avoids
     "range_join": f"""
         SELECT a.event_id AS event_id_a, b.event_id AS event_id_b,
@@ -179,5 +214,6 @@ ORACLE: dict[str, str] = {
 
 QUERIES = {
     "join_asof": q_join_asof,
+    "join_asof_fwd": q_join_asof_fwd,
     "range_join": q_range_join,
 }

@@ -96,3 +96,23 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
     )
     text = explain_str(range_join_pairs(ev, "user_id", "ts", "event_id", 1000))
     assert "NestedLoop" not in text and "Cartesian" not in text, text
+
+
+def test_asof_forward_tie_and_miss_semantics(spark):
+    from simple_rust_query_engine_spark.operators.temporal import merge_asof
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (1, 40)], "k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 25, "a"), (1, 30, "b")], "rk long, rt long, v string"
+    )
+    out = {
+        r.t: (r.rt, r.v)
+        for r in merge_asof(
+            left, right, "k", "rk", "t", "rt", direction="forward"
+        ).collect()
+    }
+    assert out[10] == (25, "a")        # next row strictly after
+    assert out[25] == (25, "a")        # tie at equal time includes it
+    assert out[40] == (None, None)     # nothing at/after → NULLs
