@@ -94,6 +94,10 @@ def main() -> None:
             timings[name] = round(min(steady), 4)
         except Exception as exc:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            # drop any partial cold time: cold_total must cover exactly
+            # the queries present in `queries`, or the steady-vs-cold
+            # comparison skews
+            cold.pop(name, None)
             print(f"# {name}: FAILED {errors[name][:120]}", file=sys.stderr)
             continue
         print(

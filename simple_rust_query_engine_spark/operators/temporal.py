@@ -83,12 +83,27 @@ def merge_asof(
         .orderBy(t_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the right payload is carried as ONE struct, not per-column:
+    # independent last(col, ignorenulls) scans would back-fill a NULL
+    # field of the matched right row from an OLDER right row, emitting
+    # a torn row that exists on neither side.  The struct is non-NULL
+    # for every right row (even all-NULL payloads), so one
+    # last(ignorenulls) picks all fields from the same matched row.
+    r_struct = F.when(
+        F.col("_side") == 0, F.struct(*[F.col(c) for c in r_payload])
+    )
     filled = u.select(
         *[c for c in left.columns],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in r_payload],
+        F.last(r_struct, ignorenulls=True).over(w).alias("_r"),
         "_side",
     )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    return (
+        filled.filter(F.col("_side") == 1)
+        .select(
+            *[c for c in left.columns],
+            *[F.col(f"_r.{c}").alias(c) for c in r_payload],
+        )
+    )
 
 
 def range_join_pairs(

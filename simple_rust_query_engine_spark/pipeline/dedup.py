@@ -529,6 +529,11 @@ def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    if DURABLE_MATERIALIZE:
+        # the edge table is internal — release its disk blocks; the
+        # RETURNED labels stay persisted (callers consume them next and
+        # may unpersist when done)
+        bidir.unpersist()
     return lab
 
 

@@ -134,12 +134,15 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     negatives): corpus-scale PII removal layers a learned NER pass on
     top; this is the cheap high-precision first pass every pipeline
     runs."""
+    # counts run against the PROGRESSIVELY redacted string, in the
+    # same order the replacements apply — counting on the original
+    # would report matches an earlier pattern already consumed (an
+    # email containing a phone-shaped local part counts once, as the
+    # email it was redacted as)
     out = df
     redacted = F.col(text_col)
     for name, pat in PII_PATTERNS.items():
-        out = out.withColumn(
-            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat))
-        )
+        out = out.withColumn(f"n_{name}", F.regexp_count(redacted, F.lit(pat)))
         redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
     return out.withColumn(f"{text_col}_redacted", redacted)
 

@@ -87,10 +87,19 @@ def stream_dedup_within_watermark(
     from ..session import as_event_time
     from .events import _events_stream
 
+    src = as_event_time(_events_stream(spark, sf_dir), "ts")
+    # hour key built from the INSTANT (unix_millis floor), not
+    # date_trunc — date_trunc snaps to session-timezone wall-clock
+    # boundaries (half-hour offsets like +5:30 shift the key); the
+    # epoch floor is timezone-independent and still a proper LTZ
+    # event-time column for the watermark
+    hour_start = F.timestamp_millis(
+        (F.floor(F.unix_millis(F.col("ts")) / F.lit(3_600_000)) * 3_600_000).cast(
+            "long"
+        )
+    )
     keyed = (
-        # watermarks reject TIMESTAMP_NTZ — LTZ instant (naive == UTC)
-        as_event_time(_events_stream(spark, sf_dir), "ts")
-        .withColumn("hour_start", F.date_trunc("hour", F.col("ts")))
+        src.withColumn("hour_start", hour_start)
         .withWatermark("hour_start", horizon)
         .select("user_id", "hour_start")
         .dropDuplicatesWithinWatermark(["user_id", "hour_start"])

@@ -58,7 +58,12 @@ def q_events_window_sliding(t: dict) -> DataFrame:
     return (
         e.select("event_type", "value", F.explode(F.array(hop0 - 1, hop0)).alias("hop"))
         .groupBy((F.col("hop") * 1800).alias("win_start"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # rounded like the tumbling twin: raw double sums are not
+            # bit-reproducible across partial-aggregation orders
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
     )
 
 
@@ -203,7 +208,7 @@ def stream_sessionize_stateful(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    gap_s = gap_min * 60
+    gap_ms = gap_min * 60_000
 
     def update_fn(key, pdfs, state: GroupState):
         last_ts, n_sessions, n_events = (
@@ -219,11 +224,14 @@ def stream_sessionize_stateful(
             batch = pd.concat(chunks, ignore_index=True)
             batch = batch.sort_values(["ts", "event_id"])
             # normalize to ns first — Arrow may hand the batch over as
-            # datetime64[us], where a bare astype(int64) would be micros
+            # datetime64[us], where a bare astype(int64) would be micros.
+            # Gap math in EXACT milliseconds, same as the batch twin —
+            # whole-second truncation would disagree on gaps straddling
+            # the threshold by < 1s (events.ts has sub-second precision)
             ts_ns = batch["ts"].to_numpy().astype("datetime64[ns]").astype("int64")
-            for ts in ts_ns // 10**9:  # epoch seconds
+            for ts in ts_ns // 10**6:  # epoch milliseconds
                 ts = int(ts)
-                if last_ts is None or ts - last_ts > gap_s:
+                if last_ts is None or ts - last_ts > gap_ms:
                     n_sessions += 1
                 last_ts = ts
             n_events += len(batch)
@@ -289,13 +297,13 @@ ORACLE["events_window_sliding"] = """
         FROM events
     )
     SELECT (hop * 1800)::BIGINT AS win_start, event_type,
-           COUNT(*) AS n_events, SUM(value) AS sum_value
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
     FROM hops GROUP BY 1, 2
 """
 
 ORACLE["events_session_window"] = f"""
     WITH marked AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w)
                          >= {SESSION_GAP_MIN * 60_000}
                      OR LAG(ts) OVER w IS NULL
@@ -304,8 +312,10 @@ ORACLE["events_session_window"] = f"""
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     ), segs AS (
         SELECT user_id, ts,
+               -- event_id tiebreak: equal-ts rows must land in the
+               -- same deterministic segment order as `marked`
                SUM(is_new) OVER (PARTITION BY user_id
-                                 ORDER BY ts ASC
+                                 ORDER BY ts ASC, event_id ASC
                                  ROWS UNBOUNDED PRECEDING) AS seg
         FROM marked
     )

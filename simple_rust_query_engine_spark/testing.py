@@ -35,11 +35,11 @@ def _norm_cell(v):
 
 
 def _sort_cell(v):
-    # rows that compare equal under the 1e-6 tolerance must also sort
-    # identically, or cross-engine float jitter between 1e-9 and 1e-6
-    # could misalign the pairwise zip — so the SORT key rounds floats
-    # to the comparison tolerance (the compare itself stays at 1e-9
-    # cells + 1e-6 isclose).
+    # rows that compare equal under the value tolerance must also sort
+    # identically, or cross-engine float jitter could misalign the
+    # pairwise zip — so the SORT key rounds floats more coarsely (1e-6)
+    # than the comparison (1e-9 cell rounding + 1e-9 isclose): jitter
+    # between the two scales sorts identically and still compares.
     if isinstance(v, float) and not isinstance(v, bool):
         return str(round(v, 6)) if not math.isnan(v) else "NaN"
     return str(v)

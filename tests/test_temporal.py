@@ -116,3 +116,16 @@ def test_asof_forward_tie_and_miss_semantics(spark):
     assert out[10] == (25, "a")        # next row strictly after
     assert out[25] == (25, "a")        # tie at equal time includes it
     assert out[40] == (None, None)     # nothing at/after → NULLs
+
+
+def test_asof_null_payload_field_not_torn(spark):
+    # a NULL field in the MATCHED right row must come through as NULL,
+    # never back-filled from an older right row (torn-row regression)
+    from simple_rust_query_engine_spark.operators.temporal import merge_asof
+
+    left = spark.createDataFrame([(1, 12)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 5, "a", 2), (1, 10, None, 1)], "rk long, rt long, v string, u long"
+    )
+    row = merge_asof(left, right, "k", "rk", "t", "rt").collect()[0]
+    assert (row.rt, row.v, row.u) == (10, None, 1)
