@@ -90,6 +90,8 @@ _DEFER_PAST_CAP = (
     "kmv_ndistinct",
     # backward join_asof keeps the as-of family checked
     "join_asof_fwd",
+    # pivot keeps the reshaping family checked
+    "unpivot",
 )
 
 

@@ -96,6 +96,28 @@ def q_pivot(t: dict) -> DataFrame:
     return piv
 
 
+def q_unpivot(t: dict) -> DataFrame:
+    """Wide→long reshaping (melt): the four lineitem measures become
+    (metric, value) rows, then a per-metric average.  ``unpivot`` is
+    a map-side Expand — no shuffle until the aggregation, same as the
+    grouping-set family."""
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    return (
+        t["lineitem"]
+        .unpivot(
+            ids=["l_orderkey", "l_linenumber"],
+            values=measures,
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+        .groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
 def q_quantile(t: dict) -> DataFrame:
     """Exact price quartiles per return flag (linear interpolation —
     the ANSI ``PERCENTILE_CONT`` definition on both engines)."""
@@ -135,6 +157,18 @@ ORACLE: dict[str, str] = {
                sum(o_totalprice) FILTER (o_orderstatus = 'P') AS total_p
         FROM orders GROUP BY o_orderpriority
     """,
+    "unpivot": """
+        WITH long AS (
+            SELECT l_orderkey, l_linenumber, name AS metric, value
+            FROM (
+                UNPIVOT lineitem
+                ON l_quantity, l_extendedprice, l_discount, l_tax
+                INTO NAME name VALUE value
+            )
+        )
+        SELECT metric, COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value
+        FROM long GROUP BY metric
+    """,
     "quantile": """
         SELECT l_returnflag,
                quantile_cont(l_extendedprice, 0.25) AS p25,
@@ -149,5 +183,6 @@ QUERIES = {
     "agg_cube": q_agg_cube,
     "agg_grouping_sets": q_agg_grouping_sets,
     "pivot": q_pivot,
+    "unpivot": q_unpivot,
     "quantile": q_quantile,
 }
