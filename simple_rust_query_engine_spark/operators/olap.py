@@ -110,6 +110,10 @@ def q_unpivot(t: dict) -> DataFrame:
             variableColumnName="metric",
             valueColumnName="value",
         )
+        # pin NULL semantics: Spark's unpivot RETAINS NULL-value rows,
+        # DuckDB's UNPIVOT excludes them by default — drop them so n
+        # counts the same rows in both engines
+        .where(F.col("value").isNotNull())
         .groupBy("metric")
         .agg(
             F.count(F.lit(1)).alias("n"),

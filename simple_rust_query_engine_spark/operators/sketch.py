@@ -15,9 +15,12 @@ estimate (k-1) * M / kth_smallest.  Error ~ 1/sqrt(k-2).
 
 Two properties make this one interesting:
 
-* the k-minima per key are ONE window function over the (key, hash)
-  distinct set — state per key is k longs, combinable, skew-free
-  (hash order is unrelated to value skew);
+* the k-minima computation is SKEW-SAFE by construction here: a
+  salted first phase keeps each (key, salt) partition's k smallest
+  hashes — a hot key's distinct set spreads over ``n_salt`` reducers
+  and at most ``n_salt * k`` rows per key reach the final per-key
+  rank (the global k minima are necessarily among the per-salt
+  minima), so no reducer ever sorts a hot key's full distinct set;
 * with a deterministic hash the whole sketch — including the
   estimate — is bit-reproducible on any engine, so unlike HLL it has
   an EXACT DuckDB oracle twin (``kmv_ndistinct`` is hash-checked like
@@ -50,26 +53,39 @@ def _kmv_hash(col):
     )
 
 
+N_SALT = 32
+
+
 def kmv_ndistinct(
-    df: DataFrame, key: str, val: str, k: int = KMV_K
+    df: DataFrame, key: str, val: str, k: int = KMV_K, n_salt: int = N_SALT
 ) -> DataFrame:
     """Per-key approximate COUNT(DISTINCT val) via k minimum values.
 
-    dedup (key, val) → hash → per-key rank by hash → keep k minima →
-    estimate.  ``n_seen`` (the number of minima kept) doubles as the
-    exact count whenever the key has < k distinct values.
+    hash (map-side, per row) → distinct (key, hash) → per-(key, salt)
+    k minima → per-key k minima → estimate.  The salt phase bounds
+    every reducer: a hot key's distinct hashes spread over ``n_salt``
+    partitions and only ``n_salt * k`` survivors reach the final
+    per-key rank — the global minima are always among the per-salt
+    minima, so the result is salt-independent.  ``n_seen`` (minima
+    kept) doubles as the exact count whenever the key has < k
+    distinct values.
     """
     hashed = (
-        df.select(key, val)
-        .where(F.col(val).isNotNull())
-        .distinct()
+        # hash per ROW (cheap map-side md5), ONE distinct on the
+        # (key, hash) pair — a prior distinct on raw (key, val) would
+        # be a second full shuffle for nothing
+        df.where(F.col(val).isNotNull())
         .select(key, _kmv_hash(F.col(val)).alias("_h"))
-        # distinct VALUES can still collide in hash space; estimator
-        # operates on distinct hashes
         .distinct()
     )
+    w_salt = Window.partitionBy(key, F.pmod(F.col("_h"), F.lit(n_salt))).orderBy(
+        "_h"
+    )
+    pre = hashed.withColumn("_srn", F.row_number().over(w_salt)).filter(
+        F.col("_srn") <= k
+    )
     w = Window.partitionBy(key).orderBy("_h")
-    minima = hashed.withColumn("_rn", F.row_number().over(w)).filter(
+    minima = pre.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= k
     )
     kth = F.max(F.when(F.col("_rn") == k, F.col("_h")))

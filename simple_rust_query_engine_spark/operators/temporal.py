@@ -70,7 +70,12 @@ def merge_asof(
     lt = left.withColumn("_side", F.lit(1)).withColumn("_t", F.col(left_time))
     for c in r_payload:
         lt = lt.withColumn(c, F.lit(None).cast(r_types[c]))
-    rt = right.withColumnRenamed(right_on, left_on)
+    # a right row with NULL time can never be "at or before/after" any
+    # left time — drop it, or the carry scan would hand its payload to
+    # whichever left rows it happens to sort next to
+    rt = right.filter(F.col(right_time).isNotNull()).withColumnRenamed(
+        right_on, left_on
+    )
     rt = rt.withColumn("_side", F.lit(0)).withColumn("_t", F.col(right_time))
     for c in left.columns:
         if c != left_on:
@@ -94,7 +99,13 @@ def merge_asof(
     )
     filled = u.select(
         *[c for c in left.columns],
-        F.last(r_struct, ignorenulls=True).over(w).alias("_r"),
+        # a left row with NULL time matches nothing in any as-of
+        # definition — mask the carried payload to NULL for it (its
+        # sort position among the NULL-ordered rows is arbitrary)
+        F.when(
+            F.col("_t").isNotNull(),
+            F.last(r_struct, ignorenulls=True).over(w),
+        ).alias("_r"),
         "_side",
     )
     return (

@@ -87,16 +87,17 @@ def stream_dedup_within_watermark(
     from ..session import as_event_time
     from .events import _events_stream
 
+    from ..session import epoch_ms
+
     src = as_event_time(_events_stream(spark, sf_dir), "ts")
-    # hour key built from the INSTANT (unix_millis floor), not
-    # date_trunc — date_trunc snaps to session-timezone wall-clock
-    # boundaries (half-hour offsets like +5:30 shift the key); the
-    # epoch floor is timezone-independent and still a proper LTZ
-    # event-time column for the watermark
+    # hour key built from the INSTANT (epoch_ms floor), not date_trunc
+    # — date_trunc snaps to session-timezone wall-clock boundaries
+    # (half-hour offsets like +5:30 shift the key); epoch_ms is the
+    # package's single tz-independent epoch source for any timestamp
+    # flavor, and the rebuilt column is still a proper LTZ event-time
+    # for the watermark
     hour_start = F.timestamp_millis(
-        (F.floor(F.unix_millis(F.col("ts")) / F.lit(3_600_000)) * 3_600_000).cast(
-            "long"
-        )
+        (F.floor(epoch_ms(src, "ts") / F.lit(3_600_000)) * 3_600_000).cast("long")
     )
     keyed = (
         src.withColumn("hour_start", hour_start)

@@ -129,3 +129,20 @@ def test_asof_null_payload_field_not_torn(spark):
     )
     row = merge_asof(left, right, "k", "rk", "t", "rt").collect()[0]
     assert (row.rt, row.v, row.u) == (10, None, 1)
+
+
+def test_asof_null_times_match_nothing(spark):
+    from simple_rust_query_engine_spark.operators.temporal import merge_asof
+
+    left = spark.createDataFrame([(1, 10), (1, None)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, None, "x"), (1, 5, "y")], "rk long, rt long, v string"
+    )
+    for direction in ("backward", "forward"):
+        out = {r.t: (r.rt, r.v) for r in merge_asof(
+            left, right, "k", "rk", "t", "rt", direction=direction
+        ).collect()}
+        # NULL left time matches nothing; NULL right time is never a match
+        assert out[None] == (None, None), (direction, out)
+        expected = (5, "y") if direction == "backward" else (None, None)
+        assert out[10] == expected, (direction, out)
