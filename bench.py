@@ -2,18 +2,27 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "cold_queries": {...}, "sf": ...}.
+"queries": {name: sec}, "steady_total": ..., "steady_queries": {...},
+"sf": ...}.
 
-Each query runs TWICE: the first (cold) pass pays Catalyst planning +
-whole-stage-codegen JIT for that query shape, the second (steady)
-pass re-executes the full computation with the compiled plan warm.
-``value``/``queries`` report the steady-state pass — the engine's
-throughput metric; compile cost amortizes over repeated queries in
-any real deployment, and pyspark 4.1's first-compile is expensive
-enough (~0.5-3s/query) to otherwise drown the signal at these scale
-factors.  The cold pass is reported alongside (``cold_queries`` /
-``cold_total``) so nothing is hidden.  No DataFrame caching anywhere:
-the steady pass re-reads parquet and re-runs every shuffle/UDF.
+Metric semantics (STABLE across rounds — r3 briefly reported warm
+times under ``value``, which conflated a metric redefinition with real
+speedup; reverted):
+
+* ``value`` / ``queries`` — COLD per-query runtime, the first
+  execution of each query shape in the session: Catalyst planning +
+  codegen JIT + full execution.  Same definition as BENCH_r01.
+* ``steady_total`` / ``steady_queries`` — best of two further full
+  re-executions with the compiled plan warm; the engine's throughput
+  number once compile cost has amortized.  min() rejects the rare
+  multi-second JVM stalls (cleaner/safepoint) a long-lived local JVM
+  shows on otherwise-identical runs.
+
+No DataFrame caching anywhere: every pass re-reads parquet and
+re-runs every shuffle/UDF.  Between queries the harness releases
+localCheckpoint barriers (``release_barriers``) — without that they
+accumulate across the run and warm passes degrade (BENCH_r03 measured
+ngram_jaccard 28% slower warm than cold for exactly this reason).
 """
 
 from __future__ import annotations
@@ -56,7 +65,7 @@ BENCH_QUERIES = [
 
 def main() -> None:
     import __spark_entry__ as entry_mod
-    from simple_rust_query_engine_spark.session import get_spark
+    from simple_rust_query_engine_spark.session import get_spark, release_barriers
 
     spark = get_spark("srqe-bench")
     qs = entry_mod.queries()
@@ -72,53 +81,50 @@ def main() -> None:
     # one failing query must not zero out the whole bench (round 2
     # recorded NO numbers because a single query raised): time what
     # runs, report what breaks, always emit the JSON line.
-    timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    steady: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         if name not in qs:
             continue
+        release_barriers(spark)
         try:
             t0 = time.perf_counter()
             n = qs[name](spark, SF_DIR).count()
             cold[name] = round(time.perf_counter() - t0, 4)
-            # steady state = best of two warm runs: a long-lived local
-            # JVM shows rare multi-second stalls (cleaner/safepoint) on
-            # otherwise-identical runs; min() rejects that noise while
-            # still executing the full computation each time
-            steady = []
+            warm_times = []
             for _ in range(2):
                 t0 = time.perf_counter()
                 n = qs[name](spark, SF_DIR).count()
-                steady.append(time.perf_counter() - t0)
-            timings[name] = round(min(steady), 4)
+                warm_times.append(time.perf_counter() - t0)
+            steady[name] = round(min(warm_times), 4)
         except Exception as exc:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            # drop any partial cold time: cold_total must cover exactly
-            # the queries present in `queries`, or the steady-vs-cold
-            # comparison skews
+            # drop partial numbers: totals must cover exactly the same
+            # query set, or the steady-vs-cold comparison skews
             cold.pop(name, None)
+            steady.pop(name, None)
             print(f"# {name}: FAILED {errors[name][:120]}", file=sys.stderr)
             continue
         print(
-            f"# {name}: {timings[name]:.3f}s (cold {cold[name]:.3f}s) rows={n}",
+            f"# {name}: cold {cold[name]:.3f}s steady {steady[name]:.3f}s rows={n}",
             file=sys.stderr,
         )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total_runtime",
-        "value": round(sum(timings.values()), 4),
+        "value": round(sum(cold.values()), 4),
         "unit": "sec",
-        "queries": timings,
-        "cold_total": round(sum(cold.values()), 4),
-        "cold_queries": cold,
+        "queries": cold,
+        "steady_total": round(sum(steady.values()), 4),
+        "steady_queries": steady,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
-    if not timings:
+    if not cold:
         sys.exit(1)
 
 

@@ -435,14 +435,21 @@ def q_ngram_jaccard(t: dict) -> DataFrame:
         F.size("shingles").alias("n_sh"),
         F.explode("shingles").alias("s"),
     ).select("doc_id", "n_sh", F.xxhash64("s").alias("shingle"))
-    # document frequency as COUNT OVER (PARTITION BY shingle), not
-    # groupBy + re-join: one shuffle of the exploded table instead of
-    # two, no broadcast of the frequency table (A/B at sf0.1: the
-    # join form ran 5.5-17s with multi-second stalls, the window form
-    # a stable 2.7s; same rows)
-    ranked = sh.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-    )
+    # document frequency via two-phase groupBy + equi-join, NOT
+    # COUNT OVER (PARTITION BY shingle): shingle frequency is Zipfian,
+    # and a window partitioned on the shingle key puts the hottest
+    # shingle's rows in ONE task — a straggler (or OOM) at 100 TB that
+    # no runtime facility can split.  The groupBy is skew-immune
+    # (map-side partial counts combine the hot key per partition
+    # before the merge shuffle), and the re-join is AQE-splittable
+    # (skewJoin duplicates the one-row build side across probe
+    # splits); locally the tiny count table auto-broadcasts and the
+    # exploded side never shuffles at all.  A/B at sf0.1 in one
+    # session, barriers cleared between runs: join 3.96/3.00/2.70 s
+    # vs window 3.52/2.49 s warm — a wash locally, only the join form
+    # survives the 100× skew.
+    cnt = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(cnt, "shingle")
     w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
     ranked = ranked.withColumn("rn", F.row_number().over(w))
     # NOTE: do NOT localCheckpoint probe — although it feeds both

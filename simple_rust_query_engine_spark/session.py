@@ -210,6 +210,29 @@ def as_event_time(df: DataFrame, col_name: str) -> DataFrame:
     return df.withColumn(col_name, F.timestamp_micros(micros))
 
 
+def release_barriers(spark: SparkSession) -> int:
+    """Unpersist every persistent RDD in the context (localCheckpoint
+    barriers included) and clear the SQL cache.  Returns the number of
+    RDDs released.
+
+    ``materialize`` barriers (``pipeline.dedup``) persist blocks that
+    the JVM only reclaims when py4j finalizers run — in a long-lived
+    session running many pipeline queries they accumulate (measured:
+    +2 persistent RDDs per ngram+minhash round, and BENCH_r03 showed
+    warm runs 28% SLOWER than cold once ~60 barriers piled up).  Call
+    between logically-independent queries; do NOT call while a
+    DataFrame built on a live barrier is still needed — a truncated
+    lineage cannot recompute."""
+    sc = spark.sparkContext
+    jrdds = sc._jsc.sc().getPersistentRDDs()
+    n = jrdds.size()
+    it = jrdds.values().iterator()
+    while it.hasNext():
+        it.next().unpersist(False)
+    spark.catalog.clearCache()
+    return n
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every driver parquet table under ``sf_dir`` and register
     each as a temp view named after the table.

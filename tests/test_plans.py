@@ -143,6 +143,18 @@ def test_pack_sequences_shards_never_global_sort(spark):
     assert "SinglePartition" not in plan, plan
 
 
+def test_ngram_jaccard_has_no_shingle_partitioned_window(spark):
+    # document frequency must come from the skew-immune two-phase
+    # groupBy + AQE-splittable join, never a window partitioned on the
+    # Zipf-skewed shingle key (that puts the hottest shingle's rows in
+    # ONE task — unsplittable at 100 TB).  Windows partitioned by
+    # doc_id (the per-doc rank) are fine: doc size bounds them.
+    plan = _q(spark, "ngram_jaccard")._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "shingle" in line and "doc_id" not in line:
+            raise AssertionError(f"shingle-partitioned window in plan: {line}")
+
+
 def test_sample_mixture_is_map_only(spark):
     # deterministic-hash sampling is a scan + filter: zero exchanges
     plan = _q(spark, "sample_mixture")._jdf.queryExecution().executedPlan().toString()
