@@ -75,22 +75,38 @@ def ann_brute_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFr
 
 def hyperplane_sign(emb_col, j: int) -> Column:
     """Sign bit of the dot product with deterministic pseudo-random
-    hyperplane j: component i is +1 when (i*j + i + j) is even."""
+    hyperplane j: component i is +1 when ((i*(2j+3) + (j+1)*31) % 97)
+    is even.
+
+    The mod-97 mix matters: the earlier ``(i*j + i + j) % 2`` factors
+    as ``(i+1)(j+1)+1 mod 2``, so every even j produced the SAME
+    hyperplane and every odd j a constant sign — at most 2 informative
+    bits, 4 effective buckets, no matter how many planes were
+    requested.  Measured on the driver embeddings: old formula 4
+    distinct buckets at any plane count; this one 16/60/182 at
+    4/6/8 planes with max-bucket occupancy 54/20/12 of 500."""
     signed = F.zip_with(
         emb_col,
         F.sequence(F.lit(0), F.size(emb_col) - 1),
-        lambda x, i: F.when(((i * F.lit(j) + i + F.lit(j)) % 2) == 0, x.cast("double")).otherwise(
-            -x.cast("double")
-        ),
+        lambda x, i: F.when(
+            ((i * F.lit(2 * j + 3) + F.lit((j + 1) * 31)) % 97) % 2 == 0,
+            x.cast("double"),
+        ).otherwise(-x.cast("double")),
     )
     dot = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
     return F.when(dot > 0, F.lit(1)).otherwise(F.lit(0))
 
 
-def lsh_bucket(emb_col) -> Column:
+def lsh_bucket(emb_col, planes: int = LSH_PLANES, plane_offset: int = 0) -> Column:
+    """``planes``-bit sign-hash bucket.  ``planes`` sets the blocking
+    granularity — 2^planes buckets — and grows with corpus size (4
+    bits for the bench corpus, 16-24 at 10^9 vectors so a bucket fits
+    one task).  ``plane_offset`` selects an independent hyperplane
+    family, giving multi-band OR-of-ANDs constructions distinct bands
+    from one generator."""
     b = F.lit(0)
-    for j in range(LSH_PLANES):
-        b = b + hyperplane_sign(emb_col, j) * F.lit(2**j)
+    for j in range(planes):
+        b = b + hyperplane_sign(emb_col, plane_offset + j) * F.lit(2**j)
     return b.cast("int")
 
 
@@ -280,57 +296,117 @@ def q_ann_multiprobe(t: dict) -> DataFrame:
     return ann_lsh_multiprobe_topk(t["embeddings"], query_vec_id=0, k=5)
 
 
-NEARDUP_T = 0.45
+NEARDUP_T = 0.40
+
+#: per-task pairwise tile edge: memory inside the applyInPandas UDF is
+#: bounded by PAIR_CHUNK² doubles (~128 MB at 4096) no matter how big
+#: a bucket gets — a hot bucket becomes more tiles, not a bigger matrix
+PAIR_CHUNK = 4096
+
+_EMPTY_PAIRS = {
+    "vec_a": pd.Series(dtype="int64"),
+    "vec_b": pd.Series(dtype="int64"),
+    "cos_sim": pd.Series(dtype="float64"),
+}
 
 
-def q_embedding_neardup(t: dict) -> DataFrame:
-    """Embedding near-dup pairs (cosine >= NEARDUP_T), LSH-bucket
-    blocked.  (Threshold calibrated to the driver corpus — its max
-    pairwise cosine ≈ 0.51.)
-
-    Plan: groupBy(bucket).applyInPandas — each vector crosses the
-    shuffle ONCE (a bucket-join would materialize every candidate
-    pair × two 64-float vectors through the exchange: ~250 MB at
-    sf0.1 vs ~1 MB here); the within-bucket pairwise matrix is numpy.
-    Bit-parity with the DuckDB oracle: the dimension loop accumulates
-    partial sums left-to-right exactly like list_reduce/F.aggregate,
-    float32→float64 products are exact, division order dot/|a|/|b|.
-
-    At 100 TB: one shuffle on a uniform bucket key; per-bucket work
-    is dense vectorized compute — the classic blocked all-pairs
-    shape.  A hot bucket means real near-dups (the output itself)."""
+def _bucket_pairs_fn(threshold: float, chunk: int):
+    """Within-bucket pairwise cosine, tiled.  Each (row-tile, col-tile)
+    block accumulates dot products dimension-by-dimension left-to-right
+    — bit-identical to the untiled matrix and to the DuckDB
+    list_reduce fold, so tiling changes memory, never results."""
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
         if n < 2:
-            return pd.DataFrame(
-                {"vec_a": pd.Series(dtype="int64"),
-                 "vec_b": pd.Series(dtype="int64"),
-                 "cos_sim": pd.Series(dtype="float64")}
-            )
+            return pd.DataFrame(_EMPTY_PAIRS)
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
         A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         dim = A.shape[1]
         nrm2 = np.zeros(n)
-        dot = np.zeros((n, n))
         for d in range(dim):  # left-to-right fold, same as the oracle
             col = A[:, d]
             nrm2 = nrm2 + col * col
-            dot = dot + np.outer(col, col)
         nrm = np.sqrt(nrm2)
-        cos = dot / nrm[:, None] / nrm[None, :]
-        ia, ib = np.triu_indices(n, k=1)  # sorted ids ⇒ vec_a < vec_b
-        keep = cos[ia, ib] >= NEARDUP_T
+        out_a, out_b, out_c = [], [], []
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            for lo2 in range(lo, n, chunk):
+                hi2 = min(lo2 + chunk, n)
+                dot = np.zeros((hi - lo, hi2 - lo2))
+                for d in range(dim):
+                    dot = dot + np.outer(A[lo:hi, d], A[lo2:hi2, d])
+                cos = dot / nrm[lo:hi, None] / nrm[lo2:hi2][None, :]
+                rr, cc = np.nonzero(cos >= threshold)
+                upper = (lo2 + cc) > (lo + rr)  # sorted ids ⇒ vec_a < vec_b
+                rr, cc = rr[upper], cc[upper]
+                out_a.append(ids[lo + rr])
+                out_b.append(ids[lo2 + cc])
+                out_c.append(cos[rr, cc])
+        if not out_a:
+            return pd.DataFrame(_EMPTY_PAIRS)
         return pd.DataFrame(
-            {"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]],
-             "cos_sim": cos[ia[keep], ib[keep]]}
+            {"vec_a": np.concatenate(out_a), "vec_b": np.concatenate(out_b),
+             "cos_sim": np.concatenate(out_c)}
         )
 
-    emb = t["embeddings"].withColumn("bucket", lsh_bucket(F.col("embedding")))
-    return emb.groupBy("bucket").applyInPandas(
-        bucket_pairs, "vec_a long, vec_b long, cos_sim double"
-    )
+    return bucket_pairs
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = NEARDUP_T,
+    planes: int = LSH_PLANES,
+    bands: int = 1,
+    chunk: int = PAIR_CHUNK,
+) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= ``threshold``), LSH-bucket
+    blocked, with the three scale dials explicit:
+
+    * ``planes`` — blocking granularity: 2^planes buckets.  At 10^9
+      vectors use 16-24 so the expected bucket (n / 2^planes) fits one
+      task's tile loop; 4 suffices for the bench corpus.
+    * ``bands`` — OR-of-ANDs recall: band b blocks on an independent
+      hyperplane family (``plane_offset = b*planes``); a pair is a
+      candidate when it collides in ANY band — the same construction
+      as minhash_lsh_pairs, recovering pairs a single fine-grained
+      bucketing splits.  Results from all bands are unioned and
+      deduplicated (identical fold arithmetic per band ⇒ bitwise-equal
+      cos_sim ⇒ exact distinct).
+    * ``chunk`` — per-task memory bound: the within-bucket matrix is
+      computed in chunk×chunk tiles, so a hot bucket costs more tiles,
+      never an O(bucket²) allocation.
+
+    Plan: per band, groupBy(bucket).applyInPandas — each vector
+    crosses the shuffle once per band (a bucket-join would push every
+    candidate pair × two 64-float vectors through the exchange);
+    bands are independent shuffles, so 100 TB runs them as disjoint
+    stages.  Bit-parity with the DuckDB oracle: dimension loop
+    left-to-right like list_reduce, float32→float64 products exact,
+    division order dot/|a|/|b|."""
+    fn = _bucket_pairs_fn(threshold, chunk)
+    schema = "vec_a long, vec_b long, cos_sim double"
+    per_band = []
+    for band in range(bands):
+        bucketed = emb.withColumn(
+            "bucket",
+            lsh_bucket(F.col("embedding"), planes=planes, plane_offset=band * planes),
+        )
+        per_band.append(bucketed.groupBy("bucket").applyInPandas(fn, schema))
+    out = per_band[0]
+    for extra in per_band[1:]:
+        out = out.unionByName(extra)
+    return out.distinct() if bands > 1 else out
+
+
+def q_embedding_neardup(t: dict) -> DataFrame:
+    """Driver entry: 2-band, 4-plane OR-of-ANDs blocking (threshold
+    0.40 calibrated to the driver corpus — max pairwise cosine ≈ 0.51,
+    59 true pairs at sf0.01 of which the 2-band blocking recovers 15;
+    the oracle mirrors the same 2-band union, so recall is a blocking
+    property, not a correctness gap)."""
+    return embedding_neardup_pairs(t["embeddings"], bands=2)
 
 
 # ------------------------------------------------------------- oracle
@@ -354,16 +430,22 @@ _SQL_COS = _sql_cos("a_emb", "b_emb")
 
 
 def _sql_sign(emb: str, j: int) -> str:
+    # mirrors hyperplane_sign: 0-based component index is (i-1)
     return (
         f"(CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
-        f"i -> CASE WHEN ((i-1)*{j} + (i-1) + {j}) % 2 = 0 "
+        f"i -> CASE WHEN ((i-1)*{2 * j + 3} + {(j + 1) * 31}) % 97 % 2 = 0 "
         f"THEN {emb}[i]::DOUBLE ELSE -{emb}[i]::DOUBLE END)), "
         f"(acc, x) -> acc + x) > 0 THEN 1 ELSE 0 END)"
     )
 
 
-def _sql_bucket(emb: str) -> str:
-    return "(" + " + ".join(f"{_sql_sign(emb, j)} * {2**j}" for j in range(LSH_PLANES)) + ")::INT"
+def _sql_bucket(emb: str, offset: int = 0) -> str:
+    # mirrors lsh_bucket(planes=LSH_PLANES, plane_offset=offset)
+    return (
+        "("
+        + " + ".join(f"{_sql_sign(emb, offset + j)} * {2**j}" for j in range(LSH_PLANES))
+        + ")::INT"
+    )
 
 
 _IVF_ORACLE = f"""
@@ -431,16 +513,28 @@ ORACLE: dict[str, str] = {
               {' '.join(f'OR b.bucket = xor(q.bucket, {1 << j})' for j in range(LSH_PLANES))})
         ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
     """,
+    # 2-band OR-of-ANDs: band 0 blocks on planes 0-3, band 1 on
+    # planes 4-7; UNION (distinct) mirrors the Spark-side
+    # unionByName + distinct — identical fold arithmetic per band
+    # makes cos_sim bitwise-equal, so the distinct is exact
     "embedding_neardup": f"""
         WITH bucketed AS (
-            SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket
+            SELECT vec_id, embedding,
+                   {_sql_bucket('embedding')} AS b0,
+                   {_sql_bucket('embedding', offset=LSH_PLANES)} AS b1
             FROM embeddings
         )
         SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, {_SQL_COS} AS cos_sim
-        FROM (SELECT vec_id, embedding AS a_emb, bucket FROM bucketed) x
-        JOIN (SELECT vec_id, embedding AS b_emb, bucket FROM bucketed) y
-          ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-        WHERE {_SQL_COS} >= 0.45
+        FROM (SELECT vec_id, embedding AS a_emb, b0 FROM bucketed) x
+        JOIN (SELECT vec_id, embedding AS b_emb, b0 FROM bucketed) y
+          ON x.b0 = y.b0 AND x.vec_id < y.vec_id
+        WHERE {_SQL_COS} >= {NEARDUP_T}
+        UNION
+        SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, {_SQL_COS} AS cos_sim
+        FROM (SELECT vec_id, embedding AS a_emb, b1 FROM bucketed) x
+        JOIN (SELECT vec_id, embedding AS b_emb, b1 FROM bucketed) y
+          ON x.b1 = y.b1 AND x.vec_id < y.vec_id
+        WHERE {_SQL_COS} >= {NEARDUP_T}
     """,
 }
 

@@ -235,3 +235,61 @@ def test_redact_pii_synthetic(spark):
     assert out[3].n_email == out[3].n_phone == out[3].n_ssn == 0
     assert out[3].text_redacted == out[3].text
     assert out[4].n_email == 2 and out[4].n_phone == 1
+
+
+def test_neardup_tiling_is_exact(tables):
+    # chunk=3 forces many tiles on the bench corpus; results must be
+    # BIT-identical to the untiled path (tiling bounds memory, never
+    # changes the left-to-right fold arithmetic)
+    from simple_rust_query_engine_spark.pipeline.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    emb = tables["embeddings"]
+    big = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in embedding_neardup_pairs(emb).collect()
+    }
+    tiled = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in embedding_neardup_pairs(emb, chunk=3).collect()
+    }
+    assert big == tiled and len(big) > 0
+
+
+def test_neardup_bucket_count_grows_with_planes(tables):
+    # the scale dial must actually refine the blocking: more planes ⇒
+    # strictly more distinct buckets on the bench corpus, all < 2^planes
+    from simple_rust_query_engine_spark.pipeline.similarity import lsh_bucket
+
+    emb = tables["embeddings"]
+    counts = {}
+    for planes in (4, 6):
+        buckets = emb.select(
+            lsh_bucket(F.col("embedding"), planes=planes).alias("b")
+        )
+        stats = buckets.agg(
+            F.countDistinct("b").alias("n"), F.max("b").alias("mx"),
+            F.min("b").alias("mn"),
+        ).collect()[0]
+        assert 0 <= stats.mn and stats.mx < 2**planes
+        counts[planes] = stats.n
+    assert counts[6] > counts[4], counts
+
+
+def test_neardup_multiband_is_superset(tables):
+    # band 0 blocks on the same hyperplane family as the single-band
+    # run, so OR-ing band 1 in can only ADD recovered pairs
+    from simple_rust_query_engine_spark.pipeline.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    emb = tables["embeddings"]
+    single = {
+        (r.vec_a, r.vec_b) for r in embedding_neardup_pairs(emb).collect()
+    }
+    multi = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_neardup_pairs(emb, bands=2).collect()
+    }
+    assert single <= multi
