@@ -139,13 +139,44 @@ def _minhash_sig_expr(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", sig.alias("sig"))
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
+def _strong_shingle_hashes(words: list) -> "np.ndarray":
+    """53-bit blake2b digests of each word-SHINGLE_N-gram string —
+    the production shingle id: deterministic everywhere (unlike
+    ``hash()``), collision-negligible up to ~10^8 distinct shingles
+    (birthday bound in a 2^53 space), and small enough that the
+    affine permutations below stay int64-exact (35 · 2^53 < 2^63)."""
+    from hashlib import blake2b
+
+    return np.fromiter(
+        (
+            int.from_bytes(
+                blake2b(
+                    " ".join(words[i : i + SHINGLE_N]).encode(), digest_size=8
+                ).digest(),
+                "big",
+            )
+            >> 11
+            for i in range(len(words) - SHINGLE_N + 1)
+        ),
+        dtype=np.int64,
+        count=len(words) - SHINGLE_N + 1,
+    )
+
+
+def minhash_signatures(docs: DataFrame, strong_hash: bool = False) -> DataFrame:
     """doc_id + sig array<long>[MH_K] over word-3-gram shingle hashes.
 
     Arrow-batched pandas UDF, numpy-vectorized over each doc's shingle
     array: identical integer arithmetic to the DuckDB oracle (every
     intermediate < 2^53, int64-exact in numpy).  Map-only — no explode,
-    no shuffle; scales linearly with input splits at 100 TB."""
+    no shuffle; scales linearly with input splits at 100 TB.
+
+    ``strong_hash=True`` is the production switch: shingle ids become
+    53-bit blake2b digests of the shingle STRING instead of the
+    oracle-friendly affine word-hash combine (``text.word_hash``,
+    which collides heavily on real corpora).  Same plan, same
+    permutation pipeline, no oracle twin — flip it when correctness
+    is checked by tests rather than the cross-engine hash gate."""
     from pyspark.sql.functions import pandas_udf
 
     a = np.arange(MH_K, dtype=np.int64) * 2 + 3   # perm multipliers
@@ -159,15 +190,18 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
             if len(words) < SHINGLE_N:
                 out.append([None] * MH_K)  # array_min(empty) semantics
                 continue
-            wh = np.fromiter(
-                (
-                    (ord(w[0]) * 131 + len(w) * 31 + ord(w[-1])) if w else 0
-                    for w in words
-                ),
-                dtype=np.int64,
-                count=len(words),
-            )
-            g = ((wh[:-2] * SH_P + wh[1:-1]) % SH_M * SH_P + wh[2:]) % SH_M
+            if strong_hash:
+                g = _strong_shingle_hashes(words)
+            else:
+                wh = np.fromiter(
+                    (
+                        (ord(w[0]) * 131 + len(w) * 31 + ord(w[-1])) if w else 0
+                        for w in words
+                    ),
+                    dtype=np.int64,
+                    count=len(words),
+                )
+                g = ((wh[:-2] * SH_P + wh[1:-1]) % SH_M * SH_P + wh[2:]) % SH_M
             g = np.unique(g)
             out.append(((a[:, None] * g[None, :] + b[:, None]) % MH_MOD).min(axis=1))
         return pd.Series(out)
@@ -175,7 +209,7 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", sig_udf(F.col("text")).alias("sig"))
 
 
-def _checkpointed_sigs(docs: DataFrame) -> DataFrame:
+def _checkpointed_sigs(docs: DataFrame, strong_hash: bool = False) -> DataFrame:
     """Materialized signature table shared by the full and incremental
     pair joins.
 
@@ -188,7 +222,7 @@ def _checkpointed_sigs(docs: DataFrame) -> DataFrame:
     per-executor; recompute-on-executor-loss is the accepted trade
     (or persist(DISK) for reliability)."""
     return (
-        minhash_signatures(docs)
+        minhash_signatures(docs, strong_hash=strong_hash)
         # docs shorter than SHINGLE_N tokens have all-NULL signatures;
         # the oracle's NULL band never joins (NULL || ... = NULL), but
         # concat_ws SKIPS nulls, which would band every short doc
@@ -233,10 +267,12 @@ def _with_pair_stats(cand: DataFrame, sigs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+def minhash_lsh_pairs(docs: DataFrame, strong_hash: bool = False) -> DataFrame:
     """Candidate near-dup pairs via banded LSH + exact signature
-    agreement estimate. Returns (doc_a, doc_b, n_match, est_jaccard)."""
-    sigs = _checkpointed_sigs(docs)
+    agreement estimate. Returns (doc_a, doc_b, n_match, est_jaccard).
+    ``strong_hash`` switches the whole stack (signatures → bands →
+    stats) to production blake2b shingle ids in one flag."""
+    sigs = _checkpointed_sigs(docs, strong_hash=strong_hash)
     bands = _band_exploded(sigs)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -255,7 +291,9 @@ def q_dedup_minhash(t: dict) -> DataFrame:
 INCR_MOD = 5
 
 
-def minhash_lsh_pairs_incremental(docs: DataFrame, is_new) -> DataFrame:
+def minhash_lsh_pairs_incremental(
+    docs: DataFrame, is_new, strong_hash: bool = False
+) -> DataFrame:
     """Incremental LSH dedup: candidate pairs where at least one side
     is a NEW document — the shape of continuous ingest at 100 TB.
 
@@ -266,7 +304,7 @@ def minhash_lsh_pairs_incremental(docs: DataFrame, is_new) -> DataFrame:
     the band key), each ingest batch shuffles only its own bands.
     Output pairs are normalized (doc_a < doc_b) so a pair arriving
     from either orientation dedups to one row."""
-    sigs = _checkpointed_sigs(docs)
+    sigs = _checkpointed_sigs(docs, strong_hash=strong_hash)
     bands = _band_exploded(sigs)
     new_bands = bands.filter(is_new(F.col("doc_id")))
     n, a = new_bands.alias("n"), bands.alias("a")
@@ -288,7 +326,7 @@ def q_dedup_minhash_incr(t: dict) -> DataFrame:
 
 
 # ---------------------------------------------------------- simhash
-def simhash(docs: DataFrame) -> DataFrame:
+def simhash(docs: DataFrame, strong_hash: bool = False) -> DataFrame:
     """SH_BITS-bit simhash over word-3-gram SHINGLE hashes: per bit
     j, +1/-1 votes of an affine per-bit hash parity, folded over the
     doc's distinct shingles.
@@ -302,7 +340,11 @@ def simhash(docs: DataFrame) -> DataFrame:
     ``minhash_signatures``: 32 interpreted higher-order folds per row
     would be ~10× slower.  All arithmetic int64-exact (< 2^53),
     mirrored in the oracle; docs under SHINGLE_N tokens hash to 0 on
-    both engines (empty vote never exceeds 0)."""
+    both engines (empty vote never exceeds 0).
+
+    ``strong_hash=True``: production blake2b shingle ids (see
+    ``minhash_signatures``) — per-bit mixing stays int64-exact
+    (65 · 2^53 < 2^63); no oracle twin on this path."""
     from pyspark.sql.functions import pandas_udf
 
     mult = np.arange(SH_BITS, dtype=np.int64) * 2 + 3
@@ -316,17 +358,20 @@ def simhash(docs: DataFrame) -> DataFrame:
             words = text.split(" ")
             if len(words) < SHINGLE_N:
                 continue  # empty shingle set → all votes 0 → hash 0
-            wh = np.fromiter(
-                (
-                    (ord(w[0]) * 131 + len(w) * 31 + ord(w[-1])) if w else 0
-                    for w in words
-                ),
-                dtype=np.int64,
-                count=len(words),
-            )
-            g = np.unique(
-                ((wh[:-2] * SH_P + wh[1:-1]) % SH_M * SH_P + wh[2:]) % SH_M
-            )
+            if strong_hash:
+                g = np.unique(_strong_shingle_hashes(words))
+            else:
+                wh = np.fromiter(
+                    (
+                        (ord(w[0]) * 131 + len(w) * 31 + ord(w[-1])) if w else 0
+                        for w in words
+                    ),
+                    dtype=np.int64,
+                    count=len(words),
+                )
+                g = np.unique(
+                    ((wh[:-2] * SH_P + wh[1:-1]) % SH_M * SH_P + wh[2:]) % SH_M
+                )
             bits = ((g[None, :] * mult[:, None] + add[:, None]) % SH_MOD) % 2
             votes = (2 * bits - 1).sum(axis=1)
             out[i] = int(weights[votes > 0].sum())

@@ -55,9 +55,21 @@ def pack_sequences(
     sequences with the split token counts.  Sum(n_tok_in_seq) per
     (shard, seq_id) == seq_len for every full sequence, == remainder
     for the shard's last one — pinned by tests.
+
+    ``doc_id`` must be UNIQUE within a shard (true of the driver
+    corpus and any sane ingest key): it is the concat order.  The
+    explicit ROWS frame makes the requirement visible — under the
+    default RANGE frame duplicate ids would silently share one
+    cum_end (double-counted spans); under ROWS they would instead be
+    nondeterministically ordered.  Either way duplicates are a data
+    bug, not a packing the operator can define.
     """
     n_tok = F.regexp_count(F.col(text_col), F.lit(r"\S+"))
-    w = Window.partitionBy(shard_col).orderBy("doc_id")
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     spans = (
         docs.select(shard_col, "doc_id", n_tok.alias("n_tok"))
         .filter(F.col("n_tok") > 0)
@@ -97,7 +109,6 @@ def sample_mixture(
     """
     rates = MIX_RATES if rates is None else rates
     bucket = (F.col("doc_id") % MIX_MOD * MIX_A + MIX_B) % MIX_MOD
-    thresh = F.lit(None).cast("long")
     expr = None
     for k, r in rates.items():
         cond = F.lit(int(r * MIX_MOD))

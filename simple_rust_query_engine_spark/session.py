@@ -180,7 +180,13 @@ def epoch_ms(df: DataFrame, col_name: str):
     if isinstance(dt, T.TimestampType):
         return F.unix_millis(F.col(col_name))
     if isinstance(dt, T.LongType):  # raw nanos
-        return F.expr(f"`{col_name}` div 1000000")
+        # floor division, not `div` (which truncates toward zero):
+        # pre-1970 nanos must round DOWN to match DuckDB's epoch_ms.
+        # pmod is non-negative, so subtracting it lands on an exact
+        # multiple — all integer math, no 2^53 double precision loss.
+        return F.expr(
+            f"(`{col_name}` - pmod(`{col_name}`, 1000000)) div 1000000"
+        )
     raise TypeError(f"epoch_ms: {col_name} has non-timestamp type {dt}")
 
 
@@ -203,8 +209,8 @@ def as_event_time(df: DataFrame, col_name: str) -> DataFrame:
         return df
     if isinstance(dt, T.TimestampNTZType):
         micros = F.expr(f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, `{col_name}`)")
-    elif isinstance(dt, T.LongType):  # raw nanos
-        micros = F.expr(f"`{col_name}` div 1000")
+    elif isinstance(dt, T.LongType):  # raw nanos, floor toward -inf
+        micros = F.expr(f"(`{col_name}` - pmod(`{col_name}`, 1000)) div 1000")
     else:
         raise TypeError(f"as_event_time: {col_name} has non-timestamp type {dt}")
     return df.withColumn(col_name, F.timestamp_micros(micros))

@@ -293,3 +293,43 @@ def test_neardup_multiband_is_superset(tables):
         for r in embedding_neardup_pairs(emb, bands=2).collect()
     }
     assert single <= multi
+
+
+def test_strong_hash_paths(spark):
+    # the one-flag production exit: blake2b shingle ids instead of the
+    # oracle-friendly affine word hash.  Same plan, same semantics —
+    # near-dups found, exact dups at est_jaccard 1.0 — different ids.
+    from simple_rust_query_engine_spark.pipeline.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+        simhash,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact dup of 1
+            (3, base + " with a tiny suffix change"),
+            (4, "completely unrelated text about spark query engines here"),
+            (5, "xy"),  # under SHINGLE_N tokens → NULL signature
+        ],
+        "doc_id long, text string",
+    )
+    for strong in (False, True):
+        pairs = {
+            (r.doc_a, r.doc_b): r.est_jaccard
+            for r in minhash_lsh_pairs(docs, strong_hash=strong).collect()
+        }
+        assert pairs.get((1, 2)) == 1.0, (strong, pairs)
+        assert (1, 4) not in pairs and (2, 4) not in pairs, (strong, pairs)
+        sh = {r.doc_id: r.simhash for r in simhash(docs, strong_hash=strong).collect()}
+        assert sh[1] == sh[2] and sh[5] == 0, (strong, sh)
+        assert bin(sh[1] ^ sh[4]).count("1") > 3, (strong, sh)
+    # the two paths must actually use different shingle ids
+    weak = minhash_signatures(docs).collect()
+    strong = minhash_signatures(docs, strong_hash=True).collect()
+    w = {r.doc_id: list(r.sig) for r in weak}
+    s = {r.doc_id: list(r.sig) for r in strong}
+    assert w[1] != s[1]
+    assert s[5] == [None] * len(s[1])  # NULL semantics preserved

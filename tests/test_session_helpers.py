@@ -82,3 +82,28 @@ def test_materialize_durable_and_local_paths_agree(tables):
         assert not durable.storageLevel.useMemory
     finally:
         durable.unpersist()
+
+
+def test_epoch_ms_raw_nanos_floors_pre_1970(spark):
+    import duckdb
+
+    from simple_rust_query_engine_spark.session import epoch_ms
+
+    # -1 ns is 1969-12-31 23:59:59.999999999 → epoch_ms must be -1
+    # (floor), not 0 (truncation toward zero); DuckDB agrees
+    nanos = [-1, -999_999, -1_000_000, -1_000_001, 1, 999_999, 1_000_000]
+    df = spark.createDataFrame([(n,) for n in nanos], "ts long")
+    got = [
+        r.ms
+        for r in df.select(epoch_ms(df, "ts").alias("ms"), "ts")
+        .orderBy("ts")
+        .collect()
+    ]
+    # DuckDB floor-division reference: epoch_ms of a nano instant is
+    # floor(n / 1e6) — build it from integer // which floors in Python
+    want = [n // 1_000_000 for n in sorted(nanos)]
+    duck_check = [
+        duckdb.sql(f"SELECT ({n} - ({n} % 1000000 + 1000000) % 1000000) // 1000000").fetchone()[0]
+        for n in sorted(nanos)
+    ]
+    assert got == want == duck_check, (got, want, duck_check)
