@@ -541,14 +541,116 @@ def q_ngram_jaccard(t: dict) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, vertices: DataFrame) -> DataFrame:
+def _large_star(E: DataFrame) -> DataFrame:
+    """Large-star round: every node's LARGER neighbors re-attach to
+    the minimum of its closed neighborhood (Kiveris et al. 2014,
+    'Connected Components in MapReduce and Beyond' — public).  One
+    groupBy + one join, both on the node key."""
+    bidir = E.union(
+        E.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    m = (
+        bidir.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("mn", "src").alias("m"))
+    )
+    return (
+        bidir.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        # m <= src < dst, so the emitted (dst, m) edge is never a loop
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(E: DataFrame) -> DataFrame:
+    """Small-star round: orient every edge large→small; each node and
+    its smaller neighbors all re-attach to the neighborhood min."""
+    o = (
+        E.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .distinct()
+    )
+    nbr = o.groupBy("src").agg(F.min("dst").alias("m"))
+    return (
+        o.join(nbr, "src")
+        .select(F.col("dst").alias("v"), "m")
+        .union(nbr.select(F.col("src").alias("v"), "m"))
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame, vertices: DataFrame, max_rounds: int = 64
+) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star CC — O(log n) rounds on ANY
+    graph shape, including the chains where min-label propagation
+    degenerates to O(diameter) rounds.  Returns (labels, rounds).
+
+    Per round: two groupBy-min + two self-joins, all keyed on node id
+    — the same shuffle shape at 100 TB as the propagation loop, just
+    fewer rounds on deep graphs.  Convergence = the canonical edge
+    set's (count, xxhash sum) fingerprint repeating; at the fixpoint
+    the edges form a star forest (v → component min), read off as the
+    label map."""
+    E = materialize(
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    fp_prev = None
+    rounds = 0
+    while rounds < max_rounds:
+        prev = E
+        E = materialize(_small_star(_large_star(E)))
+        if DURABLE_MATERIALIZE:
+            prev.unpersist()
+        rounds += 1
+        # pmod keeps the hash sum < 2^63 under ANSI overflow checking
+        # for any realistic edge count (2^31 · |E|)
+        fp = E.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pmod(F.xxhash64("src", "dst"), F.lit(2**31))).alias("h"),
+        ).collect()[0]
+        fp = (fp.n, fp.h)
+        if fp == fp_prev:
+            break
+        fp_prev = fp
+    star = E.groupBy("src").agg(F.min("dst").alias("label"))
+    lab = (
+        vertices.join(star, vertices.doc_id == star.src, "left")
+        .select(
+            "doc_id",
+            F.least(
+                F.col("doc_id"), F.coalesce("label", F.col("doc_id"))
+            ).alias("label"),
+        )
+    )
+    return lab, rounds
+
+
+def connected_components(
+    edges: DataFrame, vertices: DataFrame, algorithm: str = "propagation"
+) -> DataFrame:
     """Min-label propagation to fixpoint: every vertex ends with the
     smallest doc_id in its connected component.  The standard Spark
     CC shape (GraphFrames does the same under the hood): per round,
     one join + one aggregation; rounds ≈ graph diameter (near-dup
-    components are shallow).  The driver-side loop holds only the
-    convergence counter — all data stays distributed; localCheckpoint
-    truncates lineage so plans don't grow across rounds."""
+    components are shallow, so this is the default).  The driver-side
+    loop holds only the convergence counter — all data stays
+    distributed; localCheckpoint truncates lineage so plans don't
+    grow across rounds.
+
+    ``algorithm="star"`` switches to alternating large-star/
+    small-star (``connected_components_star``) — O(log n) rounds on
+    high-diameter graphs (chains, long paths) where propagation needs
+    O(diameter) rounds.  Same labels, different round complexity."""
+    if algorithm == "star":
+        lab, _ = connected_components_star(edges, vertices)
+        return lab
     bidir = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))

@@ -333,3 +333,41 @@ def test_strong_hash_paths(spark):
     s = {r.doc_id: list(r.sig) for r in strong}
     assert w[1] != s[1]
     assert s[5] == [None] * len(s[1])  # NULL semantics preserved
+
+
+def test_star_cc_chain_converges_logarithmically(spark):
+    # a 64-node chain is the propagation worst case (~63 rounds);
+    # large-star/small-star must land the same labels in O(log n)
+    from simple_rust_query_engine_spark.pipeline.dedup import (
+        connected_components_star,
+    )
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    lab, rounds = connected_components_star(edges, vertices)
+    got = {r.doc_id: r.label for r in lab.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 12, rounds  # paper bound ~2 log n; propagation needs ~63
+
+
+def test_star_cc_matches_propagation_on_neardup_graph(tables, spark):
+    from simple_rust_query_engine_spark.pipeline.dedup import (
+        connected_components,
+        q_ngram_jaccard,
+    )
+
+    t = tables
+    edges = q_ngram_jaccard(t).select("doc_a", "doc_b")
+    verts = t["documents"].select("doc_id")
+    prop = {
+        r.doc_id: r.label
+        for r in connected_components(edges, verts).collect()
+    }
+    star = {
+        r.doc_id: r.label
+        for r in connected_components(edges, verts, algorithm="star").collect()
+    }
+    assert prop == star and len(prop) > 0
