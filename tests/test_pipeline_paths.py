@@ -371,3 +371,26 @@ def test_star_cc_matches_propagation_on_neardup_graph(tables, spark):
         for r in connected_components(edges, verts, algorithm="star").collect()
     }
     assert prop == star and len(prop) > 0
+
+
+def test_lsh_bucket_udf_matches_expression(tables):
+    # the Arrow bucket UDF must be bit-identical to the interpreted
+    # expression form (which the DuckDB oracle mirrors) on every
+    # vector, for every band
+    from simple_rust_query_engine_spark.pipeline.similarity import (
+        LSH_PLANES,
+        lsh_bucket,
+        lsh_bucket_udf,
+    )
+
+    emb = tables["embeddings"]
+    udf = lsh_bucket_udf(planes=LSH_PLANES, bands=2)
+    both = emb.select(
+        "vec_id",
+        udf(F.col("embedding")).alias("u"),
+        lsh_bucket(F.col("embedding")).alias("e0"),
+        lsh_bucket(F.col("embedding"), plane_offset=LSH_PLANES).alias("e1"),
+    ).collect()
+    assert len(both) > 0
+    for r in both:
+        assert list(r.u) == [r.e0, r.e1], r
