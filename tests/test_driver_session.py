@@ -34,6 +34,13 @@ PROBE_QUERIES = [
     # a bare-session-only failure mode, so they belong in this probe
     "events_window_stream",
     "dedup_exact_stream",
+    # round-4 window rotation: these enter the driver's checked window
+    # having never faced its bare session; all carry timestamp or
+    # session_window surfaces — the exact session-dependent risk class
+    "join_asof_fwd",
+    "events_window_sliding",
+    "events_session_window",
+    "kmv_ndistinct",
 ]
 
 _SCRIPT = """

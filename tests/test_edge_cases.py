@@ -172,3 +172,21 @@ def test_kmv_sketch_accuracy_and_exact_path(spark):
     est = kmv_ndistinct(big, "k", "v").collect()[0].est_ndistinct
     rel_err = abs(est - 5000) / 5000
     assert rel_err < 2.5 / (KMV_K - 2) ** 0.5, (est, rel_err)
+
+
+def test_ngram_shingles_udf_matches_expression(tables):
+    from pyspark.sql import functions as F
+
+    from simple_rust_query_engine_spark.pipeline.dedup import (
+        ngram_shingles,
+        ngram_shingles_udf,
+    )
+
+    docs = tables["documents"]
+    both = docs.select(
+        ngram_shingles(F.col("text")).alias("e"),
+        ngram_shingles_udf()(F.col("text")).alias("u"),
+    ).collect()
+    assert len(both) > 0
+    for r in both:
+        assert list(r.e) == list(r.u)
