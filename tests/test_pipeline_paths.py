@@ -394,3 +394,24 @@ def test_lsh_bucket_udf_matches_expression(tables):
     assert len(both) > 0
     for r in both:
         assert list(r.u) == [r.e0, r.e1], r
+
+
+def test_stream_interval_join_matches_batch(spark):
+    # the stream-stream join through the streaming engine must emit
+    # exactly the batch twin's rows (inner join => append-safe)
+    from simple_rust_query_engine_spark.session import load_tables
+    from simple_rust_query_engine_spark.streaming.join import (
+        interval_join_batch,
+        q_events_stream_join,
+    )
+
+    t = load_tables(spark, SF_DIR)
+    batch = {
+        (r.purchase_id, r.click_id, r.user_id, r.gap_ms)
+        for r in interval_join_batch(t["events"]).collect()
+    }
+    stream = {
+        (r.purchase_id, r.click_id, r.user_id, r.gap_ms)
+        for r in q_events_stream_join(spark, SF_DIR).collect()
+    }
+    assert batch == stream and len(batch) > 0

@@ -77,7 +77,12 @@ def test_whole_stage_codegen_covers_scan_filter(spark):
 
 #: streaming-engine entries execute eagerly on call — exercised by
 #: their own tests; plan text of the returned sink table is trivial
-_STREAMING_QUERIES = {"events_window_stream", "dedup_exact_stream", "minhash_sig_stream"}
+_STREAMING_QUERIES = {
+    "events_window_stream",
+    "dedup_exact_stream",
+    "minhash_sig_stream",
+    "events_stream_join",
+}
 
 
 def test_no_query_plans_a_cartesian_product(spark):
