@@ -142,3 +142,49 @@ def test_pack_sequences_matches_python(spark, rows, seq_len):
     }
     want = _py_pack(rows if rows else [("s0", 0, 0)], seq_len)
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),        # user_id
+            st.integers(min_value=0, max_value=10**7),    # epoch ms
+            st.sampled_from(["purchase", "click", "view"]),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_interval_join_batch_matches_python(spark, events):
+    # arbitrary event streams: the batch interval join (the stream
+    # join's oracle-checked twin) must agree with a brute-force
+    # Python reference, including boundary gaps of exactly 0 and
+    # exactly JOIN_WINDOW_MS
+    import datetime as dt
+
+    from simple_rust_query_engine_spark.streaming.join import (
+        JOIN_WINDOW_MS,
+        interval_join_batch,
+    )
+
+    rows = [
+        (i, uid, dt.datetime(1970, 1, 1) + dt.timedelta(milliseconds=ms), typ)
+        for i, (uid, ms, typ) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string"
+    )
+    got = {
+        (r.purchase_id, r.click_id, r.user_id, r.gap_ms)
+        for r in interval_join_batch(df).collect()
+    }
+    want = set()
+    for pi, (pu, pm, pt) in enumerate(events):
+        if pt != "purchase":
+            continue
+        for ci, (cu, cm, ct) in enumerate(events):
+            if ct == "click" and cu == pu and 0 <= pm - cm <= JOIN_WINDOW_MS:
+                want.add((pi, ci, pu, pm - cm))
+    assert got == want
