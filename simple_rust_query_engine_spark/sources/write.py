@@ -23,6 +23,31 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_sorted(
+    df,
+    path: str,
+    sort_cols: Sequence[str],
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Zone-map layout: range-cluster rows across ``num_files`` output
+    files by ``sort_cols`` and sort within each file.
+
+    Parquet keeps min/max statistics per row group; a selective filter
+    on the sort column then prunes row groups (and with
+    ``repartitionByRange``, near-disjoint FILE ranges) at scan time —
+    the cheap storage-side half of predicate pushdown.  At 100 TB this
+    is the difference between touching one file and touching all of
+    them for a time-range query; the write pays one range shuffle.
+    The clustering property (near-disjoint per-file min/max spans) is
+    pinned by test from the parquet footers themselves."""
+    inner = getattr(df, "df", df)
+    clustered = inner.repartitionByRange(num_files, *sort_cols).sortWithinPartitions(
+        *sort_cols
+    )
+    clustered.write.mode(mode).parquet(path)
+
+
 def write_csv(df, path: str, mode: str = "overwrite", header: bool = True) -> None:
     inner = getattr(df, "df", df)
     inner.write.mode(mode).option("header", str(header).lower()).csv(path)

@@ -105,3 +105,56 @@ def test_orc_roundtrip(spark, tables, tmp_path):
     back = read_orc(spark, out)
     assert back.count() == tables["nation"].count()
     assert dict(back.dtypes) == dict(tables["nation"].dtypes)
+
+
+def test_write_sorted_produces_zone_map_layout(tables, tmp_path):
+    # the clustering contract, read straight from the parquet footers:
+    # with range-clustering each file's [min,max] span of the sort key
+    # covers ~1/N of the global range (near-disjoint zone maps); an
+    # unclustered write leaves every file spanning ~the whole range,
+    # so min/max stats can prune nothing
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from simple_rust_query_engine_spark.sources.write import (
+        write_parquet,
+        write_sorted,
+    )
+
+    li = tables["lineitem"].select("l_orderkey", "l_extendedprice")
+    sorted_dir = str(tmp_path / "sorted")
+    plain_dir = str(tmp_path / "plain")
+    write_sorted(li, sorted_dir, ["l_orderkey"], num_files=8)
+    write_parquet(li.repartition(8), plain_dir)
+
+    def spans(d):
+        out = []
+        for f in glob.glob(d + "/*.parquet"):
+            md = pq.read_metadata(f)
+            lo = min(
+                md.row_group(i).column(0).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(0).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            out.append(hi - lo)
+        return out
+
+    from pyspark.sql import functions as F
+
+    s_spans, p_spans = spans(sorted_dir), spans(plain_dir)
+    assert len(s_spans) >= 4
+    stats = li.agg(
+        F.min("l_orderkey").alias("mn"), F.max("l_orderkey").alias("mx")
+    ).collect()[0]
+    global_span = stats.mx - stats.mn
+    # clustered: average file span well under half the global range;
+    # unclustered: every file spans nearly all of it
+    assert sum(s_spans) / len(s_spans) < 0.5 * global_span, s_spans
+    assert min(p_spans) > 0.8 * global_span, p_spans
+    # and the data still round-trips
+    back = li.sparkSession.read.parquet(sorted_dir)
+    assert back.count() == li.count()
