@@ -108,6 +108,15 @@ _DEFER_PAST_CAP = (
     # checked by dedup_exact_stream, events_window_stream, and the
     # new stream join
     "minhash_sig_stream",
+    # round-4 additions tpch_q5_like, events_funnel, shuffle_shards,
+    # train_test_split, emb_centroid, text_normalize enter the window
+    # (same rule); six more r3-green redundant siblings defer:
+    "limit_skip",      # → topk (limit family) stays
+    "agg_global",      # → agg_grouped, agg_having, tpch_q1 stay
+    "sort_multi",      # → topk + every ORDER BY composite stays
+    "coercion",        # → filter_predicate (expression family) stays
+    "token_count",     # → quality_score, lang_id, text_normalize stay
+    "fingerprint",     # → same text family
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

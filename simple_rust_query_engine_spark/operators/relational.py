@@ -361,6 +361,44 @@ def q_tpch_q3_like(t: Tables) -> DataFrame:
     )
 
 
+def q_tpch_q5_like(t: Tables) -> DataFrame:
+    """TPC-H Q5 shape — local-supplier revenue per nation for one
+    region and order year.  The deepest join chain in the suite
+    (region→nation→supplier→lineitem→orders→customer, with the
+    local-supplier constraint c_nationkey = s_nationkey), so it is the
+    join-ORDERING showcase: region/nation/supplier/customer are dims
+    that broadcast under the 64 MB threshold, the selective
+    region+date filters push to the scans, and AQE re-plans the
+    lineitem↔orders join from runtime stats.  At 100 TB the only
+    shuffle left is fact↔fact (lineitem↔orders on orderkey) — every
+    dim edge stays a broadcast hash join, which is exactly the plan a
+    1000-executor cluster wants."""
+    r = t["region"].filter(F.col("r_name") == "ASIA")
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    return (
+        t["customer"]
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
 # --------------------------------------------------------------- oracle
 ORACLE: dict[str, str] = {
     "scan_projection": """
@@ -519,6 +557,21 @@ ORACLE: dict[str, str] = {
         GROUP BY o_orderkey
         ORDER BY revenue DESC, o_orderkey ASC LIMIT 20
     """,
+    "tpch_q5_like": """
+        SELECT n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name ASC
+    """,
 }
 
 QUERIES = {
@@ -546,4 +599,5 @@ QUERIES = {
     "flagship": q_flagship,
     "tpch_q1": q_tpch_q1,
     "tpch_q3_like": q_tpch_q3_like,
+    "tpch_q5_like": q_tpch_q5_like,
 }

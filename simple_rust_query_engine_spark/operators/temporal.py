@@ -160,6 +160,64 @@ def range_join_pairs(
     )
 
 
+def funnel(
+    events: DataFrame,
+    stages: tuple[str, ...],
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Ordered funnel: per key, the earliest time of each stage such
+    that stage *i* happens at-or-after the chosen stage *i-1* time
+    (classic view→click→purchase product analytics — no engine in the
+    comparison set has it built in).
+
+    A stage-k time depends on the stage-(k-1) choice, so it is NOT a
+    plain conditional min; a per-stage self-join chain would cost one
+    shuffle per stage.  Instead: ONE shuffle.  A window partitioned by
+    key and ordered by (time, ``order_col``) computes the running
+    first-time of each stage in sequence — a row qualifies for stage k
+    iff stage k-1's running first-time is already non-NULL at that row
+    (i.e. some qualifying stage-(k-1) event sorts at-or-before it;
+    ties broken deterministically by ``order_col``).  The final
+    groupBy is on the window's own partitioning key, so Catalyst
+    reuses the exchange: one hash shuffle total, any number of stages.
+    ``depth`` = number of stages completed, so funnel drop-off is a
+    ``groupBy(depth).count()`` away.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(time_col).asc(), F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = events.select(key_col, time_col, order_col, type_col)
+    cands = []
+    prev_running = None
+    for i, stage in enumerate(stages):
+        cond = F.col(type_col) == stage
+        if prev_running is not None:
+            cond = cond & prev_running.isNotNull()
+        cand = F.when(cond, F.col(time_col))
+        col_name = f"_cand_{i}"
+        df = df.withColumn(col_name, cand)
+        cands.append(col_name)
+        prev_running = F.min(col_name).over(w)
+    agg = [
+        F.min(c).alias(f"t_{stage}") for c, stage in zip(cands, stages)
+    ]
+    depth = None
+    for stage in reversed(stages):
+        hit = F.col(f"t_{stage}").isNotNull()
+        n = F.lit(stages.index(stage) + 1)
+        depth = F.when(hit, n) if depth is None else depth.when(hit, n)
+    return (
+        df.groupBy(key_col)
+        .agg(*agg)
+        .withColumn("depth", depth.otherwise(F.lit(0)).cast("int"))
+    )
+
+
 # ------------------------------------------------------------ driver
 RANGE_WINDOW_MS = 3_600_000  # 1 hour
 
@@ -200,6 +258,14 @@ def q_range_join(t: dict) -> DataFrame:
     )
 
 
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_events_funnel(t: dict) -> DataFrame:
+    """Per-user view→click→purchase funnel over the events table."""
+    return funnel(t["events"], FUNNEL_STAGES)
+
+
 ORACLE: dict[str, str] = {
     # DuckDB's native ASOF JOIN is the oracle — the textbook semantics
     # our union+window plan must reproduce
@@ -236,10 +302,48 @@ ORACLE: dict[str, str] = {
           ON a.user_id = b.user_id AND a.event_id < b.event_id
          AND abs(date_diff('millisecond', a.ts, b.ts)) <= {RANGE_WINDOW_MS}
     """,
+    # the oracle mirrors the one-shuffle window construction stage by
+    # stage — running first-time of stage k-1 gates stage k candidacy,
+    # ties resolved by the same (ts, event_id) total order
+    "events_funnel": """
+        WITH s1 AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN event_type = 'view' THEN ts END AS c0
+            FROM events
+        ), s2 AS (
+            SELECT *,
+                   CASE WHEN event_type = 'click' AND
+                        MIN(c0) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                            IS NOT NULL
+                        THEN ts END AS c1
+            FROM s1
+        ), s3 AS (
+            SELECT *,
+                   CASE WHEN event_type = 'purchase' AND
+                        MIN(c1) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                            IS NOT NULL
+                        THEN ts END AS c2
+            FROM s2
+        )
+        SELECT user_id,
+               MIN(c0) AS t_view,
+               MIN(c1) AS t_click,
+               MIN(c2) AS t_purchase,
+               CASE WHEN MIN(c2) IS NOT NULL THEN 3
+                    WHEN MIN(c1) IS NOT NULL THEN 2
+                    WHEN MIN(c0) IS NOT NULL THEN 1
+                    ELSE 0 END AS depth
+        FROM s3 GROUP BY user_id
+    """,
 }
 
 QUERIES = {
     "join_asof": q_join_asof,
     "join_asof_fwd": q_join_asof_fwd,
     "range_join": q_range_join,
+    "events_funnel": q_events_funnel,
 }

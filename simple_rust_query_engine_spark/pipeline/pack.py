@@ -125,6 +125,65 @@ def sample_mixture(
     )
 
 
+SHUF_SHARDS = 8          # output shards (1000s on a real cluster)
+SHUF_SALT = "shuf"       # ordering-hash salt — change to reshuffle
+SPLIT_A = 1_592_653      # holdout-hash affine multiplier (< 2^21)
+SPLIT_B = 713_904        # holdout-hash affine offset
+SPLIT_TRAIN = 0.9        # train fraction
+
+
+def shuffle_shards(
+    docs: DataFrame, n_shards: int = SHUF_SHARDS, salt: str = SHUF_SALT
+) -> DataFrame:
+    """Deterministic global training shuffle: (doc_id, shard, pos).
+
+    Training loaders need the corpus in a fixed pseudorandom order,
+    reproducible across engines/runs/clusters (``orderBy(rand())`` is
+    none of those, and a single global sort is a one-partition
+    bottleneck anyway).  Shard assignment is the affine doc_id hash
+    mod ``n_shards``; within-shard order is md5 of the salted doc_id
+    (hex strings compare identically under ASCII everywhere).  Reading
+    shards 0..n-1 each in ``pos`` order IS the shuffled corpus.
+
+    Scale: ONE hash shuffle on ``shard`` + a per-shard sort — with
+    shards sized to executors (1000s at 100 TB) this is exactly the
+    distributed shuffle a petabyte pretraining pipeline runs; no
+    global ordering structure anywhere.
+    """
+    shard = (F.col("doc_id") % MIX_MOD * MIX_A + MIX_B) % MIX_MOD % n_shards
+    sort_key = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
+    return (
+        docs.select(
+            "doc_id", shard.alias("shard"), sort_key.alias("sort_key")
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+def train_test_split(
+    docs: DataFrame,
+    train_frac: float = SPLIT_TRAIN,
+    key_col: str = "lang",
+) -> DataFrame:
+    """Deterministic holdout split: tag each row ``train``/``test`` by
+    an affine doc_id hash (independent of the mixture-sampling hash —
+    different constants), so the same documents land in the same split
+    on every engine and every run, and membership never depends on
+    partitioning.  The hash is key-independent, so per-``key_col``
+    fractions concentrate tightly around ``train_frac`` (law of large
+    numbers — exact stratification would need a per-stratum global
+    rank, a shuffle this map-only operator refuses to pay).  Output
+    keeps ``key_col`` so downstream can audit per-stratum balance with
+    one groupBy."""
+    bucket = (F.col("doc_id") % MIX_MOD * SPLIT_A + SPLIT_B) % MIX_MOD
+    split = F.when(
+        bucket < F.lit(int(train_frac * MIX_MOD)), F.lit("train")
+    ).otherwise(F.lit("test"))
+    return docs.select("doc_id", key_col, split.alias("split"))
+
+
 # ------------------------------------------------------------ driver
 def q_pack_sequences(t: dict) -> DataFrame:
     return pack_sequences(t["documents"])
@@ -132,6 +191,14 @@ def q_pack_sequences(t: dict) -> DataFrame:
 
 def q_sample_mixture(t: dict) -> DataFrame:
     return sample_mixture(t["documents"])
+
+
+def q_shuffle_shards(t: dict) -> DataFrame:
+    return shuffle_shards(t["documents"])
+
+
+def q_train_test_split(t: dict) -> DataFrame:
+    return train_test_split(t["documents"])
 
 
 def _rates_case_sql() -> str:
@@ -173,9 +240,32 @@ ORACLE: dict[str, str] = {
         WHERE (doc_id % {MIX_MOD} * {MIX_A} + {MIX_B}) % {MIX_MOD}
               < {_rates_case_sql()}
     """,
+    "shuffle_shards": f"""
+        WITH keyed AS (
+            SELECT doc_id,
+                   (doc_id % {MIX_MOD} * {MIX_A} + {MIX_B})
+                       % {MIX_MOD} % {SHUF_SHARDS} AS shard,
+                   md5('{SHUF_SALT}' || CAST(doc_id AS VARCHAR)) AS sort_key
+            FROM documents
+        )
+        SELECT doc_id, shard,
+               ROW_NUMBER() OVER (
+                   PARTITION BY shard ORDER BY sort_key, doc_id
+               ) AS pos
+        FROM keyed
+    """,
+    "train_test_split": f"""
+        SELECT doc_id, lang,
+               CASE WHEN (doc_id % {MIX_MOD} * {SPLIT_A} + {SPLIT_B})
+                         % {MIX_MOD} < {int(SPLIT_TRAIN * MIX_MOD)}
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents
+    """,
 }
 
 QUERIES = {
     "pack_sequences": q_pack_sequences,
     "sample_mixture": q_sample_mixture,
+    "shuffle_shards": q_shuffle_shards,
+    "train_test_split": q_train_test_split,
 }

@@ -436,6 +436,35 @@ def embedding_neardup_pairs(
     return out.distinct() if bands > 1 else out
 
 
+def emb_centroid(emb: DataFrame, label_col: str = "label") -> DataFrame:
+    """Per-label embedding centroid in long format: (label, dim,
+    centroid) — the class-mean step behind IVF training, label-cluster
+    diagnostics, and embedding-drift monitors.
+
+    posexplode turns each 64-float vector into 64 (dim, value) rows;
+    the groupBy on (label, dim) then partial-aggregates map-side, so
+    every partition emits at most n_labels × 64 partial sums no matter
+    how many vectors it held — at 100 TB the merge shuffle moves a few
+    hundred rows per partition, not the corpus.  A collect_list-based
+    elementwise mean would instead move every vector to its group.
+    Rounded to 6 decimals: summation order across partitions is
+    nondeterministic and double-precision means differ in the last
+    bits across engines.
+    """
+    return (
+        emb.select(
+            label_col, F.posexplode("embedding").alias("dim", "v")
+        )
+        .groupBy(label_col, "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
+        .select(label_col, F.col("dim").cast("long").alias("dim"), "centroid")
+    )
+
+
+def q_emb_centroid(t: dict) -> DataFrame:
+    return emb_centroid(t["embeddings"])
+
+
 def q_embedding_neardup(t: dict) -> DataFrame:
     """Driver entry: 2-band, 4-plane OR-of-ANDs blocking (threshold
     0.40 calibrated to the driver corpus — max pairwise cosine ≈ 0.51,
@@ -572,6 +601,14 @@ ORACLE: dict[str, str] = {
           ON x.b1 = y.b1 AND x.vec_id < y.vec_id
         WHERE {_SQL_COS} >= {NEARDUP_T}
     """,
+    # DuckDB's 1-indexed list access vs posexplode's 0-based dim
+    "emb_centroid": """
+        SELECT label, i - 1 AS dim,
+               ROUND(AVG(embedding[i]::DOUBLE), 6) AS centroid
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS i) AS dims
+        GROUP BY label, i
+    """,
 }
 
 QUERIES = {
@@ -580,4 +617,5 @@ QUERIES = {
     "ann_multiprobe": q_ann_multiprobe,
     "ann_ivf": q_ann_ivf,
     "embedding_neardup": q_embedding_neardup,
+    "emb_centroid": q_emb_centroid,
 }

@@ -147,6 +147,28 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn(f"{text_col}_redacted", redacted)
 
 
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical text normalization — the first pass of every corpus
+    pipeline, and the form exact-dedup should hash (byte-identical
+    duplicates that differ only in case/whitespace collapse to one):
+    collapse whitespace runs to a single space, trim, lowercase.
+    Map-only JVM regexp — scan speed at any scale.  The regex sticks
+    to syntax Java regex and RE2 share, like PII_PATTERNS."""
+    norm = F.lower(
+        F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    )
+    return df.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).alias("n_norm_chars"),
+        (norm != F.col(text_col)).alias("changed"),
+    )
+
+
+def q_text_normalize(t: dict) -> DataFrame:
+    return normalize_text(t["documents"])
+
+
 def q_fingerprint(t: dict) -> DataFrame:
     """Order-sensitive rolling hash over the token stream — a document
     fingerprint stable across engines (all arithmetic < 2^53)."""
@@ -219,6 +241,16 @@ ORACLE: dict[str, str] = {
                ) AS fingerprint
         FROM documents
     """,
+    "text_normalize": r"""
+        SELECT doc_id,
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+                   AS norm_text,
+               length(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))::INT
+                   AS n_norm_chars,
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) <> text
+                   AS changed
+        FROM documents
+    """,
 }
 
 # reorder oracle columns note: driver sorts columns by name before
@@ -229,4 +261,5 @@ QUERIES = {
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "text_normalize": q_text_normalize,
 }

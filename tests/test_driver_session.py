@@ -41,6 +41,9 @@ PROBE_QUERIES = [
     "events_window_sliding",
     "events_session_window",
     "kmv_ndistinct",
+    # round-4 additions with timestamp surfaces
+    "events_funnel",
+    "tpch_q5_like",
 ]
 
 _SCRIPT = """

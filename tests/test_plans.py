@@ -164,3 +164,58 @@ def test_sample_mixture_is_map_only(spark):
     # deterministic-hash sampling is a scan + filter: zero exchanges
     plan = _q(spark, "sample_mixture")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_tpch_q5_dims_all_broadcast(spark):
+    # the Q5 join chain: every dim edge (region, nation, supplier,
+    # customer at driver scale) must be a broadcast hash join — a
+    # shuffled dim join at 100 TB moves the fact table once per dim
+    from simple_rust_query_engine_spark.plans.inspect import join_strategies
+
+    strategies = join_strategies(_q(spark, "tpch_q5_like"))
+    assert strategies and set(strategies) == {"BroadcastHashJoin"}, strategies
+
+
+def test_events_funnel_is_single_shuffle(spark):
+    # stage-k gating windows and the final per-user agg all cluster on
+    # user_id: exactly ONE hash exchange no matter how many stages —
+    # the per-stage self-join formulation would pay one per stage
+    plan = (
+        _q(spark, "events_funnel")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_shuffle_shards_never_global_sort(spark):
+    # the training shuffle orders WITHIN hash shards: one exchange on
+    # shard, no global ordering structure (a global orderBy would
+    # range-partition — fine locally, a straggler chain at 100 TB)
+    plan = (
+        _q(spark, "shuffle_shards")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_train_test_split_is_map_only(spark):
+    # deterministic-hash holdout split is a scan + project: no shuffle
+    plan = (
+        _q(spark, "train_test_split")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_emb_centroid_partial_aggregates(spark):
+    # the 64x posexplode must combine map-side: partial_avg before the
+    # exchange caps per-partition shuffle output at labels x dims rows
+    plan = (
+        _q(spark, "emb_centroid")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_avg" in plan, plan
+    assert "SinglePartition" not in plan, plan
