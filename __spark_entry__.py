@@ -117,6 +117,10 @@ _DEFER_PAST_CAP = (
     "coercion",        # → filter_predicate (expression family) stays
     "token_count",     # → quality_score, lang_id, text_normalize stay
     "fingerprint",     # → same text family
+    # round-4 addition semantic_search (ANN topk → broadcast-hydrate
+    # documents) enters; frame_sample defers — multimodal family stays
+    # checked via feature_extract + multimodal_meta
+    "frame_sample",
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

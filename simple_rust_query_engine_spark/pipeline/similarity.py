@@ -465,6 +465,32 @@ def q_emb_centroid(t: dict) -> DataFrame:
     return emb_centroid(t["embeddings"])
 
 
+def semantic_search(
+    emb: DataFrame, docs: DataFrame, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """End-to-end retrieval: cosine top-k over the embedding corpus,
+    hydrated with document metadata (``embeddings.vec_id`` is the
+    ``documents.doc_id`` keyspace) — the RAG-style lookup a corpus
+    engine exists to serve, as ONE declarative plan.
+
+    Scale shape: the scoring pass is ``ann_brute_topk`` (broadcast
+    query, map-only score, TakeOrdered — swap in the LSH/IVF variant
+    for 10⁹+ corpora, same downstream), and the k-row hit list then
+    BROADCASTS into the documents join — the document table is never
+    shuffled, so hydration costs one scan regardless of corpus size.
+    """
+    hits = ann_brute_topk(emb, query_vec_id=query_vec_id, k=k)
+    return (
+        docs.join(F.broadcast(hits), docs.doc_id == hits.vec_id)
+        .select("doc_id", "cos_sim", "lang", "source", "n_chars")
+        .orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())
+    )
+
+
+def q_semantic_search(t: dict) -> DataFrame:
+    return semantic_search(t["embeddings"], t["documents"])
+
+
 def q_embedding_neardup(t: dict) -> DataFrame:
     """Driver entry: 2-band, 4-plane OR-of-ANDs blocking (threshold
     0.40 calibrated to the driver corpus — max pairwise cosine ≈ 0.51,
@@ -601,6 +627,19 @@ ORACLE: dict[str, str] = {
           ON x.b1 = y.b1 AND x.vec_id < y.vec_id
         WHERE {_SQL_COS} >= {NEARDUP_T}
     """,
+    "semantic_search": f"""
+        WITH hits AS (
+            SELECT b.vec_id AS vec_id, {_SQL_COS} AS cos_sim
+            FROM (SELECT embedding AS a_emb FROM embeddings
+                  WHERE vec_id = 0) q,
+                 (SELECT vec_id, embedding AS b_emb FROM embeddings
+                  WHERE vec_id <> 0) b
+            ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+        )
+        SELECT doc_id, cos_sim, lang, source, n_chars
+        FROM documents JOIN hits ON doc_id = vec_id
+        ORDER BY cos_sim DESC, doc_id ASC
+    """,
     # DuckDB's 1-indexed list access vs posexplode's 0-based dim
     "emb_centroid": """
         SELECT label, i - 1 AS dim,
@@ -618,4 +657,5 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "embedding_neardup": q_embedding_neardup,
     "emb_centroid": q_emb_centroid,
+    "semantic_search": q_semantic_search,
 }

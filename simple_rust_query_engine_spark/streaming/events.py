@@ -260,6 +260,77 @@ def stream_sessionize_stateful(
     )
 
 
+def stream_funnel_stateful(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "funnel_stateful",
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+):
+    """Streaming twin of ``operators.temporal.funnel``: per-user
+    ordered-funnel progress via ``applyInPandasWithState``.
+
+    State per user is O(1) — one nullable epoch-ms first-time per
+    stage — folded with the same gating recurrence as the batch
+    operator: stage k accepts an event only once stage k-1's
+    first-time is set.  Each micro-batch sorts its own rows by
+    (ts, event_id) before folding, so the emitted funnel equals the
+    batch operator whenever events arrive in order across batches
+    (and exactly, on any input, under a single availableNow batch —
+    the parity test's configuration).  An out-of-order producer needs
+    the watermark-buffered variant: hold events in state until the
+    watermark passes, then fold — O(buffer) state, same recurrence.
+    Emitted in update mode: one row per user per batch; first-times
+    only decrease and depth only grows, so min/max over emissions
+    recovers the final state."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    n = len(stages)
+
+    def update_fn(key, pdfs, state: GroupState):
+        firsts = list(state.get) if state.exists else [None] * n
+        chunks = list(pdfs)
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True)
+            batch = batch.sort_values(["ts", "event_id"])
+            ts_ms = (
+                batch["ts"].to_numpy().astype("datetime64[ns]").astype("int64")
+                // 10**6
+            )
+            for ms, typ in zip(ts_ms, batch["event_type"]):
+                ms = int(ms)
+                for k, stg in enumerate(stages):
+                    if typ == stg and (k == 0 or firsts[k - 1] is not None):
+                        if firsts[k] is None or ms < firsts[k]:
+                            firsts[k] = ms
+        state.update(tuple(firsts))
+        depth = sum(1 for f in firsts if f is not None)
+        row = {"user_id": [key[0]], "depth": [depth]}
+        for stg, f in zip(stages, firsts):
+            row[f"t_{stg}_ms"] = [f]
+        yield pd.DataFrame(row)
+
+    t_cols = ", ".join(f"t_{s}_ms long" for s in stages)
+    out = (
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_fn,
+            outputStructType=f"user_id long, depth int, {t_cols}",
+            stateStructType=t_cols,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 ORACLE: dict[str, str] = {
     "events_window": """
         SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_start,

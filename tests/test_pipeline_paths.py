@@ -415,3 +415,37 @@ def test_stream_interval_join_matches_batch(spark):
         for r in q_events_stream_join(spark, SF_DIR).collect()
     }
     assert batch == stream and len(batch) > 0
+
+
+def test_stateful_funnel_matches_batch(spark):
+    # applyInPandasWithState funnel == batch single-shuffle window
+    # funnel (first-times compared in epoch ms — the state's unit)
+    from simple_rust_query_engine_spark.operators.temporal import (
+        FUNNEL_STAGES,
+        funnel,
+    )
+    from simple_rust_query_engine_spark.session import epoch_ms, load_tables
+    from simple_rust_query_engine_spark.streaming.events import (
+        stream_funnel_stateful,
+    )
+
+    q = stream_funnel_stateful(spark, SF_DIR, "t_funnel_stateful")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("t_funnel_stateful")
+    # update semantics: first-times only decrease, depth only grows
+    last = got.groupBy("user_id").agg(
+        F.max("depth").alias("depth"),
+        *[F.min(f"t_{s}_ms").alias(f"t_{s}_ms") for s in FUNNEL_STAGES],
+    )
+    b = funnel(load_tables(spark, SF_DIR)["events"], FUNNEL_STAGES)
+    for s in FUNNEL_STAGES:
+        b = b.withColumn(f"t_{s}_ms", epoch_ms(b, f"t_{s}"))
+    exp = b.select(
+        "user_id", "depth", *[f"t_{s}_ms" for s in FUNNEL_STAGES]
+    )
+    last = last.select(*exp.columns)
+    assert last.exceptAll(exp).count() == 0
+    assert exp.exceptAll(last).count() == 0

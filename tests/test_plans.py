@@ -219,3 +219,15 @@ def test_emb_centroid_partial_aggregates(spark):
     )
     assert "partial_avg" in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_semantic_search_hydration_is_broadcast(spark):
+    # the k-row hit list must broadcast into the documents join — a
+    # shuffled hydration would move the whole document table for a
+    # 10-row lookup
+    from simple_rust_query_engine_spark.plans.inspect import join_strategies
+
+    strategies = join_strategies(_q(spark, "semantic_search"))
+    assert "SortMergeJoin" not in strategies, strategies
+    assert "ShuffledHashJoin" not in strategies, strategies
+    assert "BroadcastHashJoin" in strategies, strategies

@@ -188,3 +188,59 @@ def test_interval_join_batch_matches_python(spark, events):
             if ct == "click" and cu == pu and 0 <= pm - cm <= JOIN_WINDOW_MS:
                 want.add((pi, ci, pu, pm - cm))
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),        # user_id
+            st.integers(min_value=0, max_value=10**6),    # epoch ms
+            st.sampled_from(["purchase", "click", "view"]),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_funnel_matches_python(spark, events):
+    # arbitrary event streams: the single-shuffle window funnel must
+    # agree with a brute-force Python reference, including ts ties
+    # (broken by event_id), stages hit out of order, and users who
+    # never start the funnel
+    import datetime as dt
+
+    from simple_rust_query_engine_spark.operators.temporal import funnel
+
+    stages = ("view", "click", "purchase")
+    epoch = dt.datetime(1970, 1, 1)
+    rows = [
+        (i, uid, epoch + dt.timedelta(milliseconds=ms), typ)
+        for i, (uid, ms, typ) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string"
+    )
+    got = {
+        (r.user_id, r.t_view, r.t_click, r.t_purchase, r.depth)
+        for r in funnel(df, stages).collect()
+    }
+
+    by_user: dict = {}
+    for eid, (uid, ms, typ) in enumerate(events):
+        by_user.setdefault(uid, []).append((ms, eid, typ))
+    want = set()
+    for uid, evs in by_user.items():
+        firsts: list = [None, None, None]
+        for ms, _eid, typ in sorted(evs):
+            for k, stg in enumerate(stages):
+                if typ == stg and (k == 0 or firsts[k - 1] is not None):
+                    if firsts[k] is None or ms < firsts[k]:
+                        firsts[k] = ms
+        depth = sum(1 for f in firsts if f is not None)
+        ts = [
+            epoch + dt.timedelta(milliseconds=f) if f is not None else None
+            for f in firsts
+        ]
+        want.add((uid, ts[0], ts[1], ts[2], depth))
+    assert got == want
