@@ -121,6 +121,15 @@ _DEFER_PAST_CAP = (
     # documents) enters; frame_sample defers — multimodal family stays
     # checked via feature_extract + multimodal_meta
     "frame_sample",
+    # round-4 addition chunk_documents enters; quantile defers — OLAP
+    # family stays checked via agg_cube, agg_grouping_sets, unpivot
+    "quantile",
+    # round-4 additions vocab_stats + events_retention enter;
+    # agg_having defers (agg family: agg_grouped, tpch_q1 stay) and
+    # join_nonequi_filter defers (join family: join_inner, join_left,
+    # join_anti stay)
+    "agg_having",
+    "join_nonequi_filter",
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

@@ -3,7 +3,7 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "steady_total": ..., "steady_queries": {...},
-"sf": ...}.
+"extra_total": ..., "extra_queries": {...}, "sf": ...}.
 
 Metric semantics (STABLE across rounds — r3 briefly reported warm
 times under ``value``, which conflated a metric redefinition with real
@@ -62,6 +62,22 @@ BENCH_QUERIES = [
     "events_sessionize",
 ]
 
+#: round-4 additions, timed identically but reported under separate
+#: keys (extra_*) so ``value``/``steady_total`` stay comparable with
+#: rounds 1-3 over the SAME 22-query set
+EXTRA_QUERIES = [
+    "tpch_q5_like",
+    "events_funnel",
+    "shuffle_shards",
+    "train_test_split",
+    "emb_centroid",
+    "semantic_search",
+    "text_normalize",
+    "chunk_documents",
+    "vocab_stats",
+    "events_retention",
+]
+
 
 def main() -> None:
     import __spark_entry__ as entry_mod
@@ -81,35 +97,41 @@ def main() -> None:
     # one failing query must not zero out the whole bench (round 2
     # recorded NO numbers because a single query raised): time what
     # runs, report what breaks, always emit the JSON line.
-    cold: dict[str, float] = {}
-    steady: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in BENCH_QUERIES:
-        if name not in qs:
-            continue
-        release_barriers(spark)
-        try:
-            t0 = time.perf_counter()
-            n = qs[name](spark, SF_DIR).count()
-            cold[name] = round(time.perf_counter() - t0, 4)
-            warm_times = []
-            for _ in range(2):
+
+    def run_set(names: list[str]) -> tuple[dict, dict]:
+        cold: dict[str, float] = {}
+        steady: dict[str, float] = {}
+        for name in names:
+            if name not in qs:
+                continue
+            release_barriers(spark)
+            try:
                 t0 = time.perf_counter()
                 n = qs[name](spark, SF_DIR).count()
-                warm_times.append(time.perf_counter() - t0)
-            steady[name] = round(min(warm_times), 4)
-        except Exception as exc:
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            # drop partial numbers: totals must cover exactly the same
-            # query set, or the steady-vs-cold comparison skews
-            cold.pop(name, None)
-            steady.pop(name, None)
-            print(f"# {name}: FAILED {errors[name][:120]}", file=sys.stderr)
-            continue
-        print(
-            f"# {name}: cold {cold[name]:.3f}s steady {steady[name]:.3f}s rows={n}",
-            file=sys.stderr,
-        )
+                cold[name] = round(time.perf_counter() - t0, 4)
+                warm_times = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    n = qs[name](spark, SF_DIR).count()
+                    warm_times.append(time.perf_counter() - t0)
+                steady[name] = round(min(warm_times), 4)
+            except Exception as exc:
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                # drop partial numbers: totals must cover exactly the
+                # same query set, or steady-vs-cold comparison skews
+                cold.pop(name, None)
+                steady.pop(name, None)
+                print(f"# {name}: FAILED {errors[name][:120]}", file=sys.stderr)
+                continue
+            print(
+                f"# {name}: cold {cold[name]:.3f}s steady {steady[name]:.3f}s rows={n}",
+                file=sys.stderr,
+            )
+        return cold, steady
+
+    cold, steady = run_set(BENCH_QUERIES)
+    extra_cold, extra_steady = run_set(EXTRA_QUERIES)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -119,6 +141,9 @@ def main() -> None:
         "queries": cold,
         "steady_total": round(sum(steady.values()), 4),
         "steady_queries": steady,
+        "extra_total": round(sum(extra_cold.values()), 4),
+        "extra_queries": extra_cold,
+        "extra_steady_queries": extra_steady,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

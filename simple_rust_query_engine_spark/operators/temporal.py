@@ -266,6 +266,44 @@ def q_events_funnel(t: dict) -> DataFrame:
     return funnel(t["events"], FUNNEL_STAGES)
 
 
+DAY_MS = 86_400_000
+
+
+def retention(
+    events: DataFrame, key_col: str = "user_id", time_col: str = "ts"
+) -> DataFrame:
+    """Cohort retention: users bucketed by their first active day
+    (the cohort), counted on each later day offset — the companion
+    analysis to the funnel, and the other table every product/corpus
+    activity dashboard is built from.
+
+    Three keyed aggregations, no windows: distinct (user, day)
+    activity, per-user min day (the cohort), then a count per
+    (cohort_day, day_offset).  The activity distinct makes the final
+    count a plain COUNT(*) — never COUNT(DISTINCT user) over a
+    skewed group.  Every shuffle is on user or cohort keys; hot days
+    are absorbed by partial aggregation.  Days are floor(epoch_ms /
+    86400000) — timezone-free, so any engine/cluster agrees."""
+    from ..session import epoch_ms
+
+    day = F.floor(epoch_ms(events, time_col) / F.lit(DAY_MS)).cast("long")
+    user_day = events.select(
+        F.col(key_col).alias("k"), day.alias("day")
+    ).distinct()
+    cohort = user_day.groupBy("k").agg(F.min("day").alias("cohort_day"))
+    return (
+        user_day.join(cohort, "k")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+def q_events_retention(t: dict) -> DataFrame:
+    return retention(t["events"])
+
+
 ORACLE: dict[str, str] = {
     # DuckDB's native ASOF JOIN is the oracle — the textbook semantics
     # our union+window plan must reproduce
@@ -339,6 +377,19 @@ ORACLE: dict[str, str] = {
                     ELSE 0 END AS depth
         FROM s3 GROUP BY user_id
     """,
+    "events_retention": f"""
+        WITH user_day AS (
+            SELECT DISTINCT user_id AS k,
+                   epoch_ms(ts) // {DAY_MS} AS day
+            FROM events
+        ), cohort AS (
+            SELECT k, MIN(day) AS cohort_day FROM user_day GROUP BY k
+        )
+        SELECT cohort_day, day - cohort_day AS day_offset,
+               COUNT(*) AS n_active
+        FROM user_day JOIN cohort USING (k)
+        GROUP BY 1, 2
+    """,
 }
 
 QUERIES = {
@@ -346,4 +397,5 @@ QUERIES = {
     "join_asof_fwd": q_join_asof_fwd,
     "range_join": q_range_join,
     "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
 }

@@ -169,6 +169,98 @@ def q_text_normalize(t: dict) -> DataFrame:
     return normalize_text(t["documents"])
 
 
+CHUNK_SIZE = 32   # tokens per chunk
+CHUNK_STRIDE = 24 # tokens between chunk starts (8-token overlap)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token chunks —
+    the window every embedding/RAG indexer and long-context training
+    prep runs before vectorizing: chunk k covers tokens
+    [k·stride, k·stride + chunk_size), the final chunk is the
+    remainder.
+
+    Map-only: sequence + posexplode + slice inside the scan's own
+    partitions — no shuffle, output rows ≈ input tokens / stride.
+    At 100 TB the explode multiplies rows ~size/stride×, which Spark
+    handles inside the scan partition (no exchange materializes the
+    fan-out)."""
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(stride))
+    return (
+        docs.select(
+            "doc_id",
+            toks.alias("_toks"),
+            F.posexplode(starts).alias("chunk_id", "_start"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.array_join(
+                F.slice("_toks", F.col("_start") + 1, chunk_size), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_size), F.size("_toks") - F.col("_start")
+            ).alias("n_tok_chunk"),
+        )
+    )
+
+
+def q_chunk_documents(t: dict) -> DataFrame:
+    return chunk_documents(t["documents"])
+
+
+VOCAB_K = 100
+
+
+def vocab_stats(docs: DataFrame, k: int = VOCAB_K) -> DataFrame:
+    """Corpus vocabulary statistics: top-``k`` tokens by term
+    frequency with document frequency and IDF — the vocab/tokenizer
+    health check every corpus build runs.
+
+    Skew posture: token frequency is the textbook Zipf distribution,
+    so BOTH counts are plain groupBy aggregations (map-side partial
+    counts absorb 'the' before any shuffle) — never count-distinct
+    over a window.  df comes from exploding the per-doc DISTINCT
+    token array (one row per (doc, token)), tf from the raw stream;
+    the two vocab-sized results then join.  The doc total rides in as
+    a broadcast 1-row aggregate, keeping the whole thing one
+    declarative plan (no driver-side count)."""
+    toks = tokens(F.col("text"))
+    tf = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = (
+        docs.select(F.explode(F.array_distinct(toks)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "token",
+            "tf",
+            "df",
+            F.round(F.log(F.col("n_docs") / F.col("df")), 6).alias("idf"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def q_vocab_stats(t: dict) -> DataFrame:
+    return vocab_stats(t["documents"])
+
+
 def q_fingerprint(t: dict) -> DataFrame:
     """Order-sensitive rolling hash over the token stream — a document
     fingerprint stable across engines (all arithmetic < 2^53)."""
@@ -251,6 +343,40 @@ ORACLE: dict[str, str] = {
                    AS changed
         FROM documents
     """,
+    # DuckDB list slices are 1-based inclusive; range() excludes the
+    # stop like F.sequence(0, n-1, stride)'s inclusive-bound stepping
+    "chunk_documents": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), ex AS (
+            SELECT doc_id, t,
+                   unnest(range(0, len(t), {CHUNK_STRIDE})) AS start
+            FROM toks
+        )
+        SELECT doc_id,
+               (start // {CHUNK_STRIDE})::INT AS chunk_id,
+               array_to_string(
+                   t[start + 1 : start + {CHUNK_SIZE}], ' '
+               ) AS chunk_text,
+               least({CHUNK_SIZE}, len(t) - start)::INT AS n_tok_chunk
+        FROM ex
+    """,
+    "vocab_stats": f"""
+        WITH tf AS (
+            SELECT t AS token, COUNT(*) AS tf
+            FROM (SELECT unnest(string_split(text, ' ')) AS t
+                  FROM documents)
+            GROUP BY 1
+        ), df AS (
+            SELECT t AS token, COUNT(*) AS df
+            FROM (SELECT unnest(list_distinct(string_split(text, ' '))) AS t
+                  FROM documents)
+            GROUP BY 1
+        ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT token, tf, df, ROUND(ln(n_docs / df), 6) AS idf
+        FROM tf JOIN df USING (token), n
+        ORDER BY tf DESC, token ASC LIMIT {VOCAB_K}
+    """,
 }
 
 # reorder oracle columns note: driver sorts columns by name before
@@ -262,4 +388,6 @@ QUERIES = {
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "text_normalize": q_text_normalize,
+    "chunk_documents": q_chunk_documents,
+    "vocab_stats": q_vocab_stats,
 }

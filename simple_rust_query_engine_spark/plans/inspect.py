@@ -12,7 +12,13 @@ import re
 
 
 def explain_str(df, mode: str = "formatted") -> str:
-    inner = getattr(df, "df", df)
+    from pyspark.sql import DataFrame as _SparkDF
+
+    # unwrap an EngineDataFrame facade — but NEVER via bare getattr on
+    # a real DataFrame: attribute access falls through to COLUMNS, so
+    # a frame with a column literally named "df" (vocab_stats) would
+    # hand back a Column here
+    inner = df if isinstance(df, _SparkDF) else getattr(df, "df", df)
     return inner._sc._jvm.PythonSQLUtils.explainString(
         inner._jdf.queryExecution(), mode
     )

@@ -42,6 +42,15 @@ TPCH_TABLES = (
 )
 
 
+def unwrap_df(df) -> DataFrame:
+    """Unwrap an ``EngineDataFrame`` facade to the underlying Spark
+    DataFrame; pass a real DataFrame through UNTOUCHED.  Never a bare
+    ``getattr(df, "df", df)``: DataFrame attribute access falls
+    through to COLUMNS, so a frame carrying a column literally named
+    ``df`` would hand back a Column."""
+    return df if isinstance(df, DataFrame) else getattr(df, "df", df)
+
+
 def get_spark(app_name: str = "simple_rust_query_engine_spark") -> SparkSession:
     """Build (or fetch) the singleton SparkSession.
 
@@ -304,8 +313,7 @@ class SessionContext:
         self.read_parquet(path).df.createOrReplaceTempView(name)
 
     def register(self, name: str, df) -> None:
-        inner = getattr(df, "df", df)
-        inner.createOrReplaceTempView(name)
+        unwrap_df(df).createOrReplaceTempView(name)
 
     def table(self, name: str) -> "EngineDataFrame":
         from .dataframe import EngineDataFrame

@@ -19,6 +19,8 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..session import unwrap_df
+
 
 def read_json(
     spark: SparkSession,
@@ -39,7 +41,7 @@ def read_json(
 
 def write_json(df, path: str, mode: str = "overwrite") -> None:
     """NDJSON sink — one JSON object per line, splittable on read."""
-    inner = getattr(df, "df", df)
+    inner = unwrap_df(df)
     inner.write.mode(mode).json(path)
 
 
@@ -51,5 +53,5 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 
 
 def write_orc(df, path: str, mode: str = "overwrite") -> None:
-    inner = getattr(df, "df", df)
+    inner = unwrap_df(df)
     inner.write.mode(mode).orc(path)

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+from ..session import unwrap_df
+
 
 def write_parquet(
     df,
@@ -16,7 +18,7 @@ def write_parquet(
     mode: str = "overwrite",
     partition_by: Optional[Sequence[str]] = None,
 ) -> None:
-    inner = getattr(df, "df", df)
+    inner = unwrap_df(df)
     writer = inner.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -41,7 +43,7 @@ def write_sorted(
     them for a time-range query; the write pays one range shuffle.
     The clustering property (near-disjoint per-file min/max spans) is
     pinned by test from the parquet footers themselves."""
-    inner = getattr(df, "df", df)
+    inner = unwrap_df(df)
     clustered = inner.repartitionByRange(num_files, *sort_cols).sortWithinPartitions(
         *sort_cols
     )
@@ -49,7 +51,7 @@ def write_sorted(
 
 
 def write_csv(df, path: str, mode: str = "overwrite", header: bool = True) -> None:
-    inner = getattr(df, "df", df)
+    inner = unwrap_df(df)
     inner.write.mode(mode).option("header", str(header).lower()).csv(path)
 
 
@@ -112,7 +114,7 @@ def write_bucketed(
     laid down; every downstream consumer skips it.  ``sort_by`` also
     pre-sorts within buckets, letting sort-merge joins skip the sort.
     """
-    inner = getattr(df, "df", df)
+    inner = unwrap_df(df)
     writer = (
         inner.write.mode(mode)
         .option("path", path)

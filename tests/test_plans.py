@@ -231,3 +231,24 @@ def test_semantic_search_hydration_is_broadcast(spark):
     assert "SortMergeJoin" not in strategies, strategies
     assert "ShuffledHashJoin" not in strategies, strategies
     assert "BroadcastHashJoin" in strategies, strategies
+
+
+def test_no_query_windows_over_single_partition(spark):
+    # blanket plan hygiene, companion to the cartesian sweep: a window
+    # function whose partition spec is empty funnels the whole input
+    # through ONE task (Exchange SinglePartition → Window) — the
+    # unsplittable straggler at 100 TB.  Every declared query that
+    # plans a Window must partition it by a real key.  (Global
+    # SinglePartition exchanges for final aggs/limits are fine — the
+    # rows crossing them are already reduced; the assertion only fires
+    # when a Window sits in the same plan.)
+    from simple_rust_query_engine_spark.plans.inspect import explain_str
+
+    offenders = {}
+    for name, fn in entry_mod.queries().items():
+        if name in _STREAMING_QUERIES:
+            continue
+        text = explain_str(fn(spark, SF_DIR))
+        if "Window" in text and "Exchange SinglePartition" in text:
+            offenders[name] = True
+    assert not offenders, f"single-partition windows in: {sorted(offenders)}"
