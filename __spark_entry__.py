@@ -130,6 +130,13 @@ _DEFER_PAST_CAP = (
     # join_anti stay)
     "agg_having",
     "join_nonequi_filter",
+    # round-4 addition join_full (full outer) enters; join_left
+    # defers — its null-extension semantics are a strict subset of
+    # the full-outer row now checked, and join_inner stays
+    "join_left",
+    # round-4 addition pipeline_clean_incr enters; skew_safe_collect
+    # defers — skew family stays checked via kmv_ndistinct
+    "skew_safe_collect",
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

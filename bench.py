@@ -76,6 +76,8 @@ EXTRA_QUERIES = [
     "chunk_documents",
     "vocab_stats",
     "events_retention",
+    "join_full",
+    "pipeline_clean_incr",
 ]
 
 

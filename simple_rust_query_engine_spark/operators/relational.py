@@ -217,6 +217,23 @@ def q_join_anti(t: Tables) -> DataFrame:
 
 
 # ------------------------------------------------------------- coercion
+def q_join_full(t: Tables) -> DataFrame:
+    """Full outer join (beyond parity — the reference stops at
+    Inner/Left, ``src/plan/logical/join.rs:14-17``): nulls extend
+    BOTH unmatched sides.  The canonical reconciliation shape (which
+    customers have no orders / which orders have no customer); at
+    scale Catalyst plans it as a sort-merge join — full outer cannot
+    broadcast (both sides must see unmatched rows), so both sides
+    shuffle on the key exactly once."""
+    big = t["orders"].filter(F.col("o_totalprice") > 450000.0)
+    return (
+        t["customer"]
+        .filter(F.col("c_acctbal") < 0.0)
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "full")
+        .select("c_custkey", "c_acctbal", "o_orderkey", "o_totalprice")
+    )
+
+
 def q_coercion(t: Tables) -> DataFrame:
     """Mixed-type arithmetic — the reference's numeric-widening lattice
     (coercion.rs:33-155) → Catalyst TypeCoercion. int+double → double,
@@ -477,6 +494,13 @@ ORACLE: dict[str, str] = {
             SELECT 1 FROM orders WHERE o_custkey = c_custkey
         )
     """,
+    "join_full": """
+        SELECT c_custkey, c_acctbal, o_orderkey, o_totalprice
+        FROM (SELECT * FROM customer WHERE c_acctbal < 0.0) c
+        FULL OUTER JOIN (
+            SELECT * FROM orders WHERE o_totalprice > 450000.0
+        ) o ON c_custkey = o_custkey
+    """,
     "coercion": """
         SELECT l_orderkey,
                l_linenumber + 1 AS line_plus_int,
@@ -590,6 +614,7 @@ QUERIES = {
     "cross_join_filter": q_cross_join_filter,
     "join_semi": q_join_semi,
     "join_anti": q_join_anti,
+    "join_full": q_join_full,
     "coercion": q_coercion,
     "set_union": q_set_union,
     "set_intersect": q_set_intersect,

@@ -316,6 +316,66 @@ def ann_ivf_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 5) -> DataFrame
     )
 
 
+def ann_ivf_kmeans_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 5,
+    n_cells: int = IVF_CELLS,
+    probe: int = IVF_PROBE,
+    seed: int = 42,
+) -> DataFrame:
+    """Production IVF: coarse cells TRAINED with Spark ML KMeans
+    (seeded) instead of the fixed deterministic centroids the
+    oracle-checked `ann_ivf` uses — same plan shape end to end:
+    assignment is `model.transform` (JVM-side, map-only over input
+    splits), the centroid matrix is tiny driver-side model state, and
+    the probe prunes the scan to the query's `probe` nearest cells by
+    the model's own euclidean metric.  No DuckDB twin (KMeans
+    iterations aren't cross-engine reproducible) — pinned instead by
+    a recall-vs-brute-force test."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = emb.withColumn("_feat", array_to_vector(F.col("embedding")))
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="_feat", predictionCol="cell"
+    ).fit(feat)
+    cells = model.transform(feat).drop("_feat")
+
+    C = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    q_row = (
+        emb.filter(F.col("vec_id") == query_vec_id).select("embedding").collect()
+    )
+    v = np.asarray(q_row[0].embedding, dtype=np.float64)
+    d2 = ((C - v[None, :]) ** 2).sum(axis=1)
+    probes = sorted(np.argsort(d2, kind="stable")[:probe].tolist())
+
+    q = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(
+            F.col("embedding").alias("q_emb"),
+            _norm(F.col("embedding")).alias("q_nrm"),
+        )
+    )
+    return (
+        cells.filter(F.col("vec_id") != query_vec_id)
+        .filter(F.col("cell").isin(probes))
+        .withColumn("nrm", _norm(F.col("embedding")))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "cell",
+            (
+                _dots(F.col("q_emb"), F.col("embedding"))
+                / F.col("q_nrm")
+                / F.col("nrm")
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def q_ann_brute(t: dict) -> DataFrame:
     return ann_brute_topk(t["embeddings"], query_vec_id=0, k=10)
 

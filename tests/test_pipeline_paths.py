@@ -449,3 +449,24 @@ def test_stateful_funnel_matches_batch(spark):
     last = last.select(*exp.columns)
     assert last.exceptAll(exp).count() == 0
     assert exp.exceptAll(last).count() == 0
+
+
+def test_ivf_kmeans_production_variant(tables):
+    # the KMeans-trained IVF (no oracle twin — KMeans isn't
+    # cross-engine reproducible) must behave like an ANN index:
+    # k results, descending scores, deterministic under its seed, and
+    # probing 4/16 cells still recovers brute-force neighbours
+    from simple_rust_query_engine_spark.pipeline.similarity import (
+        ann_brute_topk,
+        ann_ivf_kmeans_topk,
+    )
+
+    emb = tables["embeddings"]
+    got = ann_ivf_kmeans_topk(emb, k=5).collect()
+    assert len(got) == 5
+    sims = [r.cos_sim for r in got]
+    assert sims == sorted(sims, reverse=True)
+    brute = {r.vec_id for r in ann_brute_topk(emb, k=5).collect()}
+    assert len({r.vec_id for r in got} & brute) >= 1
+    again = ann_ivf_kmeans_topk(emb, k=5).collect()
+    assert [r.vec_id for r in again] == [r.vec_id for r in got]
