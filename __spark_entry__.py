@@ -126,8 +126,9 @@ _DEFER_PAST_CAP = (
     "quantile",
     # round-4 additions vocab_stats + events_retention enter;
     # agg_having defers (agg family: agg_grouped, tpch_q1 stay) and
-    # join_nonequi_filter defers (join family: join_inner, join_left,
-    # join_anti stay)
+    # join_nonequi_filter defers (join family: join_inner and
+    # join_anti stay; join_left defers separately below, subsumed by
+    # the full-outer row)
     "agg_having",
     "join_nonequi_filter",
     # round-4 addition join_full (full outer) enters; join_left

@@ -145,6 +145,7 @@ def main() -> None:
         "steady_queries": steady,
         "extra_total": round(sum(extra_cold.values()), 4),
         "extra_queries": extra_cold,
+        "extra_steady_total": round(sum(extra_steady.values()), 4),
         "extra_steady_queries": extra_steady,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -49,7 +49,14 @@ def salted_collect(
     salt); stage 2 merges the ≤ ``n_salt`` partial arrays per key —
     the second shuffle carries one row per (key, salt), not per input
     row.  The final ``array_sort`` restores the canonical order a
-    single-reducer collect would need anyway to be deterministic."""
+    single-reducer collect would need anyway to be deterministic.
+
+    Output-size honesty: the roster string is O(group size) BY
+    CONTRACT — salting spreads the *shuffle and collection work*
+    across ``n_salt`` reducers, but the merged output row for a hot
+    key is still as wide as the group.  If the consumer doesn't need
+    the full roster, aggregate to a bounded summary (count / sketch /
+    top-k) instead of collecting."""
     part = (
         df.groupBy(key, F.pmod(F.hash(F.col(val)), F.lit(n_salt)).alias("_salt"))
         .agg(F.collect_list(val).alias("_part"), F.count(F.lit(1)).alias("_pc"))

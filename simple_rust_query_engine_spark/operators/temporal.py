@@ -207,10 +207,15 @@ def funnel(
         F.min(c).alias(f"t_{stage}") for c, stage in zip(cands, stages)
     ]
     depth = None
-    for stage in reversed(stages):
+    # enumerate, not stages.index(stage): index() returns the FIRST
+    # occurrence (silently wrong if a stage name repeats) and is O(n²)
+    for i, stage in reversed(list(enumerate(stages))):
         hit = F.col(f"t_{stage}").isNotNull()
-        n = F.lit(stages.index(stage) + 1)
-        depth = F.when(hit, n) if depth is None else depth.when(hit, n)
+        depth = (
+            F.when(hit, F.lit(i + 1))
+            if depth is None
+            else depth.when(hit, F.lit(i + 1))
+        )
     return (
         df.groupBy(key_col)
         .agg(*agg)

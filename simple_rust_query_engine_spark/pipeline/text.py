@@ -189,9 +189,19 @@ def chunk_documents(
     partitions — no shuffle, output rows ≈ input tokens / stride.
     At 100 TB the explode multiplies rows ~size/stride×, which Spark
     handles inside the scan partition (no exchange materializes the
-    fan-out)."""
+    fan-out).
+
+    A start is emitted only while it adds new tokens: starts range
+    over [0, max(1, n - chunk_size + stride)) so the final chunk is
+    never fully contained in its predecessor (e.g. 25 tokens at
+    stride 24 used to emit a 1-token chunk already covered by chunk
+    0 — wasteful duplicate content for downstream embedding/packing).
+    """
     toks = F.split(F.col(text_col), " ")
-    starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(stride))
+    last_excl = F.greatest(
+        F.lit(1), F.size(toks) - F.lit(chunk_size - stride)
+    )
+    starts = F.sequence(F.lit(0), last_excl - 1, F.lit(stride))
     return (
         docs.select(
             "doc_id",
@@ -344,13 +354,18 @@ ORACLE: dict[str, str] = {
         FROM documents
     """,
     # DuckDB list slices are 1-based inclusive; range() excludes the
-    # stop like F.sequence(0, n-1, stride)'s inclusive-bound stepping
+    # stop, matching F.sequence(0, stop-1, stride)'s inclusive-bound
+    # stepping.  Starts stop at max(1, n - chunk_size + stride) so a
+    # trailing chunk fully contained in its predecessor is not emitted
+    # (same rule as chunk_documents on the Spark side).
     "chunk_documents": f"""
         WITH toks AS (
             SELECT doc_id, string_split(text, ' ') AS t FROM documents
         ), ex AS (
             SELECT doc_id, t,
-                   unnest(range(0, len(t), {CHUNK_STRIDE})) AS start
+                   unnest(range(0,
+                                greatest(1, len(t) - {CHUNK_SIZE - CHUNK_STRIDE}),
+                                {CHUNK_STRIDE})) AS start
             FROM toks
         )
         SELECT doc_id,
