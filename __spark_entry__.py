@@ -138,6 +138,11 @@ _DEFER_PAST_CAP = (
     # round-4 addition pipeline_clean_incr enters; skew_safe_collect
     # defers — skew family stays checked via kmv_ndistinct
     "skew_safe_collect",
+    # round-5 addition quantile_approx (the percentile_approx scale
+    # path, VERDICT r4 item 3) enters; agg_cube (r4-green) defers —
+    # the Expand/grouping-set family stays checked via
+    # agg_grouping_sets, and cube's plan shape is pinned in pytest
+    "agg_cube",
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

@@ -16,10 +16,12 @@ shapes a warehouse adds on top, all Catalyst built-ins:
   conditional aggregate per value — no shuffle per pivot column, and
   no extra driver job to discover values (ALWAYS pass the list at
   scale; the discovery path is a distinct + collect over 100 TB).
-* ``percentile`` is Spark's exact single-pass implementation; for a
-  100 TB column swap in ``percentile_approx`` (t-digest, mergeable,
-  bounded memory) — kept exact here so the DuckDB ``quantile_cont``
-  oracle can hash-match.
+* ``percentile`` is Spark's exact single-pass implementation, kept
+  as the interpolating ``quantile_cont`` oracle twin;
+  ``quantile_approx`` is the 100 TB scale path (Greenwald-Khanna
+  sketch: mergeable, bounded memory, map-side combinable) — see
+  ``q_quantile_approx`` for why it still hash-matches a
+  ``quantile_disc`` oracle in the accuracy ≥ N regime.
 """
 
 from __future__ import annotations
@@ -133,6 +135,56 @@ def q_quantile(t: dict) -> DataFrame:
     )
 
 
+#: accuracy for the driver/oracle form of quantile_approx.  GK is
+#: EXACT whenever accuracy >= the per-group row count (rank error
+#: < 1 row), which holds through sf0.1 (~200k rows/group); at real
+#: scale dial down to ~1e4 for bounded memory (see docstring).
+QUANTILE_APPROX_ACCURACY = 1_000_000
+
+
+def q_quantile_approx(t: dict) -> DataFrame:
+    """Price quartiles per return flag via ``percentile_approx`` —
+    the 100 TB scale path for ``q_quantile``.
+
+    Why a second variant: ``percentile`` (exact, interpolating) is
+    HOLISTIC — every row of a group funnels into one reducer's sort,
+    and grouped on a 3-value key that is the classic low-cardinality
+    straggler at scale.  ``percentile_approx`` is a Greenwald-Khanna
+    sketch: mergeable, so map-side partial aggregation applies and
+    each reducer receives one ~``O(accuracy·log(N/accuracy))`` sketch
+    per upstream partition instead of N/3 raw rows.  The crossover:
+    use exact percentile only when per-group rows comfortably fit one
+    task; approx everywhere else.
+
+    Oracle story (why this can still be hash-exact): GK guarantees
+    rank error ≤ N/accuracy, so with accuracy ≥ per-group N the error
+    is < 1 row and the sketch returns EXACTLY the order statistic "the
+    smallest value with ≥ p·N values ≤ it" — which is DuckDB's
+    ``quantile_disc``.  Verified element-for-element on lineitem at
+    sf0.01/sf0.1 and on tie-heavy toy sets.  At production accuracy
+    (1e4) the result is approximate with that bounded rank error and
+    the oracle would become a tolerance check; the driver form pins
+    the exact regime.
+    """
+    price = F.col("l_extendedprice")
+    qs = F.percentile_approx(
+        price,
+        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+        F.lit(QUANTILE_APPROX_ACCURACY),
+    )
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(qs.alias("_q"))
+        .select(
+            "l_returnflag",
+            F.col("_q")[0].alias("p25"),
+            F.col("_q")[1].alias("p50"),
+            F.col("_q")[2].alias("p75"),
+        )
+    )
+
+
 ORACLE: dict[str, str] = {
     "agg_rollup": """
         SELECT l_returnflag, l_linestatus,
@@ -180,6 +232,16 @@ ORACLE: dict[str, str] = {
                quantile_cont(l_extendedprice, 0.75) AS p75
         FROM lineitem GROUP BY l_returnflag
     """,
+    # quantile_disc, not quantile_cont: percentile_approx returns an
+    # actual element (no interpolation), and in the accuracy>=N exact
+    # regime its rank convention equals DuckDB's discrete quantile
+    "quantile_approx": """
+        SELECT l_returnflag,
+               quantile_disc(l_extendedprice, 0.25) AS p25,
+               quantile_disc(l_extendedprice, 0.50) AS p50,
+               quantile_disc(l_extendedprice, 0.75) AS p75
+        FROM lineitem GROUP BY l_returnflag
+    """,
 }
 
 QUERIES = {
@@ -189,4 +251,5 @@ QUERIES = {
     "pivot": q_pivot,
     "unpivot": q_unpivot,
     "quantile": q_quantile,
+    "quantile_approx": q_quantile_approx,
 }

@@ -23,18 +23,20 @@ def test_head_is_exactly_driver_cap():
     assert list(entry_mod.oracle_sql()) == names
 
 
-def test_round4_rotation_covers_never_checked_queries():
-    # the 17 entries CORRECTNESS_r03 never saw — all must now be in
-    # the checked window
-    never_checked = {
-        "set_intersect", "set_except", "agg_cube", "agg_grouping_sets",
-        "window_running_sum", "ann_lsh", "ann_multiprobe", "simhash_pairs",
-        "dedup_minhash_incr", "dedup_survivors", "join_anti",
-        "multimodal_meta", "events_window_sliding", "events_session_window",
-        "kmv_ndistinct", "join_asof_fwd", "unpivot",
+def test_rotation_keeps_new_and_changed_operators_in_window():
+    # standing rule (VERDICT r3/r4): every operator added or changed
+    # this round must sit inside the driver's 50-entry checked window
+    # the round it changes.  After round 4 every query has a
+    # driver-green row on record, so the remaining invariant is this
+    # one plus the ==50 head assert.  Round 5: quantile_approx is new;
+    # chunk_documents and events_funnel changed semantics/impl.
+    must_be_checked = {
+        "quantile_approx",   # new in r5 (percentile_approx scale path)
+        "chunk_documents",   # r5: trailing-contained-chunk fix
+        "events_funnel",     # r5: depth via enumerate index
     }
     head = set(list(entry_mod.queries())[: entry_mod._DRIVER_CAP])
-    assert never_checked <= head
+    assert must_be_checked <= head
 
 
 def test_ordered_asserts_on_wrong_head_size():

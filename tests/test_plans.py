@@ -233,6 +233,20 @@ def test_semantic_search_hydration_is_broadcast(spark):
     assert "BroadcastHashJoin" in strategies, strategies
 
 
+def test_quantile_approx_sketch_combines_map_side(spark):
+    # the scale path for grouped percentiles: the GK sketch must
+    # partial-aggregate BEFORE the exchange (each upstream partition
+    # ships one merged sketch per group, not its raw rows) — the exact
+    # percentile form cannot do this, which is exactly why it's the
+    # low-cardinality straggler at 100 TB
+    plan = (
+        _q(spark, "quantile_approx")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ObjectHashAggregate" in plan, plan
+    assert "partial_percentile_approx" in plan, plan
+
+
 def test_no_query_windows_over_single_partition(spark):
     # blanket plan hygiene, companion to the cartesian sweep: a window
     # function whose partition spec is empty funnels the whole input
