@@ -122,10 +122,10 @@ def q_events_session_window(t: dict) -> DataFrame:
     )
 
 
-def _events_stream(spark: SparkSession, sf_dir: str):
+def _events_stream(spark: SparkSession, sf_dir: str, **source_opts):
     from .source import file_stream
 
-    return file_stream(spark, sf_dir, "events")
+    return file_stream(spark, sf_dir, "events", **source_opts)
 
 
 def stream_events_hourly(
@@ -192,6 +192,7 @@ def stream_sessionize_stateful(
     sf_dir: str,
     query_name: str = "sessions_stateful",
     gap_min: int = SESSION_GAP_MIN,
+    **source_opts,
 ):
     """Custom stateful streaming operator: per-user sessionization via
     ``applyInPandasWithState`` — the arbitrary-state API the reference
@@ -241,7 +242,7 @@ def stream_sessionize_stateful(
         )
 
     out = (
-        _events_stream(spark, sf_dir)
+        _events_stream(spark, sf_dir, **source_opts)
         .groupBy("user_id")
         .applyInPandasWithState(
             update_fn,

@@ -73,6 +73,7 @@ def stream_interval_join(
     spark: SparkSession,
     sf_dir: str,
     query_name: str = "purchase_click_join",
+    **source_opts,
 ):
     """Structured Streaming execution: two watermarked event-time
     streams, inner join on user_id + time range, append sink.
@@ -84,7 +85,7 @@ def stream_interval_join(
     from ..session import as_event_time
     from .source import file_stream
 
-    src = as_event_time(file_stream(spark, sf_dir, "events"), "ts")
+    src = as_event_time(file_stream(spark, sf_dir, "events", **source_opts), "ts")
     p = (
         src.filter(F.col("event_type") == _LEFT_TYPE)
         .select(
