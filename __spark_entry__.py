@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from simple_rust_query_engine_spark import session as _session
 from simple_rust_query_engine_spark.operators import olap as _olap
+from simple_rust_query_engine_spark.operators import profile as _profile
 from simple_rust_query_engine_spark.operators import relational as _rel
 from simple_rust_query_engine_spark.operators import sketch as _sketch
 from simple_rust_query_engine_spark.operators import skew as _skew
@@ -29,6 +30,7 @@ from simple_rust_query_engine_spark.pipeline import (
     dedup as _dedup,
     multimodal as _mm,
     pack as _pack,
+    search as _search,
     similarity as _sim,
     text as _text,
 )
@@ -39,10 +41,12 @@ from simple_rust_query_engine_spark.streaming import join as _sjoin
 _MODULES = (
     _rel,
     _olap,
+    _profile,
     _temporal,
     _skew,
     _sketch,
     _text,
+    _search,
     _dedup,
     _clean,
     _sim,
@@ -143,6 +147,14 @@ _DEFER_PAST_CAP = (
     # the Expand/grouping-set family stays checked via
     # agg_grouping_sets, and cube's plan shape is pinned in pytest
     "agg_cube",
+    # round-5 additions bm25_search, inverted_index, profile_table,
+    # len_histogram enter per the new-operators-in-window rule; four
+    # r4-green redundant siblings defer:
+    "set_except",            # → set_intersect stays (set-op family)
+    "ann_multiprobe",        # → ann_lsh stays (LSH-bucket ANN family)
+    "events_window_sliding", # → events_session_window +
+                             #   events_window_stream stay
+    "multimodal_meta",       # → feature_extract stays (multimodal)
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

@@ -225,6 +225,33 @@ def q_chunk_documents(t: dict) -> DataFrame:
     return chunk_documents(t["documents"])
 
 
+LEN_BUCKET = 8  # token-length histogram bucket width
+
+
+def length_histogram(
+    docs: DataFrame, bucket: int = LEN_BUCKET, text_col: str = "text"
+) -> DataFrame:
+    """Token-length distribution of the corpus in fixed-width buckets
+    — the first chart of every corpus health report (truncation rate
+    for a context window, packing efficiency, degenerate-short-doc
+    mass).  Map-only token count, one low-cardinality groupBy whose
+    partial counts collapse map-side; scales at scan speed."""
+    n_tok = F.size(tokens(F.col(text_col)))
+    lo = (F.floor(n_tok / F.lit(bucket)) * bucket).cast("long")
+    return (
+        docs.select(lo.alias("bucket_lo"), n_tok.alias("_n"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("n_tokens_total"),
+        )
+    )
+
+
+def q_len_histogram(t: dict) -> DataFrame:
+    return length_histogram(t["documents"])
+
+
 VOCAB_K = 100
 
 
@@ -376,6 +403,13 @@ ORACLE: dict[str, str] = {
                least({CHUNK_SIZE}, len(t) - start)::INT AS n_tok_chunk
         FROM ex
     """,
+    "len_histogram": f"""
+        SELECT (len(string_split(text, ' ')) // {LEN_BUCKET} * {LEN_BUCKET})::BIGINT
+                   AS bucket_lo,
+               COUNT(*) AS n_docs,
+               SUM(len(string_split(text, ' ')))::BIGINT AS n_tokens_total
+        FROM documents GROUP BY 1
+    """,
     "vocab_stats": f"""
         WITH tf AS (
             SELECT t AS token, COUNT(*) AS tf
@@ -405,4 +439,5 @@ QUERIES = {
     "text_normalize": q_text_normalize,
     "chunk_documents": q_chunk_documents,
     "vocab_stats": q_vocab_stats,
+    "len_histogram": q_len_histogram,
 }

@@ -34,6 +34,10 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
         "quantile_approx",   # new in r5 (percentile_approx scale path)
         "chunk_documents",   # r5: trailing-contained-chunk fix
         "events_funnel",     # r5: depth via enumerate index
+        "bm25_search",       # new in r5 (lexical retrieval)
+        "inverted_index",    # new in r5 (salted posting lists)
+        "profile_table",     # new in r5 (single-pass column stats)
+        "len_histogram",     # new in r5 (corpus length distribution)
     }
     head = set(list(entry_mod.queries())[: entry_mod._DRIVER_CAP])
     assert must_be_checked <= head

@@ -247,6 +247,29 @@ def test_quantile_approx_sketch_combines_map_side(spark):
     assert "partial_percentile_approx" in plan, plan
 
 
+def test_bm25_stats_join_is_broadcast(spark):
+    # the per-term df and corpus (N, avgdl) aggregates are KB-sized
+    # whatever the corpus size — they must broadcast into the score
+    # computation, never shuffle the hits on the Zipf token key
+    from simple_rust_query_engine_spark.plans.inspect import join_strategies
+
+    strategies = join_strategies(_q(spark, "bm25_search"))
+    assert "SortMergeJoin" not in strategies, strategies
+    assert "ShuffledHashJoin" not in strategies, strategies
+
+
+def test_profile_table_is_single_scan(spark):
+    # all per-column aggregates (incl. multiple exact distincts via
+    # Expand) must come from ONE table read — a per-column scan loop
+    # reads 100 TB once per profiled column
+    plan = (
+        _q(spark, "profile_table")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Expand" in plan, plan
+
+
 def test_no_query_windows_over_single_partition(spark):
     # blanket plan hygiene, companion to the cartesian sweep: a window
     # function whose partition spec is empty funnels the whole input
