@@ -62,9 +62,11 @@ BENCH_QUERIES = [
     "events_sessionize",
 ]
 
-#: round-4 additions, timed identically but reported under separate
-#: keys (extra_*) so ``value``/``steady_total`` stay comparable with
-#: rounds 1-3 over the SAME 22-query set
+#: later-round additions, timed identically but reported under
+#: separate keys (extra_*) so ``value``/``steady_total`` stay
+#: comparable with rounds 1-3 over the SAME 22-query set.  This list
+#: GROWS as operators land (r4: first 12; r5: +5), so extra_total is
+#: only comparable round-over-round per query, not as a sum.
 EXTRA_QUERIES = [
     "tpch_q5_like",
     "events_funnel",
@@ -78,6 +80,12 @@ EXTRA_QUERIES = [
     "events_retention",
     "join_full",
     "pipeline_clean_incr",
+    # round 5
+    "quantile_approx",
+    "bm25_search",
+    "inverted_index",
+    "profile_table",
+    "len_histogram",
 ]
 
 

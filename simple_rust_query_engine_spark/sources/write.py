@@ -50,6 +50,72 @@ def write_sorted(
     clustered.write.mode(mode).parquet(path)
 
 
+def write_zordered(
+    df,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 12,
+    num_files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) layout over TWO numeric columns: the 2-D
+    generalization of ``write_sorted``'s 1-D zone maps.
+
+    1-D range clustering makes min/max pruning perfect on the sort
+    column and useless on every other; interleaving the bits of two
+    min-max-quantized keys places rows so each output file covers a
+    small RECTANGLE of the (col1, col2) space — a selective filter on
+    EITHER column (or a 2-D box) prunes files via the same parquet
+    footer statistics.  This is the standard lakehouse OPTIMIZE
+    ZORDER technique, built from public primitives: quantize each key
+    to ``bits`` bits by min-max scaling, interleave bits into a
+    Morton code, ``repartitionByRange`` + sort within files on it.
+
+    Cost/scale: one range shuffle at write time (identical to
+    ``write_sorted``); the min/max pre-pass is a broadcast 1-row
+    aggregate.  Quantization only positions rows — queries still
+    filter on the raw columns, so skew or outliers cost pruning
+    efficiency, never correctness."""
+    from pyspark.sql import functions as F
+
+    if len(cols) != 2:
+        raise ValueError("write_zordered interleaves exactly 2 columns")
+    inner = unwrap_df(df)
+    c1, c2 = cols
+    stats = inner.agg(
+        F.min(c1).alias("mn1"),
+        F.max(c1).alias("mx1"),
+        F.min(c2).alias("mn2"),
+        F.max(c2).alias("mx2"),
+    ).collect()[0]
+    top = (1 << bits) - 1
+
+    def quant(col, mn, mx):
+        span = max(int(mx) - int(mn), 1)
+        return F.least(
+            F.lit(top),
+            ((F.col(col) - F.lit(int(mn))) * F.lit(top) / F.lit(span)).cast("long"),
+        )
+
+    q1 = quant(c1, stats.mn1, stats.mx1)
+    q2 = quant(c2, stats.mn2, stats.mx2)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(q1, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(q2, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    tagged = inner.withColumn("_z", z)
+    (
+        tagged.repartitionByRange(num_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def write_csv(df, path: str, mode: str = "overwrite", header: bool = True) -> None:
     inner = unwrap_df(df)
     inner.write.mode(mode).option("header", str(header).lower()).csv(path)

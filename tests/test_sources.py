@@ -158,3 +158,71 @@ def test_write_sorted_produces_zone_map_layout(tables, tmp_path):
     # and the data still round-trips
     back = li.sparkSession.read.parquet(sorted_dir)
     assert back.count() == li.count()
+
+
+def test_write_zordered_prunes_on_both_columns(tables, tmp_path):
+    # the 2-D contract, read from the parquet footers: after Z-order
+    # clustering on (orderkey, partkey), a selective range on EITHER
+    # column overlaps only a fraction of the files' [min,max] spans;
+    # the 1-D orderkey layout leaves every file spanning ~the whole
+    # partkey range, so a partkey filter prunes nothing
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from simple_rust_query_engine_spark.sources.write import (
+        write_sorted,
+        write_zordered,
+    )
+
+    li = tables["lineitem"].select("l_orderkey", "l_partkey", "l_extendedprice")
+    z_dir, s_dir = str(tmp_path / "zord"), str(tmp_path / "sorted1d")
+    write_zordered(li, z_dir, ["l_orderkey", "l_partkey"], num_files=16)
+    write_sorted(li, s_dir, ["l_orderkey"], num_files=16)
+
+    def file_ranges(d, col):
+        out = []
+        for f in glob.glob(d + "/*.parquet"):
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index(col)
+            st = [md.row_group(i).column(idx).statistics for i in range(md.num_row_groups)]
+            out.append((min(s.min for s in st), max(s.max for s in st)))
+        return out
+
+    stats = li.agg(
+        F.min("l_partkey").alias("mn"), F.max("l_partkey").alias("mx")
+    ).collect()[0]
+    # 10%-of-domain partkey box, placed INSIDE a top-level Morton
+    # quadrant (a box straddling the domain midpoint touches both
+    # halves of the curve by construction)
+    lo = stats.mn + (stats.mx - stats.mn) * 20 // 100
+    hi = stats.mn + (stats.mx - stats.mn) * 30 // 100
+
+    def overlapping(ranges):
+        return sum(1 for mn, mx in ranges if mx >= lo and mn <= hi)
+
+    z_ranges = file_ranges(z_dir, "l_partkey")
+    s_ranges = file_ranges(s_dir, "l_partkey")
+    assert len(z_ranges) >= 8 and len(s_ranges) >= 8
+    # 1-D layout: essentially every file overlaps the partkey box
+    assert overlapping(s_ranges) >= 0.8 * len(s_ranges), s_ranges
+    # Z-order: at most ~half the files do (16 files ≈ 4x4 Morton grid;
+    # a 10% in-quadrant slab intersects one-to-two grid columns, plus
+    # boundary files from count-equal — not quadrant-aligned — splits)
+    assert overlapping(z_ranges) <= 0.6 * len(z_ranges), z_ranges
+    # and orderkey pruning still works too (not as tight as pure 1-D,
+    # but far from unclustered)
+    o_stats = li.agg(
+        F.min("l_orderkey").alias("mn"), F.max("l_orderkey").alias("mx")
+    ).collect()[0]
+    lo, hi = (
+        o_stats.mn + (o_stats.mx - o_stats.mn) * 20 // 100,
+        o_stats.mn + (o_stats.mx - o_stats.mn) * 30 // 100,
+    )
+    zo_ranges = file_ranges(z_dir, "l_orderkey")
+    assert overlapping(zo_ranges) <= 0.6 * len(zo_ranges), zo_ranges
+    # data round-trips
+    back = li.sparkSession.read.parquet(z_dir)
+    assert back.count() == li.count()
+    assert dict(back.dtypes) == dict(li.dtypes)
