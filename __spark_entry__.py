@@ -155,6 +155,16 @@ _DEFER_PAST_CAP = (
     "events_window_sliding", # → events_session_window +
                              #   events_window_stream stay
     "multimodal_meta",       # → feature_extract stays (multimodal)
+    # round-5 addition doc_repetition (Gopher repetition filter)
+    # enters; join_full (r4-green) defers — join family stays checked
+    # via join_inner + join_anti, and full-outer's null extension is
+    # pinned by golden tests
+    "join_full",
+    # round-5 addition semantic_dedup (SemDeDup cluster-scoped
+    # near-dup pruning) enters; emb_centroid (r4-green) defers — the
+    # embedding family stays checked via embedding_neardup, ann_lsh,
+    # semantic_search, and the new semantic_dedup itself
+    "emb_centroid",
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

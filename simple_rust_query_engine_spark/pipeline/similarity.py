@@ -496,6 +496,54 @@ def embedding_neardup_pairs(
     return out.distinct() if bands > 1 else out
 
 
+#: SemDeDup within-cluster cosine threshold — calibrated so the
+#: driver corpus splits meaningfully (within-label max cosine ≈ 0.47;
+#: 0.30 drops ~1/5 of vectors at sf0.01)
+SEMDEDUP_T = 0.30
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = SEMDEDUP_T,
+    chunk: int = PAIR_CHUNK,
+    label_col: str = "label",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    within-cluster pairwise cosine — keep one representative of every
+    group of semantically-near-identical documents.  Unlike
+    ``embedding_neardup_pairs`` (LSH-blocked, recall-bounded), the
+    cluster-scoped search is exhaustive *within* each cluster: the
+    published recipe sizes k ∝ N so a cluster stays ~10⁴-10⁵ vectors
+    and the O(cluster²) pair scan is tractable per task.
+
+    Here ``label`` stands in for the k-means cell assignment (the
+    production path derives cells from ``ann_ivf_kmeans_topk``'s
+    trained centroids — same downstream).  Survivor rule mirrors
+    ``dedup_survivors``: drop a vector iff some above-threshold
+    neighbour with a smaller vec_id shares its cluster.
+
+    Scale shape: ONE shuffle (groupBy on the cluster key →
+    applyInPandas), pair scan tiled at ``chunk``² doubles so a hot
+    cluster costs more tiles, never a bigger matrix; the drop-set
+    anti-join is a broadcast at any realistic dedup rate.  Fold
+    arithmetic is dimension-ordered exactly like the DuckDB oracle
+    (see ``_bucket_pairs_fn``), so the threshold boundary is
+    bitwise-identical across engines.
+    """
+    fn = _bucket_pairs_fn(threshold, chunk)
+    pairs = (
+        emb.select(label_col, "vec_id", "embedding")
+        .groupBy(label_col)
+        .applyInPandas(fn, "vec_a long, vec_b long, cos_sim double")
+    )
+    dropped = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+    return emb.join(dropped, "vec_id", "left_anti").select("vec_id", label_col)
+
+
+def q_semantic_dedup(t: dict) -> DataFrame:
+    return semantic_dedup(t["embeddings"])
+
+
 def emb_centroid(emb: DataFrame, label_col: str = "label") -> DataFrame:
     """Per-label embedding centroid in long format: (label, dim,
     centroid) — the class-mean step behind IVF training, label-cluster
@@ -687,6 +735,20 @@ ORACLE: dict[str, str] = {
           ON x.b1 = y.b1 AND x.vec_id < y.vec_id
         WHERE {_SQL_COS} >= {NEARDUP_T}
     """,
+    # exhaustive within-label pair scan; drop rule = any above-T
+    # neighbour with a smaller vec_id in the same cluster
+    "semantic_dedup": f"""
+        WITH dropped AS (
+            SELECT DISTINCT y.vec_id AS vec_id
+            FROM (SELECT label, vec_id, embedding AS a_emb FROM embeddings) x
+            JOIN (SELECT label, vec_id, embedding AS b_emb FROM embeddings) y
+              ON x.label = y.label AND x.vec_id < y.vec_id
+            WHERE {_SQL_COS} >= {SEMDEDUP_T}
+        )
+        SELECT e.vec_id AS vec_id, e.label AS label
+        FROM embeddings e
+        WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.vec_id = e.vec_id)
+    """,
     "semantic_search": f"""
         WITH hits AS (
             SELECT b.vec_id AS vec_id, {_SQL_COS} AS cos_sim
@@ -718,4 +780,5 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "emb_centroid": q_emb_centroid,
     "semantic_search": q_semantic_search,
+    "semantic_dedup": q_semantic_dedup,
 }

@@ -311,6 +311,75 @@ def q_fingerprint(t: dict) -> DataFrame:
     return d.select("doc_id", fp.alias("fingerprint"))
 
 
+#: repetition-flag thresholds (Gopher-style "repetitive document"
+#: filter — published values are ~0.2 duplicate-2gram fraction for web
+#: text; the driver word-soup corpus is denser, so the dials sit lower
+#: to produce a meaningful split: 9/500 docs flagged at sf0.01)
+REP2_T = 0.10
+REP3_T = 0.05
+
+
+def doc_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Intra-document repetition signals — the Gopher/MassiveText
+    "repetitious document" quality filter (Rae et al. 2021, table A1):
+    the fraction of duplicate tokens / 2-grams / 3-grams within each
+    document.  Boilerplate, scraped-menu, and degenerate-generation
+    pages score high and are dropped before training.
+
+    Scale shape: 100% map-only JVM expressions — the n-gram arrays are
+    built per-row by zipping shifted slices of the token array (never
+    an explode), so the operator runs at parquet-scan speed with zero
+    shuffle and no state: the ideal 100 TB plan.
+
+    Oracle parity: integer distinct-counts, exact rational divisions
+    rounded to 6 dp — DuckDB list lambdas reproduce the same grams
+    byte-for-byte (1-based slices on both sides).
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+
+    def grams(k: int):
+        # shifted-slice zip_with: k consecutive tokens per position.
+        # Arrays passed as zip_with ARGUMENTS evaluate once per row; a
+        # sequence+element_at transform would re-evaluate the token
+        # array per element — O(n²) per document.
+        g = F.slice(toks, 1, n - (k - 1))
+        for j in range(1, k):
+            g = F.zip_with(
+                g,
+                F.slice(toks, j + 1, n - (k - 1)),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        return g
+
+    uniq1 = F.size(F.array_distinct(toks))
+    # guard: sequence(1, n-k+1) would run DESCENDING for n < k
+    uniq2 = F.when(n >= 2, F.size(F.array_distinct(grams(2)))).otherwise(F.lit(0))
+    uniq3 = F.when(n >= 3, F.size(F.array_distinct(grams(3)))).otherwise(F.lit(0))
+    dup1 = F.round(F.lit(1.0) - uniq1.cast("double") / n, 6)
+    dup2 = F.when(
+        n >= 2, F.round(F.lit(1.0) - uniq2.cast("double") / (n - 1), 6)
+    ).otherwise(F.lit(0.0))
+    dup3 = F.when(
+        n >= 3, F.round(F.lit(1.0) - uniq3.cast("double") / (n - 2), 6)
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        uniq1.alias("uniq_tokens"),
+        uniq2.alias("uniq_2grams"),
+        uniq3.alias("uniq_3grams"),
+        dup1.alias("dup_token_frac"),
+        dup2.alias("dup_2gram_frac"),
+        dup3.alias("dup_3gram_frac"),
+        ((dup2 > REP2_T) | (dup3 > REP3_T)).alias("repetitive"),
+    )
+
+
+def q_doc_repetition(t: dict) -> DataFrame:
+    return doc_repetition(t["documents"])
+
+
 # ------------------------------------------------------------- oracles
 def _sql_word_hash(w: str) -> str:
     return f"(ascii({w})*131 + length({w})*31 + ascii(reverse({w})))::BIGINT"
@@ -410,6 +479,43 @@ ORACLE: dict[str, str] = {
                SUM(len(string_split(text, ' ')))::BIGINT AS n_tokens_total
         FROM documents GROUP BY 1
     """,
+    # DuckDB slice t[i:i+k-1] is 1-based inclusive = k consecutive
+    # tokens, byte-identical to the element_at concat on the Spark
+    # side; CASE guards mirror the n >= k sequence guards
+    "doc_repetition": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), c AS (
+            SELECT doc_id,
+                   len(t)::INT AS n_tokens,
+                   len(list_distinct(t))::INT AS uniq_tokens,
+                   CASE WHEN len(t) >= 2 THEN len(list_distinct(
+                       list_transform(range(1, len(t)),
+                                      i -> array_to_string(t[i:i+1], ' '))))
+                   ELSE 0 END::INT AS uniq_2grams,
+                   CASE WHEN len(t) >= 3 THEN len(list_distinct(
+                       list_transform(range(1, len(t) - 1),
+                                      i -> array_to_string(t[i:i+2], ' '))))
+                   ELSE 0 END::INT AS uniq_3grams
+            FROM toks
+        )
+        SELECT doc_id, n_tokens, uniq_tokens, uniq_2grams, uniq_3grams,
+               ROUND(1.0 - uniq_tokens::DOUBLE / n_tokens, 6)
+                   AS dup_token_frac,
+               CASE WHEN n_tokens >= 2
+                    THEN ROUND(1.0 - uniq_2grams::DOUBLE / (n_tokens - 1), 6)
+                    ELSE 0.0 END AS dup_2gram_frac,
+               CASE WHEN n_tokens >= 3
+                    THEN ROUND(1.0 - uniq_3grams::DOUBLE / (n_tokens - 2), 6)
+                    ELSE 0.0 END AS dup_3gram_frac,
+               (CASE WHEN n_tokens >= 2
+                     THEN ROUND(1.0 - uniq_2grams::DOUBLE / (n_tokens - 1), 6)
+                     ELSE 0.0 END > {REP2_T}
+                OR CASE WHEN n_tokens >= 3
+                        THEN ROUND(1.0 - uniq_3grams::DOUBLE / (n_tokens - 2), 6)
+                        ELSE 0.0 END > {REP3_T}) AS repetitive
+        FROM c
+    """,
     "vocab_stats": f"""
         WITH tf AS (
             SELECT t AS token, COUNT(*) AS tf
@@ -440,4 +546,5 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "vocab_stats": q_vocab_stats,
     "len_histogram": q_len_histogram,
+    "doc_repetition": q_doc_repetition,
 }
