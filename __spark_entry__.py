@@ -165,6 +165,17 @@ _DEFER_PAST_CAP = (
     # embedding family stays checked via embedding_neardup, ann_lsh,
     # semantic_search, and the new semantic_dedup itself
     "emb_centroid",
+    # round-5 addition join_asof_nearest enters (merge_asof changed
+    # shape this round too — its framing moved into _asof_union — and
+    # join_asof_fwd stays in-window covering that shared path);
+    # events_retention (r4-green) defers — the events family stays
+    # checked via events_funnel + the streaming event queries
+    "events_retention",
+    # round-5 addition dedup_keep_best (quality-aware canonical per
+    # near-dup component) enters; vocab_stats (r4-green) defers — the
+    # text family stays checked via quality_score, lang_id,
+    # text_normalize, chunk_documents, len_histogram, doc_repetition
+    "vocab_stats",
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

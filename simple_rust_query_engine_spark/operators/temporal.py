@@ -33,6 +33,40 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _asof_union(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+):
+    """Shared as-of framing: tag sides, NULL the other side's payload,
+    union by name.  Returns ``(union_df, right_payload_columns)``;
+    ``_side`` is 1 for left rows, 0 for right, ``_t`` the event time
+    (right rows with NULL time dropped — they can never be "at or
+    before/after" any left time, and the carry scan would otherwise
+    hand their payload to whichever left rows they sort next to)."""
+    overlap = (set(left.columns) & set(right.columns)) - {left_on}
+    if overlap:
+        raise ValueError(f"ambiguous columns on both sides: {sorted(overlap)}")
+    l_types, r_types = dict(left.dtypes), dict(right.dtypes)
+    r_payload = [c for c in right.columns if c != right_on]
+
+    lt = left.withColumn("_side", F.lit(1)).withColumn("_t", F.col(left_time))
+    for c in r_payload:
+        lt = lt.withColumn(c, F.lit(None).cast(r_types[c]))
+    rt = right.filter(F.col(right_time).isNotNull()).withColumnRenamed(
+        right_on, left_on
+    )
+    rt = rt.withColumn("_side", F.lit(0)).withColumn("_t", F.col(right_time))
+    for c in left.columns:
+        if c != left_on:
+            rt = rt.withColumn(c, F.lit(None).cast(l_types[c]))
+
+    return lt.unionByName(rt.select(*lt.columns)), r_payload
+
+
 def merge_asof(
     left: DataFrame,
     right: DataFrame,
@@ -61,27 +95,7 @@ def merge_asof(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
-    overlap = (set(left.columns) & set(right.columns)) - {left_on}
-    if overlap:
-        raise ValueError(f"ambiguous columns on both sides: {sorted(overlap)}")
-    l_types, r_types = dict(left.dtypes), dict(right.dtypes)
-    r_payload = [c for c in right.columns if c != right_on]
-
-    lt = left.withColumn("_side", F.lit(1)).withColumn("_t", F.col(left_time))
-    for c in r_payload:
-        lt = lt.withColumn(c, F.lit(None).cast(r_types[c]))
-    # a right row with NULL time can never be "at or before/after" any
-    # left time — drop it, or the carry scan would hand its payload to
-    # whichever left rows it happens to sort next to
-    rt = right.filter(F.col(right_time).isNotNull()).withColumnRenamed(
-        right_on, left_on
-    )
-    rt = rt.withColumn("_side", F.lit(0)).withColumn("_t", F.col(right_time))
-    for c in left.columns:
-        if c != left_on:
-            rt = rt.withColumn(c, F.lit(None).cast(l_types[c]))
-
-    u = lt.unionByName(rt.select(*lt.columns))
+    u, r_payload = _asof_union(left, right, left_on, right_on, left_time, right_time)
     t_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
     w = (
         Window.partitionBy(left_on)
@@ -113,6 +127,85 @@ def merge_asof(
         .select(
             *[c for c in left.columns],
             *[F.col(f"_r.{c}").alias(c) for c in r_payload],
+        )
+    )
+
+
+def merge_asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+) -> DataFrame:
+    """Nearest as-of LEFT join: each left row picks the right row (same
+    key) with the smallest |time distance|; ties go backward (the
+    pandas ``merge_asof(direction='nearest')`` convention).  Adds a
+    ``delta_ms`` column (the winning distance; NULL when no match).
+
+    Plan: the same union framing as ``merge_asof``, then BOTH carries
+    over ONE epoch-ms sort — RANGE frames keyed on ``_ms`` make the
+    side tie-break column unnecessary (every row with the same
+    timestamp is in-frame in both directions), so backward
+    (``last(..., ignorenulls)`` over (-∞, 0]) and forward (``first``
+    over [0, +∞)) share a single Exchange + Sort: one shuffle, one
+    per-partition sort, zero join nodes — cheaper than running the two
+    directional variants and re-joining them on row id, which would
+    cost three shuffles.
+    """
+    from ..session import epoch_ms
+
+    u, r_payload = _asof_union(left, right, left_on, right_on, left_time, right_time)
+    u = u.withColumn("_ms", epoch_ms(u, "_t"))
+    # right payload rides as one struct carrying its own epoch-ms, so
+    # the distance comparison and every output field come from the
+    # same matched row (see merge_asof's torn-row note)
+    r_struct = F.when(
+        F.col("_side") == 0,
+        F.struct(F.col("_ms").alias("_rms"), *[F.col(c) for c in r_payload]),
+    )
+    w_b = (
+        Window.partitionBy(left_on)
+        .orderBy("_ms")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_f = (
+        Window.partitionBy(left_on)
+        .orderBy("_ms")
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = u.select(
+        *[c for c in left.columns],
+        # left rows with NULL time match nothing (mask, as in merge_asof)
+        F.when(
+            F.col("_t").isNotNull(),
+            F.last(r_struct, ignorenulls=True).over(w_b),
+        ).alias("_b"),
+        F.when(
+            F.col("_t").isNotNull(),
+            F.first(r_struct, ignorenulls=True).over(w_f),
+        ).alias("_f"),
+        "_ms",
+        "_side",
+    )
+    d_b = F.col("_ms") - F.col("_b._rms")
+    d_f = F.col("_f._rms") - F.col("_ms")
+    chosen = (
+        F.when(F.col("_b").isNull(), F.col("_f"))
+        .when(F.col("_f").isNull(), F.col("_b"))
+        .when(d_b <= d_f, F.col("_b"))
+        .otherwise(F.col("_f"))
+    )
+    return (
+        filled.filter(F.col("_side") == 1)
+        .withColumn("_r", chosen)
+        .select(
+            *[c for c in left.columns],
+            *[F.col(f"_r.{c}").alias(c) for c in r_payload],
+            # least() skips NULLs, so this is the winning distance
+            # whichever side matched (NULL when neither did)
+            F.least(d_b, d_f).cast("long").alias("delta_ms"),
         )
     )
 
@@ -256,6 +349,20 @@ def q_join_asof_fwd(t: dict) -> DataFrame:
     )
 
 
+def q_join_asof_nearest(t: dict) -> DataFrame:
+    """Nearest as-of: each event joined to the customer's CLOSEST
+    order in time, either direction, ties backward (same deterministic
+    right-side pre-aggregation as the directional queries)."""
+    ev = t["events"].select("event_id", "user_id", "ts")
+    near_order = t["orders"].groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("near_orderkey"),
+        F.max_by("o_totalprice", "o_orderkey").alias("near_totalprice"),
+    )
+    return merge_asof_nearest(
+        ev, near_order, "user_id", "o_custkey", "ts", "o_orderdate"
+    )
+
+
 def q_range_join(t: dict) -> DataFrame:
     """Same-user event pairs within one hour of each other."""
     return range_join_pairs(
@@ -336,6 +443,47 @@ ORACLE: dict[str, str] = {
         FROM events e ASOF LEFT JOIN next_order o
           ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
     """,
+    # nearest = CASE over the two directional ASOF joins; tie (equal
+    # distance) goes backward, matching pandas merge_asof('nearest')
+    "join_asof_nearest": """
+        WITH near AS (
+            SELECT o_custkey, o_orderdate,
+                   max(o_orderkey) AS near_orderkey,
+                   arg_max(o_totalprice, o_orderkey) AS near_totalprice
+            FROM orders GROUP BY 1, 2
+        ), b AS (
+            SELECT e.event_id, o.o_orderdate AS b_date,
+                   o.near_orderkey AS b_key, o.near_totalprice AS b_price
+            FROM events e ASOF LEFT JOIN near o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        ), f AS (
+            SELECT e.event_id, o.o_orderdate AS f_date,
+                   o.near_orderkey AS f_key, o.near_totalprice AS f_price
+            FROM events e ASOF LEFT JOIN near o
+              ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+        )
+        SELECT e.event_id, e.user_id, e.ts,
+               CASE WHEN b_date IS NULL THEN f_date
+                    WHEN f_date IS NULL THEN b_date
+                    WHEN date_diff('millisecond', b_date, e.ts)
+                         <= date_diff('millisecond', e.ts, f_date)
+                    THEN b_date ELSE f_date END AS o_orderdate,
+               CASE WHEN b_date IS NULL THEN f_key
+                    WHEN f_date IS NULL THEN b_key
+                    WHEN date_diff('millisecond', b_date, e.ts)
+                         <= date_diff('millisecond', e.ts, f_date)
+                    THEN b_key ELSE f_key END AS near_orderkey,
+               CASE WHEN b_date IS NULL THEN f_price
+                    WHEN f_date IS NULL THEN b_price
+                    WHEN date_diff('millisecond', b_date, e.ts)
+                         <= date_diff('millisecond', e.ts, f_date)
+                    THEN b_price ELSE f_price END AS near_totalprice,
+               least(date_diff('millisecond', b_date, e.ts),
+                     date_diff('millisecond', e.ts, f_date))::BIGINT
+                   AS delta_ms
+        FROM events e
+        JOIN b USING (event_id) JOIN f USING (event_id)
+    """,
     # the oracle is the naive inequality join the bucketed plan avoids
     "range_join": f"""
         SELECT a.event_id AS event_id_a, b.event_id AS event_id_b,
@@ -400,6 +548,7 @@ ORACLE: dict[str, str] = {
 QUERIES = {
     "join_asof": q_join_asof,
     "join_asof_fwd": q_join_asof_fwd,
+    "join_asof_nearest": q_join_asof_nearest,
     "range_join": q_range_join,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,

@@ -740,6 +740,52 @@ def q_dedup_survivors(t: dict) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(t: dict) -> DataFrame:
+    """Quality-aware canonical selection: one representative per
+    near-dup component, chosen by CONTENT (highest distinct-token
+    count, tie → lowest doc_id) instead of the arbitrary lowest-id
+    rule — real curation keeps the richest duplicate (the full
+    article, not the truncated scrape).  Emits per component: label,
+    keep_id, the keeper's uniq_tokens, and the member count.
+
+    Plan: connected components as in q_dedup_cc, then ONE shuffle on
+    the component label — row_number and the member count share the
+    same window partitioning, so ranking costs a single exchange.
+    Components are near-dup groups, inherently small (bounded by the
+    dedup threshold, not corpus size), so the label key is uniform at
+    any scale.  The richness metric is an integer distinct-count —
+    no float compare at the keep/drop boundary.
+    """
+    from pyspark.sql import Window
+
+    labels = q_dedup_cc(t)  # (doc_id, label)
+    richness = t["documents"].select(
+        "doc_id",
+        F.size(F.array_distinct(F.split(F.col("text"), " "))).alias("uniq_tokens"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("uniq_tokens").desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("label")
+    return (
+        labels.join(richness, "doc_id")
+        .select(
+            "label",
+            "doc_id",
+            "uniq_tokens",
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(wc).alias("n_members"),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "label",
+            F.col("doc_id").alias("keep_id"),
+            "uniq_tokens",
+            "n_members",
+        )
+    )
+
+
 # ------------------------------------------------------------ oracle
 _SQL_WH = "(ascii(w)*131 + length(w)*31 + ascii(reverse(w)))::BIGINT"
 # ordered (with multiplicity) word hashes → shingle hashes, mirroring
@@ -917,6 +963,44 @@ ORACLE: dict[str, str] = {
         SELECT doc_id, lang, source FROM documents
         WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
     """,
+    # dedup_cc's labels + a per-component rank: keeper = max distinct
+    # tokens, ties to the lowest doc_id (same integer metric as the
+    # Spark window)
+    "dedup_keep_best": f"""
+        WITH RECURSIVE
+        {SQL_NGRAM_PAIR_CTES},
+        edges AS (
+            SELECT doc_a, doc_b FROM pairs
+            JOIN cnt ca ON doc_a = ca.doc_id
+            JOIN cnt cb ON doc_b = cb.doc_id
+            WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common) >= {JACCARD_T}
+        ),
+        bidir AS (
+            SELECT doc_a AS src, doc_b AS dst FROM edges
+            UNION SELECT doc_b, doc_a FROM edges
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM bidir
+            UNION
+            SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+        ),
+        lab AS (SELECT src AS doc_id, MIN(dst) AS mn FROM reach GROUP BY src),
+        labeled AS (
+            SELECT d.doc_id,
+                   LEAST(d.doc_id, COALESCE(l.mn, d.doc_id)) AS label,
+                   len(list_distinct(string_split(d.text, ' ')))::INT
+                       AS uniq_tokens
+            FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+        )
+        SELECT label, doc_id AS keep_id, uniq_tokens, n_members FROM (
+            SELECT label, doc_id, uniq_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY label
+                                      ORDER BY uniq_tokens DESC, doc_id ASC)
+                       AS rn,
+                   COUNT(*) OVER (PARTITION BY label) AS n_members
+            FROM labeled
+        ) WHERE rn = 1
+    """,
 }
 
 QUERIES = {
@@ -928,4 +1012,5 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_survivors": q_dedup_survivors,
     "dedup_cc": q_dedup_cc,
+    "dedup_keep_best": q_dedup_keep_best,
 }

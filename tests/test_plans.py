@@ -188,6 +188,20 @@ def test_events_funnel_is_single_shuffle(spark):
     assert "SinglePartition" not in plan, plan
 
 
+def test_asof_nearest_single_sort_no_join(spark):
+    # both directional carries ride ONE window sort (RANGE frames on
+    # epoch-ms make the side tie-break unnecessary): a single Window
+    # node over a single Sort, zero join nodes — the re-join-two-
+    # directions formulation would cost three shuffles and a join
+    plan = (
+        _q(spark, "join_asof_nearest")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Window ") == 1, plan
+    assert plan.count("Sort [") == 1, plan
+    assert "Join" not in plan, plan
+
+
 def test_shuffle_shards_never_global_sort(spark):
     # the training shuffle orders WITHIN hash shards: one exchange on
     # shard, no global ordering structure (a global orderBy would

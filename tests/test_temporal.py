@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from simple_rust_query_engine_spark.operators.temporal import (
     merge_asof,
+    merge_asof_nearest,
     range_join_pairs,
 )
 from simple_rust_query_engine_spark.plans.inspect import explain_str
@@ -46,6 +47,30 @@ def test_asof_backward_tie_and_miss_semantics(spark):
     assert out[3].payload is None  # no prior right -> NULLs
     assert out[3].rt is None
     assert out[4].payload is None  # unseen key -> NULLs
+
+
+def test_asof_nearest_picks_closer_side_ties_backward(spark):
+    left, right = _sides(spark)
+    # midpoint row: 08:30 is exactly 1800s from r8 (back) and r9
+    # (fwd) — the tie must go BACKWARD (pandas 'nearest' convention)
+    left = left.union(
+        spark.createDataFrame(
+            [(5, 10, _ts("2024-01-01 08:30:00"))], left.schema
+        )
+    )
+    out = {
+        r.id: r
+        for r in merge_asof_nearest(left, right, "k", "rk", "t", "rt").collect()
+    }
+    assert len(out) == 5
+    assert out[1].payload == "r9"  # only backward exists
+    assert out[1].delta_ms == 3_600_000
+    assert out[2].payload == "r8" and out[2].delta_ms == 0  # exact hit
+    assert out[3].payload == "r8"  # only forward exists
+    assert out[3].delta_ms == 3_600_000
+    assert out[4].payload is None and out[4].delta_ms is None  # no key
+    assert out[5].payload == "r8"  # equidistant -> backward
+    assert out[5].delta_ms == 1_800_000
 
 
 def test_asof_rejects_ambiguous_columns(spark):
