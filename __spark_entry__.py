@@ -176,6 +176,13 @@ _DEFER_PAST_CAP = (
     # text family stays checked via quality_score, lang_id,
     # text_normalize, chunk_documents, len_histogram, doc_repetition
     "vocab_stats",
+    # round-5 additions dup_spans (exact substring dedup) and
+    # decontaminate (train/eval n-gram overlap) enter; two r4-green
+    # rows defer: text_normalize (text family: quality_score, lang_id,
+    # chunk_documents, doc_repetition stay) and shuffle_shards (pack
+    # family: pack_sequences, sample_mixture, train_test_split stay)
+    "text_normalize",
+    "shuffle_shards",
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

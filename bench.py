@@ -90,6 +90,8 @@ EXTRA_QUERIES = [
     "semantic_dedup",
     "join_asof_nearest",
     "dedup_keep_best",
+    "dup_spans",
+    "decontaminate",
 ]
 
 

@@ -740,6 +740,157 @@ def q_dedup_survivors(t: dict) -> DataFrame:
     )
 
 
+#: token width of the exact-substring / decontamination span windows
+#: (Lee et al. 2022 use 50-token windows on real text; the driver
+#: word-soup docs average ~50 tokens total, so 8 keeps several windows
+#: per doc while still being long enough that collisions are planted
+#: duplication, not chance)
+SPAN_W = 8
+
+
+def _window_hashes_expr(text_col, width: int = SPAN_W):
+    """Pure-expression variant of the rolling window hash.  Kept as
+    the no-Python fallback (same trade as ``_minhash_sig_expr``):
+    correct and shuffle-free, but higher-order functions are
+    CodegenFallback AND CollapseProject inlines the word-hash array
+    into every one of the ``width`` slice arguments — ~2×width
+    re-evaluations per row.  The Arrow UDF below computes the array
+    once per row and is the path the queries use."""
+    from .text import _FP_MOD, _FP_MUL
+
+    whs = F.transform(F.split(text_col, " "), word_hash)
+    n = F.size(whs)
+    h = F.slice(whs, 1, n - (width - 1))
+    for j in range(1, width):
+        h = F.zip_with(
+            h,
+            F.slice(whs, j + 1, n - (width - 1)),
+            lambda acc, x: (acc * F.lit(_FP_MUL) + x) % F.lit(_FP_MOD),
+        )
+    return F.when(n >= width, h).otherwise(F.array().cast("array<long>"))
+
+
+def window_hash_udf(width: int = SPAN_W):
+    """Rolling polynomial hash of every ``width``-token window
+    (stride 1) — the span fingerprint behind exact-substring dedup
+    and benchmark decontamination.  Arrow-batched, numpy-vectorized
+    per doc; every intermediate < 2^53 so the fold is int64-exact and
+    bit-identical to the DuckDB twin and to ``_window_hashes_expr``.
+    Map-only: no explode, no shuffle inside the UDF.  Docs shorter
+    than ``width`` tokens yield an empty array."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .text import _FP_MOD, _FP_MUL
+
+    @pandas_udf("array<bigint>")
+    def wh_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            words = text.split(" ")
+            n = len(words)
+            if n < width:
+                out.append(np.array([], dtype=np.int64))
+                continue
+            wh = np.fromiter(
+                (
+                    (ord(w[0]) * 131 + len(w) * 31 + ord(w[-1])) if w else 0
+                    for w in words
+                ),
+                dtype=np.int64,
+                count=n,
+            )
+            h = wh[: n - width + 1].copy()
+            for j in range(1, width):
+                h = (h * _FP_MUL + wh[j : j + n - width + 1]) % _FP_MOD
+            out.append(h)
+        return pd.Series(out)
+
+    return wh_udf
+
+
+def q_dup_spans(t: dict) -> DataFrame:
+    """Exact duplicated spans ACROSS documents — the train-set half of
+    exact-substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): verbatim passages
+    repeated in 2+ documents (licenses, boilerplate, templated spam)
+    that a whole-document hash can never see.  Emits each offending
+    span hash with its document reach, total occurrence count, and
+    first carrier.
+
+    Plan: map-only rolling-hash explode (one row per window), then a
+    single groupBy on the span hash.  The distinct-doc count expands
+    to a two-phase aggregate keyed on (span_hash, doc_id) — both
+    uniform high-cardinality keys, so map-side partials absorb
+    within-partition repeats and no reducer sees a hot key.  At
+    100 TB this is one uniform shuffle of (hash, doc) pairs — the
+    suffix-array construction the paper uses is single-machine; this
+    is its distributed windowed-hash equivalent."""
+    spans = t["documents"].select(
+        "doc_id",
+        F.explode(window_hash_udf()(F.col("text"))).alias("span_hash"),
+    )
+    return (
+        spans.groupBy("span_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+#: the held-out benchmark source for the decontamination demo — at
+#: real scale this is the eval-suite corpus, inherently tiny
+EVAL_SOURCE = "src0"
+
+
+def q_decontaminate(t: dict) -> DataFrame:
+    """Benchmark decontamination: for every training document, the
+    fraction of its ``SPAN_W``-token windows that appear verbatim in
+    the held-out eval set (``source = 'src0'``) — the n-gram-overlap
+    check every serious LLM corpus runs (GPT-3 appendix C; PaLM §6)
+    so test questions don't leak into training data.
+
+    Plan: the eval side collapses to a DISTINCT span-hash set and is
+    BROADCAST into the train-side probe — eval suites are tiny by
+    construction, so the train corpus is never shuffled: one map-only
+    explode + broadcast hash probe + per-doc partial-combine agg.
+    ``contaminated`` flags any verbatim overlap; ``contam_frac``
+    supports thresholded policies."""
+    spans = t["documents"].select(
+        "doc_id",
+        "source",
+        F.explode(window_hash_udf()(F.col("text"))).alias("span_hash"),
+    )
+    ev = (
+        spans.filter(F.col("source") == EVAL_SOURCE)
+        .select("span_hash")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        spans.filter(F.col("source") != EVAL_SOURCE)
+        .join(F.broadcast(ev), "span_hash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(
+                F.when(F.col("_hit").isNotNull(), 1).otherwise(0)
+            ).alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_hits",
+            F.round(F.col("n_hits").cast("double") / F.col("n_windows"), 6).alias(
+                "contam_frac"
+            ),
+            (F.col("n_hits") > 0).alias("contaminated"),
+        )
+    )
+
+
 def q_dedup_keep_best(t: dict) -> DataFrame:
     """Quality-aware canonical selection: one representative per
     near-dup component, chosen by CONTENT (highest distinct-token
@@ -916,7 +1067,56 @@ SQL_NGRAM_DROPPED_CTES = f"""{SQL_NGRAM_PAIR_CTES},
         )"""
 
 
+def _sql_span_hash(width: int = SPAN_W) -> str:
+    """DuckDB rolling-hash fold, mirroring _window_hashes exactly."""
+    from .text import _FP_MOD, _FP_MUL
+
+    expr = "whs[i]"
+    for j in range(1, width):
+        expr = f"(({expr})*{_FP_MUL} + whs[i+{j}]) % {_FP_MOD}"
+    return expr
+
+
+#: spans CTE shared by dup_spans / decontaminate — one definition of
+#: tokenize → word-hash → rolling window hash (docs shorter than
+#: SPAN_W emit no rows, same as the Spark empty-array guard)
+SQL_SPAN_CTES = f"""whdoc AS (
+            SELECT doc_id, source, {_SQL_WHS_ORDERED} AS whs FROM documents
+        ),
+        spans AS (
+            SELECT doc_id, source,
+                   unnest(list_transform(range(1, len(whs) - {SPAN_W - 2}),
+                                         i -> {_sql_span_hash()})) AS span_hash
+            FROM whdoc
+        )"""
+
+
 ORACLE: dict[str, str] = {
+    "dup_spans": f"""
+        WITH {SQL_SPAN_CTES}
+        SELECT span_hash,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(*) AS n_occurrences,
+               MIN(doc_id) AS first_doc
+        FROM spans GROUP BY span_hash
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    "decontaminate": f"""
+        WITH {SQL_SPAN_CTES},
+        ev AS (SELECT DISTINCT span_hash FROM spans
+               WHERE source = '{EVAL_SOURCE}')
+        SELECT doc_id,
+               COUNT(*) AS n_windows,
+               COUNT(*) FILTER (span_hash IN (SELECT span_hash FROM ev))
+                   AS n_hits,
+               ROUND(COUNT(*) FILTER (span_hash IN
+                         (SELECT span_hash FROM ev))::DOUBLE / COUNT(*), 6)
+                   AS contam_frac,
+               COUNT(*) FILTER (span_hash IN (SELECT span_hash FROM ev)) > 0
+                   AS contaminated
+        FROM spans WHERE source <> '{EVAL_SOURCE}'
+        GROUP BY doc_id
+    """,
     "dedup_exact": """
         SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
                COUNT(*) AS n_copies
@@ -1013,4 +1213,6 @@ QUERIES = {
     "dedup_survivors": q_dedup_survivors,
     "dedup_cc": q_dedup_cc,
     "dedup_keep_best": q_dedup_keep_best,
+    "dup_spans": q_dup_spans,
+    "decontaminate": q_decontaminate,
 }

@@ -188,6 +188,25 @@ def test_events_funnel_is_single_shuffle(spark):
     assert "SinglePartition" not in plan, plan
 
 
+def test_decontaminate_eval_set_is_broadcast(spark):
+    # the eval span-hash set must broadcast into the train probe (the
+    # train corpus is never shuffled through a join) and the source
+    # split must be pushed to the parquet scan on both sides
+    df = _q(spark, "decontaminate")
+    strategies = join_strategies(df)
+    assert strategies and set(strategies) == {"BroadcastHashJoin"}, strategies
+    pf = pushed_filters(df)
+    assert any("src0" in f for f in pf), pf
+
+
+def test_dup_spans_no_join_uniform_agg(spark):
+    # exact-substring detection is explode + ONE groupBy family on the
+    # uniform span hash: no join anywhere in the plan
+    plan = _q(spark, "dup_spans")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
 def test_asof_nearest_single_sort_no_join(spark):
     # both directional carries ride ONE window sort (RANGE frames on
     # epoch-ms make the side tie-break unnecessary): a single Window
