@@ -244,3 +244,89 @@ def test_funnel_matches_python(spark, events):
         ]
         want.add((uid, ts[0], ts[1], ts[2], depth))
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(1, 2), st.integers(0, 20)),
+        min_size=1,
+        max_size=8,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(1, 2), st.integers(0, 20)),
+        min_size=0,
+        max_size=8,
+    ),
+)
+def test_asof_nearest_matches_python(spark, lefts, rights):
+    # nearest as-of vs a brute-force reference on arbitrary key/time
+    # layouts: equidistant ties must go backward, exact hits are
+    # distance 0, keys with no right rows yield NULLs
+    import datetime as dt
+
+    from simple_rust_query_engine_spark.operators.temporal import (
+        merge_asof_nearest,
+    )
+
+    epoch = dt.datetime(1970, 1, 1)
+    rights = sorted(set(rights))  # unique per (key, time) contract
+    left = spark.createDataFrame(
+        [
+            (i, k, epoch + dt.timedelta(seconds=s))
+            for i, (k, s) in enumerate(lefts)
+        ],
+        "id long, k long, t timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [(k, epoch + dt.timedelta(seconds=s), f"r{k}-{s}") for k, s in rights],
+        "rk long, rt timestamp_ntz, payload string",
+    ) if rights else spark.createDataFrame([], "rk long, rt timestamp_ntz, payload string")
+    got = {
+        (r.id, r.payload, r.delta_ms)
+        for r in merge_asof_nearest(left, right, "k", "rk", "t", "rt").collect()
+    }
+
+    want = set()
+    for i, (k, s) in enumerate(lefts):
+        cands = [(rs,) for rk, rs in rights if rk == k]
+        back = max((rs for (rs,) in cands if rs <= s), default=None)
+        fwd = min((rs for (rs,) in cands if rs >= s), default=None)
+        if back is None and fwd is None:
+            want.add((i, None, None))
+            continue
+        if fwd is None or (back is not None and s - back <= fwd - s):
+            pick = back
+        else:
+            pick = fwd
+        want.add((i, f"r{k}-{pick}", abs(s - pick) * 1000))
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(ws=WORDS)
+def test_window_hashes_match_python(spark, ws):
+    # the Arrow rolling-span-hash UDF vs a straightforward Python
+    # fold, covering tiny docs (< SPAN_W tokens -> empty), empty
+    # tokens, and repeated words
+    from simple_rust_query_engine_spark.pipeline.dedup import (
+        SPAN_W,
+        window_hash_udf,
+    )
+    from simple_rust_query_engine_spark.pipeline.text import _FP_MOD, _FP_MUL
+
+    text = " ".join(ws)
+    got = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(window_hash_udf()(F.col("text")).alias("h"))
+        .collect()[0]
+        .h
+    )
+    wh = [_py_word_hash(w) for w in text.split(" ")]
+    want = []
+    for i in range(len(wh) - SPAN_W + 1):
+        h = wh[i]
+        for j in range(1, SPAN_W):
+            h = (h * _FP_MUL + wh[i + j]) % _FP_MOD
+        want.append(h)
+    assert list(got) == want
