@@ -183,6 +183,11 @@ _DEFER_PAST_CAP = (
     # family: pack_sequences, sample_mixture, train_test_split stay)
     "text_normalize",
     "shuffle_shards",
+    # round-5 addition decontaminate_stream (map-only ingest-time
+    # probe through the streaming engine) enters; train_test_split
+    # (r4-green) defers — pack family stays checked via pack_sequences
+    # and sample_mixture
+    "train_test_split",
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

@@ -780,32 +780,33 @@ def window_hash_udf(width: int = SPAN_W):
     than ``width`` tokens yield an empty array."""
     from pyspark.sql.functions import pandas_udf
 
-    from .text import _FP_MOD, _FP_MUL
-
     @pandas_udf("array<bigint>")
     def wh_udf(texts: pd.Series) -> pd.Series:
-        out = []
-        for text in texts:
-            words = text.split(" ")
-            n = len(words)
-            if n < width:
-                out.append(np.array([], dtype=np.int64))
-                continue
-            wh = np.fromiter(
-                (
-                    (ord(w[0]) * 131 + len(w) * 31 + ord(w[-1])) if w else 0
-                    for w in words
-                ),
-                dtype=np.int64,
-                count=n,
-            )
-            h = wh[: n - width + 1].copy()
-            for j in range(1, width):
-                h = (h * _FP_MUL + wh[j : j + n - width + 1]) % _FP_MOD
-            out.append(h)
-        return pd.Series(out)
+        return pd.Series([_py_window_hashes(text, width) for text in texts])
 
     return wh_udf
+
+
+def _py_window_hashes(text: str, width: int = SPAN_W) -> "np.ndarray":
+    """Single-doc rolling window hash (numpy int64-exact) — the kernel
+    behind ``window_hash_udf`` and the streaming decontamination
+    probe; one definition so the batch and streaming paths can never
+    diverge on span construction."""
+    words = text.split(" ")
+    n = len(words)
+    if n < width:
+        return np.array([], dtype=np.int64)
+    from .text import _FP_MOD, _FP_MUL
+
+    wh = np.fromiter(
+        ((ord(w[0]) * 131 + len(w) * 31 + ord(w[-1])) if w else 0 for w in words),
+        dtype=np.int64,
+        count=n,
+    )
+    h = wh[: n - width + 1].copy()
+    for j in range(1, width):
+        h = (h * _FP_MUL + wh[j : j + n - width + 1]) % _FP_MOD
+    return h
 
 
 def q_dup_spans(t: dict) -> DataFrame:

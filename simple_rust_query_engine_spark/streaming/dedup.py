@@ -27,6 +27,10 @@ only (attaching "the first doc_id seen" would be a race; batch
 
 from __future__ import annotations
 
+import os
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -159,6 +163,93 @@ def q_minhash_sig_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "decontaminate_stream",
+):
+    """Ingest-time benchmark decontamination: every ARRIVING document
+    is probed against the held-out eval set's span-hash set before it
+    enters the corpus — the streaming twin of
+    ``pipeline/dedup.q_decontaminate`` and the shape a production
+    ingest pipeline actually runs (contaminated docs never land).
+
+    The eval hash set is tiny by construction (an eval suite, not a
+    corpus), so it is collected ONCE as model state — same standing as
+    the IVF centroids and ANN query vectors — and shipped inside a
+    single Arrow UDF: the stream side is therefore 100% map-only,
+    append mode, ZERO state store, no watermark.  A stream-static
+    join formulation would force a per-doc streaming aggregation
+    (unbounded state) for strictly worse semantics."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..pipeline.dedup import EVAL_SOURCE, SPAN_W, window_hash_udf
+
+    ev_rows = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("source") == EVAL_SOURCE)
+        .select(F.explode(window_hash_udf()(F.col("text"))).alias("h"))
+        .distinct()
+        .collect()
+    )
+    ev_arr = np.sort(np.array([r.h for r in ev_rows], dtype=np.int64))
+    width = SPAN_W
+
+    @pandas_udf("array<bigint>")
+    def probe_udf(texts: pd.Series) -> pd.Series:
+        from ..pipeline.dedup import _py_window_hashes
+
+        out = []
+        for text in texts:
+            h = _py_window_hashes(text, width)
+            out.append(
+                np.array([len(h), int(np.isin(h, ev_arr).sum())], dtype=np.int64)
+            )
+        return pd.Series(out)
+
+    probed = (
+        _documents_stream(spark, sf_dir)
+        .filter(F.col("source") != EVAL_SOURCE)
+        .select("doc_id", probe_udf(F.col("text")).alias("_c"))
+        .select(
+            "doc_id",
+            F.element_at("_c", 1).alias("n_windows"),
+            F.element_at("_c", 2).alias("n_hits"),
+        )
+        # batch twin only emits docs with >= 1 window (explode drops
+        # the rest) — mirror that so the oracle matches exactly
+        .filter(F.col("n_windows") > 0)
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_windows"), 6
+            ).alias("contam_frac"),
+            (F.col("n_hits") > 0).alias("contaminated"),
+        )
+    )
+    return (
+        probed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def q_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: decontamination executed THROUGH the streaming
+    engine, hash-checked against the same DuckDB oracle as the batch
+    query."""
+    _STREAM_RUN[0] += 1
+    name = f"decontaminate_stream_{_STREAM_RUN[0]}"
+    q = stream_decontaminate(spark, sf_dir, query_name=name)
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
 def _minhash_sig_stream_oracle() -> str:
     from ..pipeline.dedup import MH_K, _minhash_sig_sql
 
@@ -169,9 +260,18 @@ def _minhash_sig_stream_oracle() -> str:
     )
 
 
+def _decontaminate_stream_oracle() -> str:
+    # the streaming probe must equal the BATCH decontamination oracle
+    # exactly (per-doc results are independent of micro-batch split)
+    from ..pipeline import dedup as _batch_dedup
+
+    return _batch_dedup.ORACLE["decontaminate"]
+
+
 ORACLE: dict[str, str] = {
     "dedup_exact_stream": "SELECT DISTINCT md5(text) AS content_hash FROM documents",
     "minhash_sig_stream": _minhash_sig_stream_oracle(),
+    "decontaminate_stream": _decontaminate_stream_oracle(),
 }
 
 QUERIES: dict = {}
@@ -180,4 +280,5 @@ QUERIES: dict = {}
 QUERIES_SPARK = {
     "dedup_exact_stream": q_dedup_exact_stream,
     "minhash_sig_stream": q_minhash_sig_stream,
+    "decontaminate_stream": q_decontaminate_stream,
 }
