@@ -188,6 +188,11 @@ _DEFER_PAST_CAP = (
     # (r4-green) defers — pack family stays checked via pack_sequences
     # and sample_mixture
     "train_test_split",
+    # round-5 addition dup_span_frac (per-doc duplicated-span drop
+    # rule) enters; events_session_window (r4-green) defers — the
+    # streaming family stays checked via events_window_stream,
+    # dedup_exact_stream, events_stream_join, decontaminate_stream
+    "events_session_window",
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

@@ -841,6 +841,54 @@ def q_dup_spans(t: dict) -> DataFrame:
     )
 
 
+#: drop threshold for the per-doc duplicated-span fraction filter
+DUP_FRAC_T = 0.5
+
+
+def q_dup_span_frac(t: dict) -> DataFrame:
+    """Per-document duplicated-span fraction — the DROP RULE built on
+    ``q_dup_spans``: the share of a doc's ``SPAN_W``-token windows
+    that occur verbatim elsewhere in the corpus (another doc or
+    another position).  Pipelines cut documents above a threshold
+    (``drop_doc`` at DUP_FRAC_T = 0.5) instead of surgically excising
+    spans —
+    cheaper and safer than text surgery at corpus scale.
+
+    Plan: one window count over the span hash (uniform
+    high-cardinality key, tiny groups — never a hot reducer), then
+    the per-doc aggregate: exactly two shuffles regardless of corpus
+    size, no join (a counts-table self-join would shuffle the span
+    table a third time).
+    """
+    from pyspark.sql import Window
+
+    spans = t["documents"].select(
+        "doc_id",
+        F.explode(window_hash_udf()(F.col("text"))).alias("span_hash"),
+    )
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("span_hash"))
+    dup_frac = F.round(
+        F.col("n_dup_windows").cast("double") / F.col("n_windows"), 6
+    )
+    return (
+        spans.withColumn("_cnt", cnt)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("_cnt") >= 2, 1).otherwise(0)).alias(
+                "n_dup_windows"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            dup_frac.alias("dup_frac"),
+            (dup_frac > DUP_FRAC_T).alias("drop_doc"),
+        )
+    )
+
+
 #: the held-out benchmark source for the decontamination demo — at
 #: real scale this is the eval-suite corpus, inherently tiny
 EVAL_SOURCE = "src0"
@@ -1102,6 +1150,22 @@ ORACLE: dict[str, str] = {
         FROM spans GROUP BY span_hash
         HAVING COUNT(DISTINCT doc_id) >= 2
     """,
+    "dup_span_frac": f"""
+        WITH {SQL_SPAN_CTES},
+        c AS (
+            SELECT doc_id, span_hash,
+                   COUNT(*) OVER (PARTITION BY span_hash) AS cnt
+            FROM spans
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_windows,
+               COUNT(*) FILTER (cnt >= 2) AS n_dup_windows,
+               ROUND(COUNT(*) FILTER (cnt >= 2)::DOUBLE / COUNT(*), 6)
+                   AS dup_frac,
+               ROUND(COUNT(*) FILTER (cnt >= 2)::DOUBLE / COUNT(*), 6)
+                   > {DUP_FRAC_T} AS drop_doc
+        FROM c GROUP BY doc_id
+    """,
     "decontaminate": f"""
         WITH {SQL_SPAN_CTES},
         ev AS (SELECT DISTINCT span_hash FROM spans
@@ -1215,5 +1279,6 @@ QUERIES = {
     "dedup_cc": q_dedup_cc,
     "dedup_keep_best": q_dedup_keep_best,
     "dup_spans": q_dup_spans,
+    "dup_span_frac": q_dup_span_frac,
     "decontaminate": q_decontaminate,
 }
