@@ -193,6 +193,10 @@ _DEFER_PAST_CAP = (
     # streaming family stays checked via events_window_stream,
     # dedup_exact_stream, events_stream_join, decontaminate_stream
     "events_session_window",
+    # round-5 addition lm_score (CCNet-style unigram-LM perplexity
+    # proxy) enters; sample_mixture (r4-green) defers — the pack
+    # family stays checked via pack_sequences
+    "sample_mixture",
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

@@ -380,6 +380,59 @@ def q_doc_repetition(t: dict) -> DataFrame:
     return doc_repetition(t["documents"])
 
 
+def q_lm_score(t: dict) -> DataFrame:
+    """Unigram-LM quality score (perplexity proxy) — the CCNet-style
+    filter: score each document by its average negative log-likelihood
+    under a unigram model trained on the corpus itself; wildly
+    improbable token streams (gibberish, encoding damage, keyword
+    stuffing) score high and get cut.
+
+    Determinism trick for the oracle: summing float log-probs across
+    rows is order-dependent (different engines, different partial-sum
+    orders ⇒ hash mismatch).  Each token's log-prob is therefore
+    quantized ONCE to integer micro-nats (``round(ln(tf/total)·1e6)``
+    as BIGINT) and all aggregation happens in exact integer space;
+    only the final per-doc average converts back to a rounded double.
+
+    Scale shape: the (doc, token) explode partial-combines map-side
+    (Zipf-hot tokens collapse before the shuffle); the trained vocab
+    is a distinct-token table — bounded by vocabulary, not corpus, so
+    it BROADCASTS into the per-doc join (CCNet's LM vocab is ~100k
+    entries; a corpus-scale vocab beyond broadcast range would bucket
+    both sides on token instead).  Total corpus size rides in as a
+    1-row broadcast aggregate, no driver-side count."""
+    docs = t["documents"]
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    # per-(doc, token) multiplicities: uniform two-part key
+    dt = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("n"))
+    # unigram model: corpus tf per token + corpus total
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    vocab = tf.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.round(
+            F.log(F.col("tf").cast("double") / F.col("total")) * 1e6
+        ).cast("long").alias("lp_micro"),
+    )
+    return (
+        dt.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.sum(F.col("n") * F.col("lp_micro")).alias("_sum_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                -F.col("_sum_micro").cast("double")
+                / (F.col("n_tokens") * F.lit(1e6)),
+                6,
+            ).alias("avg_nll"),
+        )
+    )
+
+
 # ------------------------------------------------------------- oracles
 def _sql_word_hash(w: str) -> str:
     return f"(ascii({w})*131 + length({w})*31 + ascii(reverse({w})))::BIGINT"
@@ -516,6 +569,28 @@ ORACLE: dict[str, str] = {
                         ELSE 0.0 END > {REP3_T}) AS repetitive
         FROM c
     """,
+    # integer micro-nat arithmetic: ln quantized once per token, all
+    # sums exact BIGINT — see q_lm_score's determinism note
+    "lm_score": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        dt AS (SELECT doc_id, token, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+        tf AS (SELECT token, COUNT(*) AS tf FROM toks GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS total FROM toks),
+        vocab AS (
+            SELECT token,
+                   ROUND(ln(tf::DOUBLE / total) * 1e6)::BIGINT AS lp_micro
+            FROM tf, tot
+        )
+        SELECT doc_id,
+               SUM(n)::BIGINT AS n_tokens,
+               ROUND(-SUM(n * lp_micro)::DOUBLE / (SUM(n) * 1e6), 6)
+                   AS avg_nll
+        FROM dt JOIN vocab USING (token)
+        GROUP BY doc_id
+    """,
     "vocab_stats": f"""
         WITH tf AS (
             SELECT t AS token, COUNT(*) AS tf
@@ -547,4 +622,5 @@ QUERIES = {
     "vocab_stats": q_vocab_stats,
     "len_histogram": q_len_histogram,
     "doc_repetition": q_doc_repetition,
+    "lm_score": q_lm_score,
 }
