@@ -278,7 +278,14 @@ def funnel(
     reuses the exchange: one hash shuffle total, any number of stages.
     ``depth`` = number of stages completed, so funnel drop-off is a
     ``groupBy(depth).count()`` away.
+
+    Stage names must be unique: a repeated label (view→click→view)
+    would alias two different funnel positions to the same ``t_{name}``
+    output column — rejected up front rather than producing an
+    ambiguous schema.
     """
+    if len(set(stages)) != len(stages):
+        raise ValueError(f"funnel stages must be unique: {stages}")
     w = (
         Window.partitionBy(key_col)
         .orderBy(F.col(time_col).asc(), F.col(order_col).asc())
@@ -300,8 +307,8 @@ def funnel(
         F.min(c).alias(f"t_{stage}") for c, stage in zip(cands, stages)
     ]
     depth = None
-    # enumerate, not stages.index(stage): index() returns the FIRST
-    # occurrence (silently wrong if a stage name repeats) and is O(n²)
+    # enumerate, not stages.index(stage): index() is O(n²) in stage
+    # count (repeated names themselves are rejected up front)
     for i, stage in reversed(list(enumerate(stages))):
         hit = F.col(f"t_{stage}").isNotNull()
         depth = (

@@ -59,10 +59,13 @@ def bm25_scores(
     ``score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))``.
 
     Determinism: tf/df/dl are exact integers, N and avgdl exact
-    corpus aggregates; the only float ops are the same IEEE
-    divisions/ln in either engine, and the final score is rounded to
-    6 decimals BEFORE the sort so cross-engine last-ulp noise can
-    neither change values nor ranks (ties break on doc_id).
+    corpus aggregates, and each PER-TERM partial score (the same IEEE
+    divisions/ln in either engine) is quantized once to an integer
+    micro-unit (``round(x·1e6)`` as BIGINT) so the cross-row sum is
+    exact integer arithmetic — a raw float ``SUM`` is
+    addition-order-dependent and engines sum in different partial
+    orders (same trick as ``text.q_lm_score``).  Ranks tie-break on
+    doc_id.
     """
     toks = tokens(F.col(text_col))
     # per-doc length, map-only
@@ -103,9 +106,16 @@ def bm25_scores(
     return (
         hits.join(F.broadcast(df_per_term), "token")
         .join(F.broadcast(stats))
-        .select("doc_id", (idf * norm).alias("_s"))
+        .select(
+            "doc_id",
+            F.round((idf * norm) * F.lit(1e6)).cast("long").alias("_s_micro"),
+        )
         .groupBy("doc_id")
-        .agg(F.round(F.sum("_s"), 6).alias("score"))
+        .agg(
+            F.round(F.sum("_s_micro").cast("double") / F.lit(1e6), 6).alias(
+                "score"
+            )
+        )
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(topk)
     )
@@ -157,10 +167,13 @@ ORACLE: dict[str, str] = {
         )
         SELECT h.doc_id,
                ROUND(SUM(
-                   ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
-                   * h.tf * {BM25_K1 + 1.0}
-                   / (h.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * l.dl / s.avgdl))
-               ), 6) AS score
+                   ROUND(
+                       ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                       * h.tf * {BM25_K1 + 1.0}
+                       / (h.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * l.dl / s.avgdl))
+                       * 1e6
+                   )::BIGINT
+               )::DOUBLE / 1e6, 6) AS score
         FROM hits h
         JOIN dfs f USING (token)
         JOIN lens l ON h.doc_id = l.doc_id

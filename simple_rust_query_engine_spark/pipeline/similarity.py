@@ -537,7 +537,12 @@ def semantic_dedup(
         .applyInPandas(fn, "vec_a long, vec_b long, cos_sim double")
     )
     dropped = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
-    return emb.join(dropped, "vec_id", "left_anti").select("vec_id", label_col)
+    # explicit hint: the drop set comes out of applyInPandas, whose
+    # size Spark cannot estimate — without it the anti-join can plan
+    # as SMJ and shuffle the whole embeddings table
+    return emb.join(F.broadcast(dropped), "vec_id", "left_anti").select(
+        "vec_id", label_col
+    )
 
 
 def q_semantic_dedup(t: dict) -> DataFrame:

@@ -198,9 +198,11 @@ def chunk_documents(
     0 — wasteful duplicate content for downstream embedding/packing).
     """
     toks = F.split(F.col(text_col), " ")
-    last_excl = F.greatest(
-        F.lit(1), F.size(toks) - F.lit(chunk_size - stride)
-    )
+    # overlap is 0 when stride >= chunk_size (gapped sampling): every
+    # start < n is then valid — subtracting a NEGATIVE overlap would
+    # emit starts past the array (empty chunk_text, n_tok_chunk <= 0)
+    overlap = max(chunk_size - stride, 0)
+    last_excl = F.greatest(F.lit(1), F.size(toks) - F.lit(overlap))
     starts = F.sequence(F.lit(0), last_excl - 1, F.lit(stride))
     return (
         docs.select(

@@ -196,6 +196,12 @@ def epoch_ms(df: DataFrame, col_name: str):
         return F.expr(
             f"(`{col_name}` - pmod(`{col_name}`, 1000000)) div 1000000"
         )
+    if isinstance(dt, T.DateType):
+        # a DATE has no timezone: days-since-epoch × 86_400_000,
+        # negative for pre-1970 (datediff is signed)
+        return F.datediff(
+            F.col(col_name), F.lit("1970-01-01").cast("date")
+        ).cast("long") * F.lit(86_400_000)
     raise TypeError(f"epoch_ms: {col_name} has non-timestamp type {dt}")
 
 

@@ -92,9 +92,16 @@ def write_zordered(
 
     def quant(col, mn, mx):
         span = max(int(mx) - int(mn), 1)
+        # normalize in DOUBLE before scaling: (col - mn) * top wraps
+        # int64 when the key range exceeds ~2^51 (nano-epoch longs),
+        # silently garbling the Morton code.  Double rounding only
+        # nudges bucket boundaries, which clustering tolerates.
+        frac = (F.col(col).cast("double") - F.lit(float(int(mn)))) / F.lit(
+            float(span)
+        )
         return F.least(
             F.lit(top),
-            ((F.col(col) - F.lit(int(mn))) * F.lit(top) / F.lit(span)).cast("long"),
+            F.greatest(F.lit(0).cast("long"), (frac * F.lit(top)).cast("long")),
         )
 
     q1 = quant(c1, stats.mn1, stats.mx1)

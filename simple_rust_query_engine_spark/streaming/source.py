@@ -41,12 +41,12 @@ def file_stream(
     """
     ensure_nano_read(spark)
     pattern = glob or f"{table}.parquet"
-    probe = f"{sf_dir}/{table}.parquet"
-    if not os.path.exists(probe):
-        matches = sorted(_glob.glob(f"{sf_dir}/{pattern}"))
-        if not matches:
-            raise FileNotFoundError(f"no files match {sf_dir}/{pattern}")
-        probe = matches[0]
+    # probe with the ACTUAL pattern: probing the default file when a
+    # custom glob matches nothing would silently start an empty stream
+    matches = sorted(_glob.glob(f"{sf_dir}/{pattern}"))
+    if not matches:
+        raise FileNotFoundError(f"no files match {sf_dir}/{pattern}")
+    probe = matches[0]
     batch_df = spark.read.parquet(probe)
     reader = (
         spark.readStream.schema(batch_df.schema)

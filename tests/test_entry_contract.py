@@ -38,6 +38,15 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
         "inverted_index",    # new in r5 (salted posting lists)
         "profile_table",     # new in r5 (single-pass column stats)
         "len_histogram",     # new in r5 (corpus length distribution)
+        "doc_repetition",    # new in r5 (Gopher repetition filter)
+        "semantic_dedup",    # new in r5 (SemDeDup cluster pruning)
+        "join_asof_nearest", # new in r5 (+ merge_asof refactor)
+        "dedup_keep_best",   # new in r5 (quality-aware canonical)
+        "dup_spans",         # new in r5 (exact substring dedup)
+        "dup_span_frac",     # new in r5 (per-doc span drop rule)
+        "decontaminate",     # new in r5 (train/eval overlap)
+        "decontaminate_stream",  # new in r5 (streaming probe)
+        "lm_score",          # new in r5 (unigram-LM quality score)
     }
     head = set(list(entry_mod.queries())[: entry_mod._DRIVER_CAP])
     assert must_be_checked <= head

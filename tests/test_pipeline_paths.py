@@ -470,3 +470,34 @@ def test_ivf_kmeans_production_variant(tables):
     assert len({r.vec_id for r in got} & brute) >= 1
     again = ann_ivf_kmeans_topk(emb, k=5).collect()
     assert [r.vec_id for r in again] == [r.vec_id for r in got]
+
+
+def test_chunk_documents_gapped_stride_stays_in_range(spark):
+    # stride > chunk_size = gapped sampling: every emitted chunk must
+    # be non-empty with n_tok_chunk >= 1 (a negative overlap used to
+    # emit starts past the token array)
+    from simple_rust_query_engine_spark.pipeline.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(16))),
+         (2, " ".join(f"w{i}" for i in range(15)))],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, chunk_size=8, stride=16).collect()
+    assert rows, "expected at least one chunk per doc"
+    for r in rows:
+        assert r.n_tok_chunk >= 1, r
+        assert r.chunk_text != "", r
+    # doc 1: exactly one chunk (start 16 would be past the array)
+    assert len([r for r in rows if r.doc_id == 1]) == 1
+
+
+def test_funnel_rejects_repeated_stage_names(spark):
+    from simple_rust_query_engine_spark.operators.temporal import funnel
+
+    df = spark.createDataFrame([], "user_id long, ts timestamp, event_id long, event_type string")
+    try:
+        funnel(df, ("view", "click", "view"))
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "unique" in str(e)

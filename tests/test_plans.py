@@ -188,6 +188,15 @@ def test_events_funnel_is_single_shuffle(spark):
     assert "SinglePartition" not in plan, plan
 
 
+def test_semantic_dedup_drop_set_is_broadcast(spark):
+    # the drop-set anti-join must broadcast (the docstring's claim):
+    # applyInPandas output has no size stats, so without the explicit
+    # hint the anti-join can SMJ-shuffle the whole embeddings table
+    strategies = join_strategies(_q(spark, "semantic_dedup"))
+    assert "BroadcastHashJoin" in strategies, strategies
+    assert "SortMergeJoin" not in strategies, strategies
+
+
 def test_decontaminate_eval_set_is_broadcast(spark):
     # the eval span-hash set must broadcast into the train probe (the
     # train corpus is never shuffled through a join) and the source

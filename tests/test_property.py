@@ -330,3 +330,17 @@ def test_window_hashes_match_python(spark, ws):
             h = (h * _FP_MUL + wh[i + j]) % _FP_MOD
         want.append(h)
     assert list(got) == want
+
+    # the documented pure-expression fallback must stay bit-identical
+    # to the UDF path (it has no production caller to keep it honest)
+    from simple_rust_query_engine_spark.pipeline.dedup import (
+        _window_hashes_expr,
+    )
+
+    got_expr = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(_window_hashes_expr(F.col("text")).alias("h"))
+        .collect()[0]
+        .h
+    )
+    assert list(got_expr) == want

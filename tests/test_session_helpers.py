@@ -107,3 +107,18 @@ def test_epoch_ms_raw_nanos_floors_pre_1970(spark):
         for n in sorted(nanos)
     ]
     assert got == want == duck_check, (got, want, duck_check)
+
+
+def test_epoch_ms_handles_date_columns(spark):
+    # DATE columns (e.g. o_orderdate) must yield midnight epoch-ms,
+    # negative pre-1970 — merge_asof_nearest relies on this when both
+    # time columns are dates
+    import datetime as dt
+
+    from simple_rust_query_engine_spark.session import epoch_ms
+
+    df = spark.createDataFrame(
+        [(dt.date(1970, 1, 2),), (dt.date(1969, 12, 31),)], "d date"
+    )
+    got = sorted(r[0] for r in df.select(epoch_ms(df, "d")).collect())
+    assert got == [-86_400_000, 86_400_000]

@@ -141,3 +141,16 @@ def test_stateful_sessionizer_state_carries_across_batches(
     # iff the carried (last_ts, counts) state works — the single-batch
     # parity test can't distinguish that from recomputation
     assert got == want
+
+
+def test_file_stream_bad_glob_raises(spark):
+    # a custom glob matching nothing must raise, not silently start an
+    # empty stream off the default file's existence
+    import pytest as _pytest
+
+    from simple_rust_query_engine_spark.streaming.source import file_stream
+
+    with _pytest.raises(FileNotFoundError, match="no files match"):
+        file_stream(
+            spark, "/root/testdata/sf0.001", "events", glob="no-such-*.parquet"
+        )
