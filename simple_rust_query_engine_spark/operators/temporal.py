@@ -47,7 +47,14 @@ def _asof_union(
     (right rows with NULL time dropped — they can never be "at or
     before/after" any left time, and the carry scan would otherwise
     hand their payload to whichever left rows they sort next to)."""
-    overlap = (set(left.columns) & set(right.columns)) - {left_on}
+    overlap = set(left.columns) & set(right.columns)
+    if right_on == left_on:
+        # the shared join key is the one legitimately-common column
+        overlap -= {left_on}
+    # when right_on != left_on, a right column literally named left_on
+    # is NOT exempt: withColumnRenamed(right_on, left_on) below would
+    # otherwise create two same-named columns and die downstream with
+    # an opaque AMBIGUOUS_REFERENCE instead of this error
     if overlap:
         raise ValueError(f"ambiguous columns on both sides: {sorted(overlap)}")
     l_types, r_types = dict(left.dtypes), dict(right.dtypes)
@@ -145,34 +152,39 @@ def merge_asof_nearest(
     ``delta_ms`` column (the winning distance; NULL when no match).
 
     Plan: the same union framing as ``merge_asof``, then BOTH carries
-    over ONE epoch-ms sort — RANGE frames keyed on ``_ms`` make the
-    side tie-break column unnecessary (every row with the same
-    timestamp is in-frame in both directions), so backward
+    over ONE epoch-MICROsecond sort — RANGE frames keyed on ``_us``
+    make the side tie-break column unnecessary (every row with the
+    same timestamp is in-frame in both directions), so backward
     (``last(..., ignorenulls)`` over (-∞, 0]) and forward (``first``
     over [0, +∞)) share a single Exchange + Sort: one shuffle, one
     per-partition sort, zero join nodes — cheaper than running the two
     directional variants and re-joining them on row id, which would
-    cost three shuffles.
+    cost three shuffles.  Microseconds, not milliseconds: a floored-ms
+    key would call a right row up to 999 µs in the FUTURE a backward
+    match, and would make two right rows inside the same millisecond
+    (distinct raw times, satisfying the uniqueness contract)
+    nondeterministic window peers.  ``delta_ms`` floors the winning
+    µs distance, matching DuckDB ``date_diff('millisecond', …)``.
     """
-    from ..session import epoch_ms
+    from ..session import epoch_us
 
     u, r_payload = _asof_union(left, right, left_on, right_on, left_time, right_time)
-    u = u.withColumn("_ms", epoch_ms(u, "_t"))
-    # right payload rides as one struct carrying its own epoch-ms, so
+    u = u.withColumn("_us", epoch_us(u, "_t"))
+    # right payload rides as one struct carrying its own epoch-µs, so
     # the distance comparison and every output field come from the
     # same matched row (see merge_asof's torn-row note)
     r_struct = F.when(
         F.col("_side") == 0,
-        F.struct(F.col("_ms").alias("_rms"), *[F.col(c) for c in r_payload]),
+        F.struct(F.col("_us").alias("_rus"), *[F.col(c) for c in r_payload]),
     )
     w_b = (
         Window.partitionBy(left_on)
-        .orderBy("_ms")
+        .orderBy("_us")
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_f = (
         Window.partitionBy(left_on)
-        .orderBy("_ms")
+        .orderBy("_us")
         .rangeBetween(Window.currentRow, Window.unboundedFollowing)
     )
     filled = u.select(
@@ -186,11 +198,11 @@ def merge_asof_nearest(
             F.col("_t").isNotNull(),
             F.first(r_struct, ignorenulls=True).over(w_f),
         ).alias("_f"),
-        "_ms",
+        "_us",
         "_side",
     )
-    d_b = F.col("_ms") - F.col("_b._rms")
-    d_f = F.col("_f._rms") - F.col("_ms")
+    d_b = F.col("_us") - F.col("_b._rus")
+    d_f = F.col("_f._rus") - F.col("_us")
     chosen = (
         F.when(F.col("_b").isNull(), F.col("_f"))
         .when(F.col("_f").isNull(), F.col("_b"))
@@ -203,9 +215,10 @@ def merge_asof_nearest(
         .select(
             *[c for c in left.columns],
             *[F.col(f"_r.{c}").alias(c) for c in r_payload],
-            # least() skips NULLs, so this is the winning distance
-            # whichever side matched (NULL when neither did)
-            F.least(d_b, d_f).cast("long").alias("delta_ms"),
+            # least() skips NULLs, so this is the winning µs distance
+            # whichever side matched (NULL when neither did); floor to
+            # ms — distances are non-negative, so truncation == floor
+            (F.least(d_b, d_f) / F.lit(1000)).cast("long").alias("delta_ms"),
         )
     )
 
@@ -472,21 +485,23 @@ ORACLE: dict[str, str] = {
         SELECT e.event_id, e.user_id, e.ts,
                CASE WHEN b_date IS NULL THEN f_date
                     WHEN f_date IS NULL THEN b_date
-                    WHEN date_diff('millisecond', b_date, e.ts)
-                         <= date_diff('millisecond', e.ts, f_date)
+                    WHEN date_diff('microsecond', b_date, e.ts)
+                         <= date_diff('microsecond', e.ts, f_date)
                     THEN b_date ELSE f_date END AS o_orderdate,
                CASE WHEN b_date IS NULL THEN f_key
                     WHEN f_date IS NULL THEN b_key
-                    WHEN date_diff('millisecond', b_date, e.ts)
-                         <= date_diff('millisecond', e.ts, f_date)
+                    WHEN date_diff('microsecond', b_date, e.ts)
+                         <= date_diff('microsecond', e.ts, f_date)
                     THEN b_key ELSE f_key END AS near_orderkey,
                CASE WHEN b_date IS NULL THEN f_price
                     WHEN f_date IS NULL THEN b_price
-                    WHEN date_diff('millisecond', b_date, e.ts)
-                         <= date_diff('millisecond', e.ts, f_date)
+                    WHEN date_diff('microsecond', b_date, e.ts)
+                         <= date_diff('microsecond', e.ts, f_date)
                     THEN b_price ELSE f_price END AS near_totalprice,
-               least(date_diff('millisecond', b_date, e.ts),
-                     date_diff('millisecond', e.ts, f_date))::BIGINT
+               -- distance compared at raw µs precision (mirrors the
+               -- Spark _us key); the reported delta floors µs → ms
+               (least(date_diff('microsecond', b_date, e.ts),
+                      date_diff('microsecond', e.ts, f_date)) // 1000)::BIGINT
                    AS delta_ms
         FROM events e
         JOIN b USING (event_id) JOIN f USING (event_id)

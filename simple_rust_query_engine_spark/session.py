@@ -205,6 +205,28 @@ def epoch_ms(df: DataFrame, col_name: str):
     raise TypeError(f"epoch_ms: {col_name} has non-timestamp type {dt}")
 
 
+def epoch_us(df: DataFrame, col_name: str):
+    """Timezone-independent epoch MICROseconds — the precision Spark
+    timestamps actually carry.  Same type contract as ``epoch_ms``;
+    use this when a comparison must not collapse sub-millisecond
+    ordering (e.g. merge-asof direction tests)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dt = df.schema[col_name].dataType
+    if isinstance(dt, T.TimestampNTZType):
+        return F.expr(f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, `{col_name}`)")
+    if isinstance(dt, T.TimestampType):
+        return F.unix_micros(F.col(col_name))
+    if isinstance(dt, T.LongType):  # raw nanos — floor toward -inf
+        return F.expr(f"(`{col_name}` - pmod(`{col_name}`, 1000)) div 1000")
+    if isinstance(dt, T.DateType):
+        return F.datediff(
+            F.col(col_name), F.lit("1970-01-01").cast("date")
+        ).cast("long") * F.lit(86_400_000_000)
+    raise TypeError(f"epoch_us: {col_name} has non-timestamp type {dt}")
+
+
 def as_event_time(df: DataFrame, col_name: str) -> DataFrame:
     """Convert a timestamp column to ``TimestampType`` (LTZ) holding
     the naive value read as a UTC instant — timezone-independently.

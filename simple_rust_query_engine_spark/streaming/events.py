@@ -95,11 +95,12 @@ def q_events_session_window(t: dict) -> DataFrame:
     """Per-user sessions via Spark's BUILT-IN ``session_window`` (the
     declarative twin of the ``applyInPandasWithState`` operator below;
     also valid under ``groupBy`` in streaming).  Semantics: a session
-    extends while the next event lands STRICTLY inside
-    ``last_ts + gap`` — an event at exactly the gap boundary starts a
-    new session (window end is exclusive), which is the ``>=`` rule in
-    the oracle.  Emitted as epoch-millis bounds: start = first event,
-    end = last event + gap."""
+    extends while the next event lands AT OR inside ``last_ts + gap``
+    — an event at exactly the gap boundary MERGES (touching windows
+    coalesce; verified empirically on Spark 4.1.2), so a new session
+    starts only when the raw-microsecond gap strictly exceeds the
+    threshold — the ``>`` rule in the oracle.  Emitted as epoch-millis
+    bounds: start = first event, end = last event + gap."""
     from ..session import EPOCH_NTZ
 
     e = t["events"]
@@ -266,6 +267,7 @@ def stream_funnel_stateful(
     sf_dir: str,
     query_name: str = "funnel_stateful",
     stages: tuple[str, ...] = ("view", "click", "purchase"),
+    **source_opts,
 ):
     """Streaming twin of ``operators.temporal.funnel``: per-user
     ordered-funnel progress via ``applyInPandasWithState``.
@@ -313,7 +315,7 @@ def stream_funnel_stateful(
 
     t_cols = ", ".join(f"t_{s}_ms long" for s in stages)
     out = (
-        _events_stream(spark, sf_dir)
+        _events_stream(spark, sf_dir, **source_opts)
         .groupBy("user_id")
         .applyInPandasWithState(
             update_fn,
@@ -376,8 +378,13 @@ ORACLE["events_window_sliding"] = """
 ORACLE["events_session_window"] = f"""
     WITH marked AS (
         SELECT user_id, ts, event_id,
-               CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w)
-                         >= {SESSION_GAP_MIN * 60_000}
+               -- microsecond precision + STRICT inequality: Spark's
+               -- session_window MERGES an event landing exactly at
+               -- last_ts + gap (verified on 4.1.2); a floored-ms or
+               -- >= rule would split boundary / same-ms-straddling
+               -- pairs differently
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                         > {SESSION_GAP_MIN * 60_000_000}
                      OR LAG(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS is_new
         FROM events

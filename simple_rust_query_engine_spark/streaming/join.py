@@ -47,25 +47,40 @@ def interval_join_batch(events: DataFrame) -> DataFrame:
     c = events.filter(F.col("event_type") == _RIGHT_TYPE).select(
         "event_id", "user_id", "ts"
     )
+    # the range condition compares RAW timestamps (microsecond
+    # precision), exactly like the streaming query and the oracle — a
+    # floored-epoch-ms comparison would admit a click up to 999 µs
+    # AFTER its purchase (same millisecond) that both siblings reject;
+    # only the emitted gap_ms is floored, matching unix_millis/epoch_ms
     p = p.select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
+        F.col("ts").alias("p_ts"),
         epoch_ms(p, "ts").alias("p_ms"),
     )
     c = c.select(
         F.col("event_id").alias("click_id"),
         F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
         epoch_ms(c, "ts").alias("c_ms"),
     )
-    gap = F.col("p_ms") - F.col("c_ms")
     return (
         p.join(
             c,
             (F.col("user_id") == F.col("c_user"))
-            & (gap >= 0)
-            & (gap <= JOIN_WINDOW_MS),
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (
+                F.col("c_ts")
+                >= F.col("p_ts")
+                - F.expr(f"INTERVAL {JOIN_WINDOW_MS // 1000} SECONDS")
+            ),
         )
-        .select("purchase_id", "click_id", "user_id", gap.alias("gap_ms"))
+        .select(
+            "purchase_id",
+            "click_id",
+            "user_id",
+            (F.col("p_ms") - F.col("c_ms")).alias("gap_ms"),
+        )
     )
 
 

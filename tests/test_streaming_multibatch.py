@@ -154,3 +154,80 @@ def test_file_stream_bad_glob_raises(spark):
         file_stream(
             spark, "/root/testdata/sf0.001", "events", glob="no-such-*.parquet"
         )
+
+
+def test_stateful_funnel_across_batches_matches_batch(spark, chrono_dir, tables):
+    # chronological multi-batch replay = the in-order-arrival case the
+    # stateful funnel's docstring claims equals the batch operator:
+    # cross-batch state carry of the per-stage first-times is exercised
+    # for real (3+ micro-batches, one file each)
+    from pyspark.sql import functions as F
+
+    from simple_rust_query_engine_spark.operators.temporal import funnel
+    from simple_rust_query_engine_spark.session import epoch_ms
+    from simple_rust_query_engine_spark.streaming.events import (
+        stream_funnel_stateful,
+    )
+
+    q = stream_funnel_stateful(
+        spark,
+        chrono_dir,
+        query_name="t_funnel_multibatch",
+        glob="events-*.parquet",
+        max_files_per_trigger=1,
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert len(_batches_with_input(q)) >= 3
+
+    # update mode: one row per user per batch; depth only grows and
+    # first-times only decrease, so take min/max over the emissions
+    sink = spark.table("t_funnel_multibatch")
+    got = {
+        (r.user_id, r.depth, r.t_view_ms, r.t_click_ms, r.t_purchase_ms)
+        for r in sink.groupBy("user_id")
+        .agg(
+            F.max("depth").alias("depth"),
+            F.min("t_view_ms").alias("t_view_ms"),
+            F.min("t_click_ms").alias("t_click_ms"),
+            F.min("t_purchase_ms").alias("t_purchase_ms"),
+        )
+        .collect()
+    }
+
+    b = funnel(tables["events"], ("view", "click", "purchase"))
+    want = {
+        (r.user_id, r.depth, r.t_view, r.t_click, r.t_purchase)
+        for r in b.select(
+            "user_id",
+            "depth",
+            epoch_ms(b, "t_view").alias("t_view"),
+            epoch_ms(b, "t_click").alias("t_click"),
+            epoch_ms(b, "t_purchase").alias("t_purchase"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_interval_join_batch_respects_microsecond_order(spark):
+    # a click 400 µs AFTER its purchase (same floored millisecond)
+    # must be excluded — the batch twin compares raw timestamps like
+    # the streaming query and the oracle, not floored epoch-ms
+    import datetime as dt
+
+    from simple_rust_query_engine_spark.streaming.join import (
+        interval_join_batch,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0, 100)
+    ev = spark.createDataFrame(
+        [
+            (1, base, 7, "purchase", 1.0, "{}"),
+            (2, base + dt.timedelta(microseconds=400), 7, "click", 1.0, "{}"),
+            (3, base - dt.timedelta(seconds=1), 7, "click", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    rows = interval_join_batch(ev).collect()
+    # only the click strictly before the purchase qualifies
+    assert [(r.purchase_id, r.click_id) for r in rows] == [(1, 3)]

@@ -171,3 +171,37 @@ def test_asof_null_times_match_nothing(spark):
         assert out[None] == (None, None), (direction, out)
         expected = (5, "y") if direction == "backward" else (None, None)
         assert out[10] == expected, (direction, out)
+
+
+def test_asof_nearest_submillisecond_determinism(spark):
+    # two right rows inside the same millisecond (distinct raw times —
+    # allowed by the uniqueness contract): the µs-keyed carry must
+    # pick the closer one deterministically; a floored-ms key made
+    # them window peers with an arbitrary last() pick
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 10:00:00.001000"))], "id long, k long, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 10:00:00.001300"), "r300"),
+            (10, _ts("2024-01-01 10:00:00.001500"), "r500"),
+        ],
+        "rk long, rt timestamp, payload string",
+    )
+    for _ in range(3):  # repeated runs: same pick every time
+        rows = merge_asof_nearest(left, right, "k", "rk", "t", "rt").collect()
+        assert rows[0].payload == "r300", rows
+        assert rows[0].delta_ms == 0  # 300 µs floors to 0 ms
+
+
+def test_asof_union_rejects_right_column_named_left_on(spark):
+    # right_on != left_on AND right carries an unrelated column with
+    # the left key's name: must raise the clear ambiguity error, not
+    # AMBIGUOUS_REFERENCE from a duplicate-name select downstream
+    left = spark.createDataFrame([(1, 1.0)], "k long, t double")
+    right = spark.createDataFrame([(1, 2.0, 9)], "rk long, rt double, k long")
+    try:
+        merge_asof(left, right, "k", "rk", "t", "rt")
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "ambiguous" in str(e)
