@@ -97,12 +97,19 @@ class EngineDataFrame:
           join.rs:14-17) — plus every other Spark type for free.
         """
         right = _unwrap(other)
+        on_items = list(on) if on else []
+        if on_items and all(isinstance(i, str) for i in on_items) and filter is None:
+            # name-based (USING-style) join: Spark emits ONE coalesced
+            # key column — an explicit self.df[k] == right[k] condition
+            # would keep BOTH same-named key columns and make any later
+            # select/filter on the key an AMBIGUOUS_REFERENCE error
+            return EngineDataFrame(self.df.join(right, on_items, how))
         cond = None
         if on:
             cond = []
-            for item in list(on):
+            for item in on_items:
                 if isinstance(item, str):
-                    # same-named key on both sides
+                    # same-named key mixed with other condition forms
                     cond.append(self.df[item] == right[item])
                 elif isinstance(item, tuple):
                     # reference form: (left_key, right_key) pair
@@ -139,6 +146,12 @@ class EngineDataFrame:
         return EngineDataFrame(self.df.intersect(_unwrap(other)))
 
     def except_(self, other: "EngineDataFrame") -> "EngineDataFrame":
+        """SQL ``EXCEPT`` — set semantics (deduplicated), consistent
+        with ``intersect``; use ``except_all`` to keep multiplicity."""
+        return EngineDataFrame(self.df.subtract(_unwrap(other)))
+
+    def except_all(self, other: "EngineDataFrame") -> "EngineDataFrame":
+        """SQL ``EXCEPT ALL`` — removes one occurrence per match."""
         return EngineDataFrame(self.df.exceptAll(_unwrap(other)))
 
     # -- actions (reference: dataframe.rs:45-57) --------------------

@@ -1,6 +1,15 @@
 """LLM training-data pipeline operators: dedup, similarity search,
-text analysis, multimodal columns."""
+text analysis, retrieval, curation, batch layout, multimodal
+columns."""
 
-from . import dedup, multimodal, similarity, text
+from . import clean, dedup, multimodal, pack, search, similarity, text
 
-__all__ = ["dedup", "similarity", "text", "multimodal"]
+__all__ = [
+    "clean",
+    "dedup",
+    "multimodal",
+    "pack",
+    "search",
+    "similarity",
+    "text",
+]

@@ -42,28 +42,10 @@ INCR_EST_T = 0.5  # est_jaccard drop threshold for the incremental path
 
 
 def q_pipeline_clean(t: dict) -> DataFrame:
-    d = t["documents"]
-    toks = tokens(F.col("text"))
-    n_tok = F.size(toks)
-    alpha_ratio = (
-        F.length(F.regexp_replace("text", r"[^A-Za-z]", "")).cast("double")
-        / F.length("text")
-    )
-
-    def stop_hits(stops):
-        return F.size(F.filter(toks, lambda w: w.isin(*stops)))
-
-    en, es, de = stop_hits(_EN_STOP), stop_hits(_ES_STOP), stop_hits(_DE_STOP)
-    gated = d.filter(
-        (n_tok >= MIN_TOKENS)
-        & (alpha_ratio >= MIN_ALPHA)
-        & (en >= es) & (en >= de) & (en > 0)
-    ).select(
-        "doc_id",
-        "lang",
-        n_tok.alias("n_tokens"),
-        alpha_ratio.alias("alpha_ratio"),
-    )
+    # ONE definition of the quality/language gates (shared with the
+    # incremental pipeline via _gates) — a second inlined copy here
+    # drifted one threshold tweak away from desynchronizing the two
+    gated = _gates(t["documents"]).drop("_h")
     dropped = (
         q_ngram_jaccard(t).select(F.col("doc_b").alias("doc_id")).distinct()
     )

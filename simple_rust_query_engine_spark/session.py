@@ -102,12 +102,17 @@ def nano_ts_columns(path: str) -> tuple[str, ...]:
 
     probe = path
     if os.path.isdir(path):
+        # recurse: a Hive-partitioned dataset (key=…/part-*.parquet)
+        # has NO parquet file at the top level — a flat listdir would
+        # return () and silently leave nano columns un-restored
+        import glob as _glob
+
         inner = sorted(
-            f for f in os.listdir(path) if f.endswith(".parquet")
+            _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
         )
         if not inner:
             return ()
-        probe = os.path.join(path, inner[0])
+        probe = inner[0]
     try:
         schema = pq.read_schema(probe)
     except Exception:
@@ -157,7 +162,10 @@ def restore_nano_ts(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
             df = df.withColumn(
                 col_name,
                 F.expr(
-                    f"timestampadd(MICROSECOND, `{col_name}` div 1000, {EPOCH_NTZ})"
+                    # floor ns→µs like DuckDB's TIMESTAMP_NS cast —
+                    # bare `div 1000` truncates toward zero and lands
+                    # pre-1970 sub-µs values 1 µs late
+                    f"timestampadd(MICROSECOND, (`{col_name}` - pmod(`{col_name}`, 1000)) div 1000, {EPOCH_NTZ})"
                 ),
             )
         elif isinstance(field.dataType, T.TimestampType):
@@ -177,8 +185,10 @@ def epoch_ms(df: DataFrame, col_name: str):
     modern parquet scan, LTZ from a legacy one, raw long nanos under
     ``nanosAsLong``) — ``unix_millis``/``unix_timestamp`` alone reject
     NTZ input, which is exactly the class of session-dependent breakage
-    that killed ``range_join`` in round 2.  Truncates toward negative
-    infinity at the millisecond like DuckDB's ``epoch_ms``.
+    that killed ``range_join`` in round 2.  Truncates toward ZERO at
+    the millisecond, exactly like DuckDB's ``epoch_ms`` (verified:
+    both give 0 for 1969-12-31 23:59:59.9995); raw nanos floor to µs
+    first, mirroring DuckDB's TIMESTAMP_NS→TIMESTAMP cast.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -187,14 +197,19 @@ def epoch_ms(df: DataFrame, col_name: str):
     if isinstance(dt, T.TimestampNTZType):
         return F.expr(f"timestampdiff(MILLISECOND, {EPOCH_NTZ}, `{col_name}`)")
     if isinstance(dt, T.TimestampType):
-        return F.unix_millis(F.col(col_name))
+        # unix_millis FLOORS pre-1970 sub-ms values, but DuckDB's
+        # epoch_ms truncates toward zero (verified: epoch_ms of
+        # 1969-12-31 23:59:59.9995 is 0, not -1) and so does the NTZ
+        # timestampdiff branch — truncate via unix_micros div 1000 so
+        # every branch agrees with the oracle and with each other
+        return F.expr(f"unix_micros(`{col_name}`) div 1000")
     if isinstance(dt, T.LongType):  # raw nanos
-        # floor division, not `div` (which truncates toward zero):
-        # pre-1970 nanos must round DOWN to match DuckDB's epoch_ms.
-        # pmod is non-negative, so subtracting it lands on an exact
-        # multiple — all integer math, no 2^53 double precision loss.
+        # mirror DuckDB's two-step pipeline exactly: ns→µs FLOORS
+        # (the TIMESTAMP_NS→TIMESTAMP cast, verified), then µs→ms
+        # TRUNCATES toward zero (epoch_ms).  pmod is non-negative, so
+        # the inner floor is exact integer math.
         return F.expr(
-            f"(`{col_name}` - pmod(`{col_name}`, 1000000)) div 1000000"
+            f"(((`{col_name}` - pmod(`{col_name}`, 1000)) div 1000) div 1000)"
         )
     if isinstance(dt, T.DateType):
         # a DATE has no timezone: days-since-epoch × 86_400_000,

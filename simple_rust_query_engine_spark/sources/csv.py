@@ -8,9 +8,9 @@ records otherwise (``MAX_INFER_RECORDS`` csv/mod.rs:8).
 
 Spark's CSV datasource subsumes all of it (distributed scan, column
 pruning, predicate pushdown on file-level stats).  We keep the
-reference's defaults.  ``samplingRatio`` stands in for the 100-record
-inference cap — at 100 TB you pass an explicit schema anyway (we
-expose ``schema=``).
+reference's defaults.  ``sampling_ratio`` (wired to Spark's
+``samplingRatio``) stands in for the 100-record inference cap — at
+100 TB you pass an explicit schema anyway (we expose ``schema=``).
 """
 
 from __future__ import annotations
@@ -23,12 +23,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 @dataclass
 class CsvReadOptions:
-    """Mirror of the reference's builder (options.rs:6-119)."""
+    """Mirror of the reference's builder (options.rs:6-119).
+
+    ``sampling_ratio`` bounds the schema-inference pass (the
+    reference caps inference at 100 records; Spark's inference scans
+    the WHOLE input unless sampled).  Default 1.0 keeps inference
+    exact; pass e.g. 0.001 on large inputs — or better, a schema.
+    """
 
     header: bool = True
     delimiter: str = ","
     quote: str = '"'
     schema: Optional[str] = None  # DDL string or StructType
+    sampling_ratio: float = 1.0
 
 
 def read_csv(
@@ -51,5 +58,7 @@ def read_csv(
     if opts.schema is not None:
         reader = reader.schema(opts.schema)
     else:
-        reader = reader.option("inferSchema", "true")
+        reader = reader.option("inferSchema", "true").option(
+            "samplingRatio", str(opts.sampling_ratio)
+        )
     return reader.csv(path)

@@ -253,3 +253,22 @@ def test_kleene_and_or(spark):
         (F.col("b") | F.lit(True)).alias("or_t"),
     )
     assert rows(out) == [(False, True), (False, True), (False, True)]
+
+
+def test_facade_string_key_join_coalesces_key(spark):
+    # name-based join keeps ONE key column: select/filter on the key
+    # after the join must not be ambiguous
+    a = EngineDataFrame(spark.createDataFrame([(1, "x"), (2, "y")], "k long, va string"))
+    b = EngineDataFrame(spark.createDataFrame([(1, "p")], "k long, vb string"))
+    out = a.join(b, on=["k"], how="inner").select("k", "va", "vb")
+    rows = out.collect()
+    assert [(r.k, r.va, r.vb) for r in rows] == [(1, "x", "p")]
+
+
+def test_facade_except_is_set_except_all_keeps_multiplicity(spark):
+    a = EngineDataFrame(spark.createDataFrame([(1,), (1,), (2,)], "x long"))
+    b = EngineDataFrame(spark.createDataFrame([(1,)], "x long"))
+    # SQL EXCEPT: set semantics — every matching value removed, dedup
+    assert sorted(r.x for r in a.except_(b).collect()) == [2]
+    # EXCEPT ALL: one occurrence removed per match
+    assert sorted(r.x for r in a.except_all(b).collect()) == [1, 2]

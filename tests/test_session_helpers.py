@@ -84,13 +84,14 @@ def test_materialize_durable_and_local_paths_agree(tables):
         durable.unpersist()
 
 
-def test_epoch_ms_raw_nanos_floors_pre_1970(spark):
+def test_epoch_ms_raw_nanos_matches_duckdb_pre_1970(spark):
     import duckdb
 
     from simple_rust_query_engine_spark.session import epoch_ms
 
-    # -1 ns is 1969-12-31 23:59:59.999999999 → epoch_ms must be -1
-    # (floor), not 0 (truncation toward zero); DuckDB agrees
+    # DuckDB pipeline: TIMESTAMP_NS→TIMESTAMP FLOORS to µs, then
+    # epoch_ms TRUNCATES toward zero — -1 ns therefore lands on 0 ms,
+    # and -1_000_001 ns on -1 ms (NOT the pure-floor -2)
     nanos = [-1, -999_999, -1_000_000, -1_000_001, 1, 999_999, 1_000_000]
     df = spark.createDataFrame([(n,) for n in nanos], "ts long")
     got = [
@@ -99,14 +100,34 @@ def test_epoch_ms_raw_nanos_floors_pre_1970(spark):
         .orderBy("ts")
         .collect()
     ]
-    # DuckDB floor-division reference: epoch_ms of a nano instant is
-    # floor(n / 1e6) — build it from integer // which floors in Python
-    want = [n // 1_000_000 for n in sorted(nanos)]
-    duck_check = [
-        duckdb.sql(f"SELECT ({n} - ({n} % 1000000 + 1000000) % 1000000) // 1000000").fetchone()[0]
+    # ground truth from DuckDB's ACTUAL epoch_ms over the same instant
+    want = [
+        duckdb.sql(
+            f"SELECT epoch_ms(TIMESTAMP '1970-01-01' "
+            f"+ INTERVAL ({n // 1000}) MICROSECOND)"
+        ).fetchone()[0]
         for n in sorted(nanos)
     ]
-    assert got == want == duck_check, (got, want, duck_check)
+    assert got == want, (got, want)
+
+
+def test_epoch_ms_branches_agree_on_pre_1970_submillisecond(spark):
+    # the same sub-ms pre-1970 instant through NTZ, LTZ, and raw-nano
+    # physical types must give ONE answer (DuckDB's: truncate toward
+    # zero), or parity becomes scan-flavor-dependent
+    import datetime as dt
+
+    from simple_rust_query_engine_spark.session import epoch_ms
+
+    inst = dt.datetime(1969, 12, 31, 23, 59, 59, 999500)
+    ntz = spark.createDataFrame([(inst,)], "ts timestamp_ntz")
+    ltz = spark.createDataFrame([(inst,)], "ts timestamp")
+    raw = spark.createDataFrame([(-500_000,)], "ts long")  # -0.5 ms in ns
+    vals = {
+        kind: df.select(epoch_ms(df, "ts").alias("ms")).collect()[0].ms
+        for kind, df in (("ntz", ntz), ("ltz", ltz), ("raw", raw))
+    }
+    assert vals == {"ntz": 0, "ltz": 0, "raw": 0}, vals
 
 
 def test_epoch_ms_handles_date_columns(spark):
