@@ -197,6 +197,20 @@ _DEFER_PAST_CAP = (
     # proxy) enters; sample_mixture (r4-green) defers — the pack
     # family stays checked via pack_sequences
     "sample_mixture",
+    # round-5 additions stratified_sample (skew-safe exact k-per-
+    # stratum), token_budget_mixture (distributed prefix-sum budget
+    # selection) and tpch_q18_like (big-agg → semi-join composite)
+    # enter; three r4-green redundant siblings defer:
+    #   join_asof_fwd   → join_asof_nearest stays (same _asof_union
+    #                     path, r5-changed and in-window)
+    #   dedup_survivors → dedup_cc + dedup_keep_best stay (keep_best
+    #                     builds on the same component labels)
+    #   ann_lsh         → semantic_search, semantic_dedup and
+    #                     embedding_neardup stay (ANN/bucketed-cosine
+    #                     family)
+    "join_asof_fwd",
+    "dedup_survivors",
+    "ann_lsh",
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

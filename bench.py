@@ -94,6 +94,9 @@ EXTRA_QUERIES = [
     "dup_span_frac",
     "decontaminate",
     "lm_score",
+    "stratified_sample",
+    "token_budget_mixture",
+    "tpch_q18_like",
 ]
 
 

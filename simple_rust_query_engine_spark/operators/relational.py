@@ -416,6 +416,39 @@ def q_tpch_q5_like(t: Tables) -> DataFrame:
     )
 
 
+def q_tpch_q18_like(t: Tables) -> DataFrame:
+    """TPC-H Q18 shape — large-volume-order customers: aggregate the
+    fact table, keep groups over a threshold (HAVING), then join the
+    survivors back through orders to customer.  The reference's SQL
+    front end has no subqueries (SURVEY §2: `src/sql` parses a single
+    SELECT block), but the aggregate→filter→join composition is fully
+    in-scope for the DataFrame facade and is the canonical big-agg →
+    semi-join pattern.
+
+    Scale: the only data-sized shuffle is lineitem's groupBy on
+    l_orderkey (uniform key, partial-agg combined map-side).  The
+    HAVING output is ~0.3% of orders, so it BROADCASTS into the orders
+    scan (hinted — AQE would also derive it from runtime stats); the
+    joined result is tiny, so the customer edge broadcasts whichever
+    side is smaller at runtime, and the final ORDER BY + LIMIT is a
+    TakeOrdered, never a global sort.  At 100 TB: one fact shuffle,
+    everything downstream broadcast-sized."""
+    li = t["lineitem"]
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300.0)
+    )
+    return (
+        t["orders"]
+        .join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
 # --------------------------------------------------------------- oracle
 ORACLE: dict[str, str] = {
     "scan_projection": """
@@ -596,6 +629,20 @@ ORACLE: dict[str, str] = {
         GROUP BY n_name
         ORDER BY revenue DESC, n_name ASC
     """,
+    "tpch_q18_like": """
+        WITH big AS (
+            SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(l_quantity) > 300.0
+        )
+        SELECT c_name, c_custkey, o_orderkey, o_totalprice, sum_qty
+        FROM orders
+        JOIN big ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 100
+    """,
 }
 
 QUERIES = {
@@ -625,4 +672,5 @@ QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3_like": q_tpch_q3_like,
     "tpch_q5_like": q_tpch_q5_like,
+    "tpch_q18_like": q_tpch_q18_like,
 }

@@ -184,6 +184,118 @@ def train_test_split(
     return docs.select("doc_id", key_col, split.alias("split"))
 
 
+STRAT_K = 25             # sampled docs per stratum
+STRAT_SALT = "strat"     # sampling-order salt — change to resample
+STRAT_BUCKETS = 32       # pre-prune fan-out (see stratified_sample)
+
+BUDGET_TOKENS = 2000     # per-language token budget (driver-scale)
+BUDGET_SALT = "budget"   # selection-order salt
+
+
+def stratified_sample(
+    docs: DataFrame,
+    k: int = STRAT_K,
+    key_col: str = "lang",
+    salt: str = STRAT_SALT,
+    n_buckets: int = STRAT_BUCKETS,
+) -> DataFrame:
+    """Exact deterministic k-per-stratum sample: the k docs with the
+    smallest ``md5(salt || doc_id)`` within each ``key_col`` value,
+    with their sample rank.  Same k docs on every engine/run/cluster.
+
+    Scale: the naive form is one ``row_number`` window partitioned by
+    the stratum — with 5 languages over 100 TB that funnels N/5 rows
+    into each of 5 reducers' sorts, the same low-cardinality holistic
+    straggler ``quantile`` documents.  Instead, two phases: (1)
+    pre-prune top-k per (stratum, hash-bucket) — ``n_buckets`` spreads
+    each stratum over that many reducers, and per-bucket top-k is a
+    bounded-heap window; (2) final top-k over the ≤ n_buckets × k
+    survivors per stratum, a trivially small sort.  Phase 1 keeps a
+    superset of the global top-k (every globally-top-k row is top-k in
+    its own bucket), so the result is EXACT.  Dial ``n_buckets`` to
+    executor count at scale.
+    """
+    sort_key = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
+    bucket = (F.col("doc_id") % MIX_MOD * MIX_A + MIX_B) % MIX_MOD % n_buckets
+    keyed = docs.select(
+        "doc_id", key_col, sort_key.alias("sort_key"), bucket.alias("bucket")
+    )
+    w_pre = Window.partitionBy(key_col, "bucket").orderBy("sort_key", "doc_id")
+    pruned = (
+        keyed.withColumn("rn", F.row_number().over(w_pre))
+        .filter(F.col("rn") <= k)
+        .drop("rn", "bucket")
+    )
+    w_fin = Window.partitionBy(key_col).orderBy("sort_key", "doc_id")
+    return (
+        pruned.withColumn("rank", F.row_number().over(w_fin).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", key_col, "rank")
+    )
+
+
+def token_budget_mixture(
+    docs: DataFrame,
+    budget: int = BUDGET_TOKENS,
+    key_col: str = "lang",
+    text_col: str = "text",
+    salt: str = BUDGET_SALT,
+) -> DataFrame:
+    """Per-stratum token-BUDGET selection (mixtures are specified in
+    tokens, not document counts): walk each stratum's docs in
+    deterministic hash order and keep docs until the running token
+    total reaches ``budget`` (the doc that crosses the line is kept —
+    the standard greedy rule, so every stratum emits ≥ 1 doc).
+
+    Scale: the running total is a prefix sum over a hash ORDER within
+    a ~5-value stratum key — naively one cumulative window per
+    language, the single-reducer straggler again.  Here it is a
+    DISTRIBUTED PREFIX SUM: bucket = first hex char of the md5 sort
+    key (16 range-ordered buckets; two chars = 256 at scale — md5's
+    lexicographic order makes bucket order consistent with row order),
+    (1) per-(stratum, bucket) token totals — a strata × 16-row frame —
+    get cumulative OFFSETS via a window over that tiny frame, (2) the
+    within-(stratum, bucket) cumulative window runs on 16× more
+    reducers than the naive form, and each row's global running total
+    is offset + within-bucket cumulative.  One data-sized shuffle on
+    (stratum, bucket); the offset frame broadcasts back.  All-integer
+    token arithmetic — exact on every engine.
+    """
+    n_tok = F.regexp_count(F.col(text_col), F.lit(r"\S+"))
+    sort_key = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
+    keyed = (
+        docs.select(
+            "doc_id", key_col, n_tok.alias("n_tok"), sort_key.alias("sort_key")
+        )
+        .filter(F.col("n_tok") > 0)
+        .withColumn("bucket", F.substring("sort_key", 1, 1))
+    )
+    totals = keyed.groupBy(key_col, "bucket").agg(
+        F.sum("n_tok").alias("bucket_tok")
+    )
+    w_off = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "offset", F.coalesce(F.sum("bucket_tok").over(w_off), F.lit(0))
+    ).drop("bucket_tok")
+    w_in = (
+        Window.partitionBy(key_col, "bucket")
+        .orderBy("sort_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        keyed.withColumn("in_cum", F.sum("n_tok").over(w_in))
+        .join(F.broadcast(offsets), [key_col, "bucket"])
+        .withColumn("cum_end", (F.col("offset") + F.col("in_cum")).cast("long"))
+    )
+    return cum.filter(F.col("cum_end") - F.col("n_tok") < budget).select(
+        "doc_id", key_col, "n_tok", "cum_end"
+    )
+
+
 # ------------------------------------------------------------ driver
 def q_pack_sequences(t: dict) -> DataFrame:
     return pack_sequences(t["documents"])
@@ -199,6 +311,14 @@ def q_shuffle_shards(t: dict) -> DataFrame:
 
 def q_train_test_split(t: dict) -> DataFrame:
     return train_test_split(t["documents"])
+
+
+def q_stratified_sample(t: dict) -> DataFrame:
+    return stratified_sample(t["documents"])
+
+
+def q_token_budget_mixture(t: dict) -> DataFrame:
+    return token_budget_mixture(t["documents"])
 
 
 def _rates_case_sql() -> str:
@@ -261,6 +381,41 @@ ORACLE: dict[str, str] = {
                     THEN 'train' ELSE 'test' END AS split
         FROM documents
     """,
+    # the oracle is the NAIVE one-window form — DuckDB is fine with it
+    # at check scale, and its equality with the two-phase Spark plan is
+    # exactly the superset-pruning claim under test
+    "stratified_sample": f"""
+        WITH ranked AS (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5('{STRAT_SALT}' || CAST(doc_id AS VARCHAR)),
+                                doc_id
+                   ) AS rank
+            FROM documents
+        )
+        SELECT doc_id, lang, rank FROM ranked WHERE rank <= {STRAT_K}
+    """,
+    # likewise the naive single cumulative window — equality with the
+    # distributed prefix-sum proves offset + within-bucket == global
+    "token_budget_mixture": rf"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   len(regexp_extract_all(text, '\S+')) AS n_tok,
+                   md5('{BUDGET_SALT}' || CAST(doc_id AS VARCHAR)) AS sort_key
+            FROM documents
+            WHERE len(regexp_extract_all(text, '\S+')) > 0
+        ), c AS (
+            SELECT doc_id, lang, n_tok,
+                   SUM(n_tok) OVER (
+                       PARTITION BY lang ORDER BY sort_key, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS cum_end
+            FROM toks
+        )
+        SELECT doc_id, lang, n_tok, cum_end
+        FROM c WHERE cum_end - n_tok < {BUDGET_TOKENS}
+    """,
 }
 
 QUERIES = {
@@ -268,4 +423,6 @@ QUERIES = {
     "sample_mixture": q_sample_mixture,
     "shuffle_shards": q_shuffle_shards,
     "train_test_split": q_train_test_split,
+    "stratified_sample": q_stratified_sample,
+    "token_budget_mixture": q_token_budget_mixture,
 }

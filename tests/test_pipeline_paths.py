@@ -501,3 +501,54 @@ def test_funnel_rejects_repeated_stage_names(spark):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "unique" in str(e)
+
+
+def test_token_budget_greedy_rule(tables):
+    # greedy budget semantics: within each stratum the kept token sum
+    # reaches the budget (overshooting by at most the crossing doc) OR
+    # the stratum ran out of tokens; and every stratum emits >= 1 doc
+    from pyspark.sql import functions as F
+
+    from simple_rust_query_engine_spark.pipeline.pack import (
+        BUDGET_TOKENS,
+        token_budget_mixture,
+    )
+
+    docs = tables["documents"]
+    kept = token_budget_mixture(docs).groupBy("lang").agg(
+        F.sum("n_tok").alias("kept_tok"),
+        F.max("n_tok").alias("max_tok"),
+        F.count("*").alias("n"),
+    )
+    totals = {
+        r["lang"]: r["tot"]
+        for r in docs.select(
+            "lang", F.regexp_count("text", F.lit(r"\S+")).alias("t")
+        )
+        .groupBy("lang")
+        .agg(F.sum("t").alias("tot"))
+        .collect()
+    }
+    rows = kept.collect()
+    assert {r["lang"] for r in rows} == set(totals), "a stratum emitted 0 docs"
+    for r in rows:
+        if totals[r["lang"]] >= BUDGET_TOKENS:
+            assert r["kept_tok"] >= BUDGET_TOKENS, r
+            assert r["kept_tok"] < BUDGET_TOKENS + r["max_tok"], r
+        else:
+            assert r["kept_tok"] == totals[r["lang"]], r
+
+
+def test_stratified_sample_bucket_fan_is_invisible(tables):
+    # the n_buckets dial changes the PLAN (pre-prune fan-out), never
+    # the RESULT: phase 1 keeps a superset of the global top-k at any
+    # fan, so 1-bucket (the naive form), 4 and 32 agree exactly
+    from simple_rust_query_engine_spark.pipeline.pack import stratified_sample
+
+    docs = tables["documents"]
+    base = sorted(map(tuple, stratified_sample(docs, n_buckets=1).collect()))
+    for b in (4, 32):
+        assert (
+            sorted(map(tuple, stratified_sample(docs, n_buckets=b).collect()))
+            == base
+        )

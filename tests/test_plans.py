@@ -243,6 +243,64 @@ def test_shuffle_shards_never_global_sort(spark):
     assert "SinglePartition" not in plan, plan
 
 
+def test_stratified_sample_preprune_spreads_strata(spark):
+    # exact k-per-stratum sampling runs TWO top-k windows: phase 1
+    # partitioned by (stratum, bucket) — the bucket key is what
+    # spreads each ~5-value stratum over 32 reducers — then phase 2
+    # over the <= buckets*k survivors on the bare stratum key.  A plan
+    # whose only window partitioning is the bare stratum has lost the
+    # skew protection and is the low-cardinality straggler at 100 TB.
+    plan = (
+        _q(spark, "stratified_sample")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Window [row_number()") == 2, plan
+    # phase-1 spec carries the bucket key alongside the stratum
+    import re
+
+    assert re.search(r"windowspecdefinition\(lang#\d+, bucket#", plan), plan
+    assert "SinglePartition" not in plan, plan
+    # Spark additionally inserts WindowGroupLimit: rank filters prune
+    # to the top-k BEFORE the exchange (Partial) and after (Final) —
+    # map-side combine for top-k windows, free extra skew headroom
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_token_budget_mixture_offsets_broadcast(spark):
+    # the distributed prefix sum joins each row to its bucket OFFSET
+    # (a strata x 16-row frame): that edge must broadcast — a shuffled
+    # join there would re-shuffle the corpus to join 80 rows — and no
+    # window may run over a single partition (the naive cumulative
+    # form this operator exists to avoid)
+    from simple_rust_query_engine_spark.plans.inspect import join_strategies
+
+    df = _q(spark, "token_budget_mixture")
+    strategies = join_strategies(df)
+    assert strategies and set(strategies) == {"BroadcastHashJoin"}, strategies
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # the data-sized cumulative window is keyed by (stratum, bucket)
+    assert re.search(r"windowspecdefinition\(lang#\d+, bucket#", plan), plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_tpch_q18_having_agg_broadcasts_back(spark):
+    # big-agg -> semi-join composite: the only data-sized shuffle is
+    # lineitem's groupBy on l_orderkey; the HAVING survivors and the
+    # joined result are broadcast-sized, and the final ORDER BY+LIMIT
+    # is a TakeOrdered, never a global sort
+    from simple_rust_query_engine_spark.plans.inspect import join_strategies
+
+    df = _q(spark, "tpch_q18_like")
+    strategies = join_strategies(df)
+    assert strategies and set(strategies) == {"BroadcastHashJoin"}, strategies
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(l_orderkey" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_train_test_split_is_map_only(spark):
     # deterministic-hash holdout split is a scan + project: no shuffle
     plan = (
