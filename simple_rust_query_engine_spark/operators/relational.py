@@ -428,7 +428,10 @@ def q_tpch_q18_like(t: Tables) -> DataFrame:
     Scale: the only data-sized shuffle is lineitem's groupBy on
     l_orderkey (uniform key, partial-agg combined map-side).  The
     HAVING output is ~0.3% of orders, so it BROADCASTS into the orders
-    scan (hinted — AQE would also derive it from runtime stats); the
+    scan (hinted — AQE would also derive it from runtime stats; at an
+    extreme SF where 0.3% of orders outgrows the broadcast budget,
+    drop the hint and AQE picks shuffle-vs-broadcast from the runtime
+    size instead of forcing a driver collect); the
     joined result is tiny, so the customer edge broadcasts whichever
     side is smaller at runtime, and the final ORDER BY + LIMIT is a
     TakeOrdered, never a global sort.  At 100 TB: one fact shuffle,
