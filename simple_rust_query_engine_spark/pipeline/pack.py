@@ -40,6 +40,21 @@ MIX_B = 1_013_904       # affine offset
 MIX_RATES = {"en": 1.0, "es": 0.5, "de": 0.5, "fr": 0.25, "zh": 0.25}
 
 
+def _affine_bucket(col, a: int = MIX_A, b: int = MIX_B):
+    """Deterministic affine hash of an integer id into [0, MIX_MOD) —
+    the ONE definition every sampling/sharding op (and its oracle twin,
+    via the same constants) derives buckets from.  All intermediates
+    stay < 2^53, so the arithmetic is exact on every engine."""
+    return (col % MIX_MOD * a + b) % MIX_MOD
+
+
+def _salted_sort_key(salt: str):
+    """Deterministic pseudorandom ORDER for doc_id: md5 of the salted
+    id — lowercase hex compares identically under ASCII everywhere.
+    Change the salt to draw an independent order."""
+    return F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
+
+
 def pack_sequences(
     docs: DataFrame,
     seq_len: int = SEQ_LEN,
@@ -108,7 +123,7 @@ def sample_mixture(
     keeps a subset of a looser one: thresholds nest).
     """
     rates = MIX_RATES if rates is None else rates
-    bucket = (F.col("doc_id") % MIX_MOD * MIX_A + MIX_B) % MIX_MOD
+    bucket = _affine_bucket(F.col("doc_id"))
     expr = None
     for k, r in rates.items():
         cond = F.lit(int(r * MIX_MOD))
@@ -150,8 +165,8 @@ def shuffle_shards(
     distributed shuffle a petabyte pretraining pipeline runs; no
     global ordering structure anywhere.
     """
-    shard = (F.col("doc_id") % MIX_MOD * MIX_A + MIX_B) % MIX_MOD % n_shards
-    sort_key = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
+    shard = _affine_bucket(F.col("doc_id")) % n_shards
+    sort_key = _salted_sort_key(salt)
     w = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
     return (
         docs.select(
@@ -177,7 +192,7 @@ def train_test_split(
     rank, a shuffle this map-only operator refuses to pay).  Output
     keeps ``key_col`` so downstream can audit per-stratum balance with
     one groupBy."""
-    bucket = (F.col("doc_id") % MIX_MOD * SPLIT_A + SPLIT_B) % MIX_MOD
+    bucket = _affine_bucket(F.col("doc_id"), SPLIT_A, SPLIT_B)
     split = F.when(
         bucket < F.lit(int(train_frac * MIX_MOD)), F.lit("train")
     ).otherwise(F.lit("test"))
@@ -215,8 +230,8 @@ def stratified_sample(
     its own bucket), so the result is EXACT.  Dial ``n_buckets`` to
     executor count at scale.
     """
-    sort_key = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
-    bucket = (F.col("doc_id") % MIX_MOD * MIX_A + MIX_B) % MIX_MOD % n_buckets
+    sort_key = _salted_sort_key(salt)
+    bucket = _affine_bucket(F.col("doc_id")) % n_buckets
     keyed = docs.select(
         "doc_id", key_col, sort_key.alias("sort_key"), bucket.alias("bucket")
     )
@@ -261,8 +276,10 @@ def token_budget_mixture(
     (stratum, bucket); the offset frame broadcasts back.  All-integer
     token arithmetic — exact on every engine.
     """
+    from .dedup import materialize
+
     n_tok = F.regexp_count(F.col(text_col), F.lit(r"\S+"))
-    sort_key = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
+    sort_key = _salted_sort_key(salt)
     keyed = (
         docs.select(
             "doc_id", key_col, n_tok.alias("n_tok"), sort_key.alias("sort_key")
@@ -270,8 +287,23 @@ def token_budget_mixture(
         .filter(F.col("n_tok") > 0)
         .withColumn("bucket", F.substring("sort_key", 1, 1))
     )
-    totals = keyed.groupBy(key_col, "bucket").agg(
-        F.sum("n_tok").alias("bucket_tok")
+    # two consumers need this frame (the offset aggregation and the
+    # data-sized cumulative window), and Catalyst cannot reuse the
+    # exchange between them (join-key null filters push into one
+    # branch's scan but not the other's, breaking canonical equality)
+    # — without a barrier the regexp tokenization over the FULL TEXT,
+    # the dominant map-side cost, runs twice.  The barrier stores only
+    # the 5 small derived columns, never the text.
+    keyed = materialize(keyed)
+    w_in = (
+        Window.partitionBy(key_col, "bucket")
+        .orderBy("sort_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = keyed.withColumn("in_cum", F.sum("n_tok").over(w_in))
+    # each bucket's token TOTAL is its last row's running sum
+    totals = cum.groupBy(key_col, "bucket").agg(
+        F.max("in_cum").alias("bucket_tok")
     )
     w_off = (
         Window.partitionBy(key_col)
@@ -281,17 +313,11 @@ def token_budget_mixture(
     offsets = totals.withColumn(
         "offset", F.coalesce(F.sum("bucket_tok").over(w_off), F.lit(0))
     ).drop("bucket_tok")
-    w_in = (
-        Window.partitionBy(key_col, "bucket")
-        .orderBy("sort_key", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = (
-        keyed.withColumn("in_cum", F.sum("n_tok").over(w_in))
-        .join(F.broadcast(offsets), [key_col, "bucket"])
+    out = (
+        cum.join(F.broadcast(offsets), [key_col, "bucket"])
         .withColumn("cum_end", (F.col("offset") + F.col("in_cum")).cast("long"))
     )
-    return cum.filter(F.col("cum_end") - F.col("n_tok") < budget).select(
+    return out.filter(F.col("cum_end") - F.col("n_tok") < budget).select(
         "doc_id", key_col, "n_tok", "cum_end"
     )
 

@@ -47,6 +47,9 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
         "decontaminate",     # new in r5 (train/eval overlap)
         "decontaminate_stream",  # new in r5 (streaming probe)
         "lm_score",          # new in r5 (unigram-LM quality score)
+        "stratified_sample",     # new in r5 (skew-safe exact top-k)
+        "token_budget_mixture",  # new in r5 (distributed prefix sum)
+        "tpch_q18_like",         # new in r5 (big-agg → semi-join)
     }
     head = set(list(entry_mod.queries())[: entry_mod._DRIVER_CAP])
     assert must_be_checked <= head

@@ -283,6 +283,10 @@ def test_token_budget_mixture_offsets_broadcast(spark):
     # the data-sized cumulative window is keyed by (stratum, bucket)
     assert re.search(r"windowspecdefinition\(lang#\d+, bucket#", plan), plan
     assert "SinglePartition" not in plan, plan
+    # tokenize-ONCE: the regexp over full text runs at the
+    # materialization barrier; the post-barrier plan (both window
+    # consumers) must not re-scan the parquet
+    assert "Scan parquet" not in plan, plan
 
 
 def test_tpch_q18_having_agg_broadcasts_back(spark):
