@@ -211,6 +211,12 @@ _DEFER_PAST_CAP = (
     "join_asof_fwd",
     "dedup_survivors",
     "ann_lsh",
+    # round-5 addition tpch_q14_like (conditional aggregation — SUM
+    # over CASE in one grouped pass) enters; window_running_sum
+    # (r4-green) defers — the window-function family stays checked via
+    # token_budget_mixture (cumulative-sum core), dup_span_frac,
+    # join_asof_nearest and stratified_sample, all in-window
+    "window_running_sum",
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

@@ -97,6 +97,7 @@ EXTRA_QUERIES = [
     "stratified_sample",
     "token_budget_mixture",
     "tpch_q18_like",
+    "tpch_q14_like",
 ]
 
 

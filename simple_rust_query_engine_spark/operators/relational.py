@@ -452,6 +452,53 @@ def q_tpch_q18_like(t: Tables) -> DataFrame:
     )
 
 
+def q_tpch_q14_like(t: Tables) -> DataFrame:
+    """TPC-H Q14 shape — promotion revenue share by ship month: the
+    CONDITIONAL-aggregation pattern (SUM over a CASE inside one agg
+    pass — Spark ``F.sum(F.when(...))``), which no other query in the
+    suite exercises.  Both sums happen in the SAME grouped aggregate:
+    one scan, one partial/final agg, never two passes self-joined.
+
+    Determinism: each money sum rounds to 2 decimals before the
+    ratio divides rounded values (the tpch_q1 convention — absorbs
+    cross-engine float-fold jitter), so promo_pct is bit-stable.
+
+    Scale: part is a dim — broadcast into the lineitem scan (the date
+    filter pushes down); the groupBy key is the ship MONTH (6 groups
+    here), safe ONLY because partial aggregation reduces each map task
+    to ≤ |months| rows before the exchange — the same low-cardinality
+    argument as tpch_q1's 6 flag groups, pinned by the partial/final
+    split test."""
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            # cast to DATE: a month bucket is a calendar fact, and
+            # DuckDB's date_trunc returns DATE while Spark keeps ts
+            F.date_trunc("month", F.col("l_shipdate"))
+            .cast("date")
+            .alias("ship_month")
+        )
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 2
+            ).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+        .withColumn(
+            "promo_pct",
+            F.round(
+                F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 4
+            ),
+        )
+        .orderBy("ship_month")
+    )
+
+
 # --------------------------------------------------------------- oracle
 ORACLE: dict[str, str] = {
     "scan_projection": """
@@ -646,6 +693,25 @@ ORACLE: dict[str, str] = {
         ORDER BY o_totalprice DESC, o_orderkey ASC
         LIMIT 100
     """,
+    "tpch_q14_like": """
+        WITH m AS (
+            SELECT date_trunc('month', l_shipdate) AS ship_month,
+                   ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0.0 END), 2) AS promo_revenue,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_revenue
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+            GROUP BY date_trunc('month', l_shipdate)
+        )
+        SELECT ship_month, promo_revenue, total_revenue,
+               ROUND(100.0 * promo_revenue / total_revenue, 4) AS promo_pct
+        FROM m
+        ORDER BY ship_month
+    """,
 }
 
 QUERIES = {
@@ -676,4 +742,5 @@ QUERIES = {
     "tpch_q3_like": q_tpch_q3_like,
     "tpch_q5_like": q_tpch_q5_like,
     "tpch_q18_like": q_tpch_q18_like,
+    "tpch_q14_like": q_tpch_q14_like,
 }

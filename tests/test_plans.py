@@ -305,6 +305,20 @@ def test_tpch_q18_having_agg_broadcasts_back(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_tpch_q14_conditional_agg_single_pass(spark):
+    # both the CASE-gated promo sum and the total sum must live in ONE
+    # grouped aggregate (partial+final) over ONE broadcast join — a
+    # two-pass formulation would self-join the fact table
+    from simple_rust_query_engine_spark.plans.inspect import join_strategies
+
+    df = _q(spark, "tpch_q14_like")
+    strategies = join_strategies(df)
+    assert strategies and set(strategies) == {"BroadcastHashJoin"}, strategies
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 2, plan  # lineitem + part once each
+    assert "partial_sum" in plan, plan
+
+
 def test_train_test_split_is_map_only(spark):
     # deterministic-hash holdout split is a scan + project: no shuffle
     plan = (

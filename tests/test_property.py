@@ -344,3 +344,83 @@ def test_window_hashes_match_python(spark, ws):
         .h
     )
     assert list(got_expr) == want
+
+
+# ---------------------------------------------------------------------------
+# sampling operators vs pure-Python references: tiny corpora reach the
+# boundaries the driver tables can't (empty strata, one-doc strata,
+# budget crossing on the first doc, every doc in one hash bucket)
+
+import hashlib
+
+from simple_rust_query_engine_spark.pipeline.pack import (
+    stratified_sample,
+    token_budget_mixture,
+)
+
+_DOCS = st.lists(
+    st.tuples(
+        st.text(alphabet="xy", min_size=1, max_size=2),            # lang
+        st.lists(st.text(alphabet="ab", min_size=1, max_size=3),
+                 min_size=0, max_size=6),                          # words
+    ),
+    min_size=0,
+    max_size=10,
+)
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _mk_rows(docs):
+    # unique doc_ids by position — the operators' ordering contract
+    return [(i, lang, " ".join(ws)) for i, (lang, ws) in enumerate(docs)]
+
+
+def _py_stratified(rows, k):
+    bylang: dict = {}
+    for doc_id, lang, _ in rows:
+        bylang.setdefault(lang, []).append(doc_id)
+    out = []
+    for lang, ids in bylang.items():
+        order = sorted(ids, key=lambda d: (_md5("strat" + str(d)), d))
+        out.extend((d, lang, r) for r, d in enumerate(order[:k], 1))
+    return sorted(out)
+
+
+def _py_budget(rows, budget):
+    bylang: dict = {}
+    for doc_id, lang, text in rows:
+        n = len(text.split())
+        if n > 0:
+            bylang.setdefault(lang, []).append((doc_id, n))
+    out = []
+    for lang, docs in bylang.items():
+        docs.sort(key=lambda t: (_md5("budget" + str(t[0])), t[0]))
+        cum = 0
+        for d, n in docs:
+            if cum < budget:
+                out.append((d, lang, n, cum + n))
+            cum += n
+    return sorted(out)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_DOCS)
+def test_stratified_sample_matches_python(spark, docs):
+    rows = _mk_rows(docs)
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = sorted(map(tuple, stratified_sample(df, k=3, n_buckets=4).collect()))
+    assert got == _py_stratified(rows, 3)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_DOCS)
+def test_token_budget_mixture_matches_python(spark, docs):
+    rows = _mk_rows(docs)
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = sorted(map(tuple, token_budget_mixture(df, budget=10).collect()))
+    assert got == _py_budget(rows, 10)
