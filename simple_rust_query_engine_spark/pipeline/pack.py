@@ -301,9 +301,12 @@ def token_budget_mixture(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = keyed.withColumn("in_cum", F.sum("n_tok").over(w_in))
-    # each bucket's token TOTAL is its last row's running sum
-    totals = cum.groupBy(key_col, "bucket").agg(
-        F.max("in_cum").alias("bucket_tok")
+    # bucket totals aggregate over the CHECKPOINTED frame, not over
+    # `cum`: a plain hash agg with map-side partial combine — deriving
+    # them from the window output would re-run the data-sized
+    # sort + running sum a second time in the offsets branch
+    totals = keyed.groupBy(key_col, "bucket").agg(
+        F.sum("n_tok").alias("bucket_tok")
     )
     w_off = (
         Window.partitionBy(key_col)
