@@ -217,6 +217,12 @@ _DEFER_PAST_CAP = (
     # token_budget_mixture (cumulative-sum core), dup_span_frac,
     # join_asof_nearest and stratified_sample, all in-window
     "window_running_sum",
+    # round-5 addition quality_topk (FineWeb-Edu-style lowest-
+    # perplexity-per-language selection — composes lm_score with the
+    # skew-safe two-phase top-k) enters; quality_score (r4-green)
+    # defers — the text-quality family stays checked via lm_score,
+    # doc_repetition, lang_id and len_histogram, all in-window
+    "quality_score",
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

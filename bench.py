@@ -98,6 +98,7 @@ EXTRA_QUERIES = [
     "token_budget_mixture",
     "tpch_q18_like",
     "tpch_q14_like",
+    "quality_topk",
 ]
 
 

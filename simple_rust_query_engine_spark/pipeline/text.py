@@ -382,12 +382,15 @@ def q_doc_repetition(t: dict) -> DataFrame:
     return doc_repetition(t["documents"])
 
 
-def q_lm_score(t: dict) -> DataFrame:
+def _lm_scores(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Unigram-LM quality score (perplexity proxy) — the CCNet-style
     filter: score each document by its average negative log-likelihood
     under a unigram model trained on the corpus itself; wildly
     improbable token streams (gibberish, encoding damage, keyword
-    stuffing) score high and get cut.
+    stuffing) score high and get cut.  ``carry`` names doc-level
+    columns (functionally dependent on doc_id, e.g. ``lang``) to ride
+    through the aggregation unchanged — same group cardinality, zero
+    extra shuffles.
 
     Determinism trick for the oracle: summing float log-probs across
     rows is order-dependent (different engines, different partial-sum
@@ -403,10 +406,13 @@ def q_lm_score(t: dict) -> DataFrame:
     entries; a corpus-scale vocab beyond broadcast range would bucket
     both sides on token instead).  Total corpus size rides in as a
     1-row broadcast aggregate, no driver-side count."""
-    docs = t["documents"]
-    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    toks = docs.select(
+        "doc_id", *carry, F.explode(tokens(F.col("text"))).alias("token")
+    )
     # per-(doc, token) multiplicities: uniform two-part key
-    dt = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("n"))
+    dt = toks.groupBy("doc_id", *carry, "token").agg(
+        F.count(F.lit(1)).alias("n")
+    )
     # unigram model: corpus tf per token + corpus total
     tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
     total = toks.agg(F.count(F.lit(1)).alias("total"))
@@ -418,13 +424,14 @@ def q_lm_score(t: dict) -> DataFrame:
     )
     return (
         dt.join(F.broadcast(vocab), "token")
-        .groupBy("doc_id")
+        .groupBy("doc_id", *carry)
         .agg(
             F.sum("n").alias("n_tokens"),
             F.sum(F.col("n") * F.col("lp_micro")).alias("_sum_micro"),
         )
         .select(
             "doc_id",
+            *carry,
             "n_tokens",
             F.round(
                 -F.col("_sum_micro").cast("double")
@@ -433,6 +440,60 @@ def q_lm_score(t: dict) -> DataFrame:
             ).alias("avg_nll"),
         )
     )
+
+
+def q_lm_score(t: dict) -> DataFrame:
+    """See _lm_scores — the driver entry scores every document."""
+    return _lm_scores(t["documents"])
+
+
+QS_K = 20        # highest-quality docs kept per language
+QS_BUCKETS = 32  # pre-prune fan-out (see pack.stratified_sample)
+
+
+def quality_topk_per_lang(
+    docs: DataFrame, k: int = QS_K, n_buckets: int = QS_BUCKETS
+) -> DataFrame:
+    """Quality-aware stratified SELECTION — the FineWeb-Edu/CCNet
+    curation move: keep the k most-probable (lowest unigram-LM
+    ``avg_nll``) documents per language.  Composes the corpus-trained
+    LM score with the skew-safe two-phase top-k from
+    ``pack.stratified_sample``: phase 1 prunes per (language,
+    hash-bucket) so a ~5-value language key never funnels the corpus
+    through 5 reducer sorts; phase 2 ranks the ≤ n_buckets × k
+    survivors.  Phase 1 keeps a superset of the global per-language
+    top-k at any fan, so the selection is EXACT.
+
+    Ordering is deterministic cross-engine: ``avg_nll`` is a rounded
+    double derived from exact integer micro-nat sums (see
+    ``_lm_scores``), with ``doc_id`` breaking ties."""
+    from pyspark.sql import Window
+
+    from .pack import _affine_bucket
+
+    scored = _lm_scores(docs, carry=("lang",)).select(
+        "doc_id", "lang", "avg_nll"
+    )
+    keyed = scored.withColumn(
+        "_b", _affine_bucket(F.col("doc_id")) % n_buckets
+    )
+    order = (F.col("avg_nll").asc(), F.col("doc_id").asc())
+    w_pre = Window.partitionBy("lang", "_b").orderBy(*order)
+    pruned = (
+        keyed.withColumn("_rn", F.row_number().over(w_pre))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_b")
+    )
+    w_fin = Window.partitionBy("lang").orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w_fin).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "lang", "avg_nll", "rank")
+    )
+
+
+def q_quality_topk(t: dict) -> DataFrame:
+    return quality_topk_per_lang(t["documents"])
 
 
 # ------------------------------------------------------------- oracles
@@ -593,6 +654,42 @@ ORACLE: dict[str, str] = {
         FROM dt JOIN vocab USING (token)
         GROUP BY doc_id
     """,
+    # the naive one-window form — equality with the two-phase Spark
+    # plan is the superset-pruning claim under test (same argument as
+    # pack.stratified_sample)
+    "quality_topk": f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        dt AS (
+            SELECT doc_id, lang, token, COUNT(*) AS n
+            FROM toks GROUP BY 1, 2, 3
+        ),
+        tf AS (SELECT token, COUNT(*) AS tf FROM toks GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS total FROM toks),
+        vocab AS (
+            SELECT token,
+                   ROUND(ln(tf::DOUBLE / total) * 1e6)::BIGINT AS lp_micro
+            FROM tf, tot
+        ),
+        scored AS (
+            SELECT doc_id, lang,
+                   ROUND(-SUM(n * lp_micro)::DOUBLE / (SUM(n) * 1e6), 6)
+                       AS avg_nll
+            FROM dt JOIN vocab USING (token)
+            GROUP BY doc_id, lang
+        ),
+        ranked AS (
+            SELECT doc_id, lang, avg_nll,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY avg_nll ASC, doc_id ASC
+                   ) AS rank
+            FROM scored
+        )
+        SELECT doc_id, lang, avg_nll, rank FROM ranked WHERE rank <= {QS_K}
+    """,
     "vocab_stats": f"""
         WITH tf AS (
             SELECT t AS token, COUNT(*) AS tf
@@ -625,4 +722,5 @@ QUERIES = {
     "len_histogram": q_len_histogram,
     "doc_repetition": q_doc_repetition,
     "lm_score": q_lm_score,
+    "quality_topk": q_quality_topk,
 }

@@ -51,6 +51,7 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
         "token_budget_mixture",  # new in r5 (distributed prefix sum)
         "tpch_q18_like",         # new in r5 (big-agg → semi-join)
         "tpch_q14_like",         # new in r5 (conditional aggregation)
+        "quality_topk",          # new in r5 (quality-aware selection)
     }
     head = set(list(entry_mod.queries())[: entry_mod._DRIVER_CAP])
     assert must_be_checked <= head

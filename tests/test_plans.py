@@ -5,6 +5,8 @@ of a hand-rolled optimizer, assert that Catalyst produced the plan
 properties those rules exist to guarantee — filters pushed into the
 parquet scan, columns pruned, small joins broadcast."""
 
+import re
+
 import __spark_entry__ as entry_mod
 from simple_rust_query_engine_spark.plans.inspect import (
     join_strategies,
@@ -314,6 +316,26 @@ def test_tpch_q18_having_agg_broadcasts_back(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_quality_topk_preprune_spreads_langs(spark):
+    # the lowest-perplexity-per-language selection must run the same
+    # two-phase top-k as stratified_sample: phase 1 partitioned by
+    # (lang, hash-bucket), WindowGroupLimit pruning map-side, never a
+    # bare-language window over the scored corpus
+    import re
+
+    plan = (
+        _q(spark, "quality_topk")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Window [row_number()") == 2, plan
+    assert re.search(r"windowspecdefinition\(lang#\d+, _b#", plan), plan
+    assert "WindowGroupLimit" in plan, plan
+    # the corpus-total 1-row aggregate legitimately crosses a
+    # SinglePartition exchange; what must NOT exist is an
+    # unpartitioned window over the scored corpus
+    assert not _has_global_window(plan), plan
+
+
 def test_tpch_q14_conditional_agg_single_pass(spark):
     # both the CASE-gated promo sum and the total sum must live in ONE
     # grouped aggregate (partial+final) over ONE broadcast join — a
@@ -397,22 +419,68 @@ def test_profile_table_is_single_scan(spark):
     assert "Expand" in plan, plan
 
 
+def _has_global_window(plan: str) -> bool:
+    """True iff a Window node feeds an Exchange SinglePartition — the
+    whole-input-through-one-task straggler.  An empty partition spec
+    is OMITTED from the printed Window node (not shown as `[]`), so
+    the probe walks the tree print instead: Sort and Window are unary,
+    so the Exchange's parent chain is the line(s) directly above it.
+    A keyed window elsewhere in a plan that also carries a legitimate
+    1-row global aggregate does NOT match (quality_topk's
+    corpus-total)."""
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        p1 = lines[i - 1] if i >= 1 else ""
+        p2 = lines[i - 2] if i >= 2 else ""
+        if "Window [" in p1:
+            return True
+        if "Sort [" in p1 and "Window [" in p2:
+            return True
+    return False
+
+
 def test_no_query_windows_over_single_partition(spark):
     # blanket plan hygiene, companion to the cartesian sweep: a window
     # function whose partition spec is empty funnels the whole input
     # through ONE task (Exchange SinglePartition → Window) — the
     # unsplittable straggler at 100 TB.  Every declared query that
-    # plans a Window must partition it by a real key.  (Global
-    # SinglePartition exchanges for final aggs/limits are fine — the
-    # rows crossing them are already reduced; the assertion only fires
-    # when a Window sits in the same plan.)
-    from simple_rust_query_engine_spark.plans.inspect import explain_str
-
+    # plans a Window must partition it by a real key.
+    #
+    # Probe the SIMPLE plan via _has_global_window.  The previous
+    # probe ("Window" AND "Exchange SinglePartition" in the FORMATTED
+    # text) was doubly wrong: formatted mode prints the partitioning
+    # on a separate `Arguments:` line so the literal never matched
+    # (the sweep was vacuous), and had it matched it would
+    # false-flag keyed-window plans that also carry a legitimate
+    # 1-row global aggregate (quality_topk's corpus-total).
     offenders = {}
     for name, fn in entry_mod.queries().items():
         if name in _STREAMING_QUERIES:
             continue
-        text = explain_str(fn(spark, SF_DIR))
-        if "Window" in text and "Exchange SinglePartition" in text:
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        if _has_global_window(plan):
             offenders[name] = True
     assert not offenders, f"single-partition windows in: {sorted(offenders)}"
+
+
+def test_global_window_probe_catches_offender(spark):
+    # positive control: the sweep's regex must actually fire on a
+    # deliberately unpartitioned window — guards against the probe
+    # regressing into the vacuous string match it replaces
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert _has_global_window(plan), plan
+    # and an order-less global frame (Window directly over the
+    # exchange, no Sort) must match too
+    df2 = spark.range(10).withColumn(
+        "s", F.sum("id").over(Window.partitionBy())
+    )
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert _has_global_window(plan2), plan2
