@@ -258,8 +258,6 @@ def test_stratified_sample_preprune_spreads_strata(spark):
     )
     assert plan.count("Window [row_number()") == 2, plan
     # phase-1 spec carries the bucket key alongside the stratum
-    import re
-
     assert re.search(r"windowspecdefinition\(lang#\d+, bucket#", plan), plan
     assert "SinglePartition" not in plan, plan
     # Spark additionally inserts WindowGroupLimit: rank filters prune
@@ -280,8 +278,6 @@ def test_token_budget_mixture_offsets_broadcast(spark):
     strategies = join_strategies(df)
     assert strategies and set(strategies) == {"BroadcastHashJoin"}, strategies
     plan = df._jdf.queryExecution().executedPlan().toString()
-    import re
-
     # the data-sized cumulative window is keyed by (stratum, bucket)
     assert re.search(r"windowspecdefinition\(lang#\d+, bucket#", plan), plan
     assert "SinglePartition" not in plan, plan
@@ -321,8 +317,6 @@ def test_quality_topk_preprune_spreads_langs(spark):
     # two-phase top-k as stratified_sample: phase 1 partitioned by
     # (lang, hash-bucket), WindowGroupLimit pruning map-side, never a
     # bare-language window over the scored corpus
-    import re
-
     plan = (
         _q(spark, "quality_topk")
         ._jdf.queryExecution().executedPlan().toString()
@@ -432,11 +426,16 @@ def _has_global_window(plan: str) -> bool:
     for i, ln in enumerate(lines):
         if "Exchange SinglePartition" not in ln:
             continue
-        p1 = lines[i - 1] if i >= 1 else ""
-        p2 = lines[i - 2] if i >= 2 else ""
-        if "Window [" in p1:
-            return True
-        if "Sort [" in p1 and "Window [" in p2:
+        # walk up through pass-through unary nodes: Sort, and the
+        # WindowGroupLimit pair Spark inserts for rank-filtered
+        # windows (Partial below the exchange, Final above — a
+        # rank-filtered GLOBAL window still funnels through one task)
+        j = i - 1
+        while j >= 0 and (
+            "Sort [" in lines[j] or "WindowGroupLimit [" in lines[j]
+        ):
+            j -= 1
+        if j >= 0 and "Window [" in lines[j]:
             return True
     return False
 
@@ -484,3 +483,16 @@ def test_global_window_probe_catches_offender(spark):
     )
     plan2 = df2._jdf.queryExecution().executedPlan().toString()
     assert _has_global_window(plan2), plan2
+    # and a RANK-filtered global window, where Spark inserts a
+    # WindowGroupLimit Partial/Final pair around the exchange — the
+    # probe must see through those pass-through nodes.  (row_number
+    # with a small filter would instead rewrite to
+    # TakeOrderedAndProject, which is NOT a straggler and rightly
+    # doesn't match; rank() keeps the Window + SinglePartition shape.)
+    df3 = (
+        spark.range(10)
+        .withColumn("rn", F.rank().over(Window.orderBy("id")))
+        .filter("rn <= 3")
+    )
+    plan3 = df3._jdf.queryExecution().executedPlan().toString()
+    assert _has_global_window(plan3), plan3
