@@ -37,9 +37,9 @@ from .text import word_hash
 #: durability switch for every hard materialization barrier below.
 #: default (False): ``localCheckpoint`` — fastest; partitions are
 #: recomputed from scratch if an executor dies.  durable (True, or env
-#: SPARK_GRAFT_DURABLE=1): eager ``persist(DISK_ONLY)`` — shuffle-safe
-#: replay at the cost of a disk write, the right setting for long
-#: cluster jobs where losing an executor mid-join is routine.
+#: SPARK_GRAFT_DURABLE=1): eager RELIABLE ``checkpoint`` — replayable
+#: from stable storage after executor loss, the right setting for
+#: long cluster jobs where losing an executor mid-join is routine.
 DURABLE_MATERIALIZE = os.environ.get("SPARK_GRAFT_DURABLE", "") == "1"
 
 
@@ -48,22 +48,34 @@ def materialize(df: DataFrame, durable: bool | None = None) -> DataFrame:
 
     Catalyst inlines a UDF-bearing subtree into every consumer (the
     static minhash plan showed 8 ArrowEvalPython nodes, zero reuse);
-    a barrier computes it once.  Two flavors, same semantics:
+    a barrier computes it once.  Both flavors TRUNCATE LINEAGE, which
+    iterative callers (connected components) depend on as hard as
+    they depend on the data barrier: a persist-based "barrier" keeps
+    the full logical plan, so per-round plans nest and Catalyst
+    re-analysis grows exponentially — the 64-chain star-CC test went
+    5 s → 15 s → minutes per round under an earlier persist(DISK_ONLY)
+    implementation while reading every byte from cache.
 
     * ``durable=False`` — ``localCheckpoint(eager=True)``: blocks are
       executor-local, lost blocks are lost (recompute = rerun the
       query).  Fine single-node / short jobs.
-    * ``durable=True`` — ``persist(DISK_ONLY)`` + eager count: blocks
-      replay from disk after executor loss; for 100 TB runs.
+    * ``durable=True`` — reliable ``checkpoint(eager=True)``: files in
+      the checkpoint dir survive executor loss; for 100 TB runs.  On a
+      cluster, point ``setCheckpointDir`` at HDFS/S3 before the first
+      barrier — if unset, a local tmp default is installed (correct on
+      a single node, NOT durable across machines).
     """
     if durable is None:
         durable = DURABLE_MATERIALIZE
     if durable:
-        from pyspark import StorageLevel
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            import tempfile
 
-        df = df.persist(StorageLevel.DISK_ONLY)
-        df.count()  # eager, mirroring localCheckpoint(eager=True)
-        return df
+            sc.setCheckpointDir(
+                os.path.join(tempfile.gettempdir(), "srqe_checkpoints")
+            )
+        return df.checkpoint(eager=True)
     return df.localCheckpoint()
 
 MH_K = 16          # minhash functions
@@ -632,10 +644,11 @@ def connected_components_star(
     fp_prev = None
     rounds = 0
     while rounds < max_rounds:
-        prev = E
+        # durable rounds write reliable checkpoints; the previous
+        # round's files are retired by the context cleaner once prev
+        # drops out of scope (cleanCheckpoints=true in get_spark), so
+        # live disk stays O(1) rounds
         E = materialize(_small_star(_large_star(E)))
-        if DURABLE_MATERIALIZE:
-            prev.unpersist()
         rounds += 1
         # pmod keeps the hash sum < 2^63 under ANSI overflow checking
         # for any realistic edge count (2^31 · |E|)
@@ -693,7 +706,10 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_min"))
         )
-        prev_lab = lab
+        # durable rounds write reliable checkpoints; superseded label
+        # checkpoints are retired by the context cleaner as each
+        # round's frame drops out of scope (cleanCheckpoints=true in
+        # get_spark), so live disk stays O(1) rounds
         lab = materialize(
             lab.join(msgs, lab.doc_id == msgs.dst, "left")
             .select(
@@ -703,19 +719,13 @@ def connected_components(
                 ),
             )
         )
-        if DURABLE_MATERIALIZE:
-            # durable mode persists each round's labels; retire the
-            # previous round's blocks so disk use stays O(1) rounds
-            prev_lab.unpersist()
         cur_sum = lab.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    if DURABLE_MATERIALIZE:
-        # the edge table is internal — release its disk blocks; the
-        # RETURNED labels stay persisted (callers consume them next and
-        # may unpersist when done)
-        bidir.unpersist()
+    # (the internal edge-table checkpoint is likewise cleaner-retired
+    # once this function returns; the RETURNED labels' files live
+    # until the caller's frame is collected)
     return lab
 
 

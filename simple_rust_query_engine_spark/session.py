@@ -74,6 +74,11 @@ def get_spark(app_name: str = "simple_rust_query_engine_spark") -> SparkSession:
         # driver testdata parquet carries TIMESTAMP(NANOS) which Spark
         # rejects by default; read as long and convert in load_tables
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # durable materialization barriers are reliable checkpoints
+        # (pipeline.dedup.materialize); retire a round's checkpoint
+        # files once its frame is garbage-collected so iterative
+        # algorithms hold O(1) rounds of live disk
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -280,7 +285,12 @@ def release_barriers(spark: SparkSession) -> int:
     warm runs 28% SLOWER than cold once ~60 barriers piled up).  Call
     between logically-independent queries; do NOT call while a
     DataFrame built on a live barrier is still needed — a truncated
-    lineage cannot recompute."""
+    lineage cannot recompute.
+
+    Durable (reliable-checkpoint) barriers are unaffected: their
+    files live in the checkpoint dir, not the block manager, and the
+    context cleaner retires them as their frames are collected
+    (``spark.cleaner.referenceTracking.cleanCheckpoints``)."""
     sc = spark.sparkContext
     jrdds = sc._jsc.sc().getPersistentRDDs()
     n = jrdds.size()

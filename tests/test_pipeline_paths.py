@@ -552,3 +552,21 @@ def test_stratified_sample_bucket_fan_is_invisible(tables):
             sorted(map(tuple, stratified_sample(docs, n_buckets=b).collect()))
             == base
         )
+
+
+def test_durable_materialize_truncates_lineage(spark):
+    # regression: a persist(DISK_ONLY)-based durable barrier kept the
+    # full logical plan, so iterative callers (star CC) nested plans
+    # per round and Catalyst re-analysis grew exponentially — the
+    # 64-chain test went 5s -> 15s -> minutes per round while reading
+    # every byte from cache.  The durable barrier must truncate
+    # lineage like localCheckpoint does: plan rooted at an RDD scan,
+    # no trace of the upstream operators.
+    from simple_rust_query_engine_spark.pipeline.dedup import materialize
+
+    df = spark.range(10).selectExpr("id", "id * 2 AS y")
+    out = materialize(df, durable=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan, plan
+    assert "Range" not in plan, plan
+    assert sorted(map(tuple, out.collect())) == [(i, 2 * i) for i in range(10)]

@@ -283,17 +283,10 @@ def test_token_budget_mixture_offsets_broadcast(spark):
     assert "SinglePartition" not in plan, plan
     # tokenize-ONCE: the regexp over full text runs at the
     # materialization barrier; the post-barrier plan (both window
-    # consumers) must not re-scan the parquet.  (Durable mode swaps
-    # the barrier for persist(DISK_ONLY), whose InMemoryRelation
-    # PRINTS its recompute-lineage FileScan — tokenization still runs
-    # once via the eager count, but the string probe can't see that,
-    # so only assert it for the checkpoint flavor.)
-    from simple_rust_query_engine_spark.pipeline.dedup import (
-        DURABLE_MATERIALIZE,
-    )
-
-    if not DURABLE_MATERIALIZE:
-        assert "Scan parquet" not in plan, plan
+    # consumers) must not re-scan the parquet.  Holds in BOTH barrier
+    # flavors — localCheckpoint and reliable checkpoint each truncate
+    # lineage to a Scan ExistingRDD.
+    assert "Scan parquet" not in plan, plan
 
 
 def test_tpch_q18_having_agg_broadcasts_back(spark):
