@@ -61,22 +61,58 @@ def materialize(df: DataFrame, durable: bool | None = None) -> DataFrame:
       query).  Fine single-node / short jobs.
     * ``durable=True`` — reliable ``checkpoint(eager=True)``: files in
       the checkpoint dir survive executor loss; for 100 TB runs.  On a
-      cluster, point ``setCheckpointDir`` at HDFS/S3 before the first
-      barrier — if unset, a local tmp default is installed (correct on
-      a single node, NOT durable across machines).
+      cluster, point ``setCheckpointDir`` at HDFS/S3 BEFORE the first
+      barrier — a local path would scatter partition files across
+      executor disks where the driver cannot read them back, so an
+      unset dir on a non-local master raises immediately rather than
+      failing deep in a pipeline.  Locally, a fresh per-process tmp
+      dir is installed (mkdtemp — no collision with other users'
+      runs) and removed at interpreter exit; superseded checkpoints
+      within a run are retired by the context cleaner when
+      ``spark.cleaner.referenceTracking.cleanCheckpoints`` is on
+      (set by ``get_spark()``; best-effort — it needs the frame
+      GC'd, so worst-case live disk in an iterative loop is
+      O(rounds), each checkpoint label-table-sized, until exit
+      cleanup).
     """
     if durable is None:
         durable = DURABLE_MATERIALIZE
     if durable:
         sc = df.sparkSession.sparkContext
         if sc.getCheckpointDir() is None:
-            import tempfile
-
-            sc.setCheckpointDir(
-                os.path.join(tempfile.gettempdir(), "srqe_checkpoints")
-            )
+            if not sc.master.startswith("local"):
+                raise RuntimeError(
+                    "durable materialize on a cluster needs "
+                    "sparkContext.setCheckpointDir(<HDFS/S3 path>) before "
+                    "the first barrier: a node-local default would write "
+                    "checkpoint partitions to executor disks the driver "
+                    "cannot read back"
+                )
+            sc.setCheckpointDir(_fallback_checkpoint_dir())
         return df.checkpoint(eager=True)
     return df.localCheckpoint()
+
+
+_FALLBACK_CK_DIR: str | None = None
+
+
+def _fallback_checkpoint_dir() -> str:
+    """Per-process local checkpoint dir, removed at interpreter exit.
+
+    A fixed shared path (e.g. /tmp/srqe_checkpoints) would be owned by
+    whichever user ran first and break durable mode for everyone else
+    on the machine — and reliable-checkpoint files outlive the
+    SparkContext, so without the atexit hook every run would leak its
+    final checkpoints to disk permanently."""
+    global _FALLBACK_CK_DIR
+    if _FALLBACK_CK_DIR is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _FALLBACK_CK_DIR = tempfile.mkdtemp(prefix="srqe_checkpoints_")
+        atexit.register(shutil.rmtree, _FALLBACK_CK_DIR, True)
+    return _FALLBACK_CK_DIR
 
 MH_K = 16          # minhash functions
 MH_BANDS = 4       # LSH bands (rows per band = MH_K // MH_BANDS)
@@ -644,10 +680,11 @@ def connected_components_star(
     fp_prev = None
     rounds = 0
     while rounds < max_rounds:
-        # durable rounds write reliable checkpoints; the previous
-        # round's files are retired by the context cleaner once prev
-        # drops out of scope (cleanCheckpoints=true in get_spark), so
-        # live disk stays O(1) rounds
+        # durable rounds write reliable checkpoints; superseded ones
+        # are retired by the context cleaner as frames are GC'd
+        # (cleanCheckpoints=true in get_spark) — best-effort, so live
+        # disk is worst-case O(rounds) label-table-sized files until
+        # the exit cleanup of the fallback dir
         E = materialize(_small_star(_large_star(E)))
         rounds += 1
         # pmod keeps the hash sum < 2^63 under ANSI overflow checking
@@ -707,9 +744,9 @@ def connected_components(
             .agg(F.min("label").alias("nbr_min"))
         )
         # durable rounds write reliable checkpoints; superseded label
-        # checkpoints are retired by the context cleaner as each
-        # round's frame drops out of scope (cleanCheckpoints=true in
-        # get_spark), so live disk stays O(1) rounds
+        # checkpoints are retired by the context cleaner as frames are
+        # GC'd (cleanCheckpoints=true in get_spark) — best-effort, so
+        # live disk is worst-case O(rounds) until exit cleanup
         lab = materialize(
             lab.join(msgs, lab.doc_id == msgs.dst, "left")
             .select(

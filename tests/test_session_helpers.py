@@ -79,7 +79,18 @@ def test_materialize_durable_and_local_paths_agree(tables, spark):
     # dir (replayable after executor loss) and lineage truncated —
     # persist(DISK_ONLY) would keep full lineage and make iterative
     # callers' plans nest per round (see the star-CC regression)
-    assert spark.sparkContext.getCheckpointDir() is not None
+    import glob
+    import os
+    from urllib.parse import urlparse
+
+    ckdir = spark.sparkContext.getCheckpointDir()
+    assert ckdir is not None
+    local = urlparse(ckdir).path
+    # the checkpoint actually reached stable storage: rdd-* dirs with
+    # part files exist (a localCheckpoint regression would leave the
+    # dir empty and still pass the plan-shape asserts below)
+    parts = glob.glob(os.path.join(local, "rdd-*", "part-*"))
+    assert parts, f"no checkpoint part files under {local}"
     plan = durable._jdf.queryExecution().executedPlan().toString()
     assert "ExistingRDD" in plan, plan
     assert "Scan parquet" not in plan, plan
