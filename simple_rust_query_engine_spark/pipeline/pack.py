@@ -207,6 +207,38 @@ BUDGET_TOKENS = 2000     # per-language token budget (driver-scale)
 BUDGET_SALT = "budget"   # selection-order salt
 
 
+def two_phase_topk(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list,
+    k: int,
+    n_buckets: int,
+    bucket_id_col: str = "doc_id",
+) -> DataFrame:
+    """Skew-safe EXACT top-k per stratum: (1) pre-prune top-k per
+    (stratum, hash-bucket) — ``n_buckets`` spreads each stratum over
+    that many reducers, and Spark's WindowGroupLimit prunes to k
+    map-side; (2) final top-k over the ≤ n_buckets × k survivors per
+    stratum, a trivially small sort.  Phase 1 keeps a superset of the
+    global top-k (every globally-top-k row is top-k in its own bucket
+    under the shared order), so the result is EXACT at any fan.
+    ``order_cols`` must be a total order (include a unique tiebreak).
+    Appends a 1-based ``rank`` column; NULL stratum keys form their
+    own stratum (window semantics on both engines)."""
+    bucket = _affine_bucket(F.col(bucket_id_col)) % n_buckets
+    keyed = df.withColumn("_b", bucket)
+    w_pre = Window.partitionBy(key_col, "_b").orderBy(*order_cols)
+    pruned = (
+        keyed.withColumn("_rn", F.row_number().over(w_pre))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_b")
+    )
+    w_fin = Window.partitionBy(key_col).orderBy(*order_cols)
+    return pruned.withColumn(
+        "rank", F.row_number().over(w_fin).cast("long")
+    ).filter(F.col("rank") <= k)
+
+
 def stratified_sample(
     docs: DataFrame,
     k: int = STRAT_K,
@@ -221,32 +253,19 @@ def stratified_sample(
     Scale: the naive form is one ``row_number`` window partitioned by
     the stratum — with 5 languages over 100 TB that funnels N/5 rows
     into each of 5 reducers' sorts, the same low-cardinality holistic
-    straggler ``quantile`` documents.  Instead, two phases: (1)
-    pre-prune top-k per (stratum, hash-bucket) — ``n_buckets`` spreads
-    each stratum over that many reducers, and per-bucket top-k is a
-    bounded-heap window; (2) final top-k over the ≤ n_buckets × k
-    survivors per stratum, a trivially small sort.  Phase 1 keeps a
-    superset of the global top-k (every globally-top-k row is top-k in
-    its own bucket), so the result is EXACT.  Dial ``n_buckets`` to
-    executor count at scale.
+    straggler ``quantile`` documents.  ``two_phase_topk`` fixes that
+    exactly; dial ``n_buckets`` to executor count at scale.
     """
-    sort_key = _salted_sort_key(salt)
-    bucket = _affine_bucket(F.col("doc_id")) % n_buckets
     keyed = docs.select(
-        "doc_id", key_col, sort_key.alias("sort_key"), bucket.alias("bucket")
+        "doc_id", key_col, _salted_sort_key(salt).alias("sort_key")
     )
-    w_pre = Window.partitionBy(key_col, "bucket").orderBy("sort_key", "doc_id")
-    pruned = (
-        keyed.withColumn("rn", F.row_number().over(w_pre))
-        .filter(F.col("rn") <= k)
-        .drop("rn", "bucket")
-    )
-    w_fin = Window.partitionBy(key_col).orderBy("sort_key", "doc_id")
-    return (
-        pruned.withColumn("rank", F.row_number().over(w_fin).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("doc_id", key_col, "rank")
-    )
+    return two_phase_topk(
+        keyed,
+        key_col,
+        [F.col("sort_key").asc(), F.col("doc_id").asc()],
+        k,
+        n_buckets,
+    ).select("doc_id", key_col, "rank")
 
 
 def token_budget_mixture(
