@@ -258,7 +258,8 @@ def test_stratified_sample_preprune_spreads_strata(spark):
     )
     assert plan.count("Window [row_number()") == 2, plan
     # phase-1 spec carries the bucket key alongside the stratum
-    assert re.search(r"windowspecdefinition\(lang#\d+, bucket#", plan), plan
+    # (two_phase_topk names its spread column ``_b``)
+    assert re.search(r"windowspecdefinition\(lang#\d+, _b#", plan), plan
     assert "SinglePartition" not in plan, plan
     # Spark additionally inserts WindowGroupLimit: rank filters prune
     # to the top-k BEFORE the exchange (Partial) and after (Final) —
