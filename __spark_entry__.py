@@ -223,6 +223,14 @@ _DEFER_PAST_CAP = (
     # defers — the text-quality family stays checked via lm_score,
     # doc_repetition, lang_id and len_histogram, all in-window
     "quality_score",
+    # round-6 addition dedup_minhash_bucketed (persisted bucketed-on-
+    # band index + shuffle-free incremental probe) enters;
+    # dedup_minhash_incr (r5-green) defers — it shares the SAME oracle
+    # definition (_minhash_incr_oracle), so the bucketed row checks
+    # the identical pair set through the new layout, and
+    # pipeline_clean_incr stays in-window covering the from-scratch
+    # incremental composition
+    "dedup_minhash_incr",
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

@@ -99,6 +99,9 @@ EXTRA_QUERIES = [
     "tpch_q18_like",
     "tpch_q14_like",
     "quality_topk",
+    # round 6 — cold pays the one-time bucketed index build; steady is
+    # the shuffle-free UDF-free probe (the ingest steady state)
+    "dedup_minhash_bucketed",
 ]
 
 

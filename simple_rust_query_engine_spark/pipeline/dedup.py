@@ -280,8 +280,12 @@ def _checkpointed_sigs(docs: DataFrame, strong_hash: bool = False) -> DataFrame:
     )
 
 
-def _band_exploded(sigs: DataFrame) -> DataFrame:
-    """(doc_id, band) rows: one banded-signature string per band."""
+def _band_exploded(sigs: DataFrame, with_sig: bool = False) -> DataFrame:
+    """(doc_id, band) rows: one banded-signature string per band.
+    ``with_sig=True`` carries the full signature along with each band
+    row (4× storage of a 16-long array) so a consumer joining on the
+    band key can compute pair stats WITHOUT the two doc_id re-joins of
+    ``_with_pair_stats`` — the layout the persisted band index uses."""
     rows = MH_K // MH_BANDS
     band_arr = F.array(
         *[
@@ -293,7 +297,8 @@ def _band_exploded(sigs: DataFrame) -> DataFrame:
             for b in range(MH_BANDS)
         ]
     )
-    return sigs.select("doc_id", F.explode(band_arr).alias("band"))
+    cols = ["doc_id", "sig"] if with_sig else ["doc_id"]
+    return sigs.select(*cols, F.explode(band_arr).alias("band"))
 
 
 def _with_pair_stats(cand: DataFrame, sigs: DataFrame) -> DataFrame:
@@ -370,6 +375,184 @@ def minhash_lsh_pairs_incremental(
 def q_dedup_minhash_incr(t: dict) -> DataFrame:
     return minhash_lsh_pairs_incremental(
         t["documents"], lambda d: d % INCR_MOD == 0
+    )
+
+
+# ------------------------------------------- persisted band index
+#: bucket count for the persisted band index — matches the session's
+#: shuffle partitions so a bucketed scan feeds every core
+BAND_BUCKETS = 32
+
+
+def _sig_pair_stats(sig_a, sig_b):
+    """(n_match, est_jaccard) columns from two carried signatures —
+    symmetric in its arguments, so pair normalization (least/greatest
+    on doc ids) never changes the stats."""
+    n_match = F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda v: v)
+    )
+    return (
+        n_match.alias("n_match"),
+        (n_match.cast("double") / F.lit(float(MH_K))).alias("est_jaccard"),
+    )
+
+
+def build_band_index(
+    spark,
+    docs: DataFrame,
+    table: str,
+    path: str,
+    num_buckets: int = BAND_BUCKETS,
+    strong_hash: bool = False,
+) -> DataFrame:
+    """Persist the LSH band table BUCKETED ON THE BAND KEY — the
+    layout contract behind shuffle-free dedup at 100 TB: the band
+    shuffle is paid ONCE when the index is laid down, and every
+    consumer (full pair regeneration, per-batch ingest probes) reads
+    rows already hash-partitioned on the join key, so the band
+    self-join plans with ZERO Exchange (pinned in
+    ``tests/test_plans.py::test_band_index_self_join_is_shuffle_free``;
+    ``bench_bucketed.py`` measured 1.8× steady on the fact↔fact join
+    this replaces).
+
+    Each row carries (doc_id, band, sig): the signature rides with
+    the band so pair stats come straight off the joined rows — no
+    doc_id re-joins.  The pre-write ``repartition(num_buckets, band)``
+    aligns task partitions with bucket ids (both are
+    ``pmod(murmur3, n)``), so each bucket is one file instead of
+    one-per-input-task."""
+    bands = _band_exploded(
+        _checkpointed_sigs(docs, strong_hash=strong_hash), with_sig=True
+    )
+    from ..sources.write import write_bucketed
+
+    write_bucketed(
+        bands.repartition(num_buckets, F.col("band")),
+        table,
+        path,
+        bucket_by=["band"],
+        num_buckets=num_buckets,
+    )
+    return spark.table(table)
+
+
+def minhash_pairs_from_index(spark, table: str) -> DataFrame:
+    """Full candidate-pair regeneration from the persisted band index:
+    both sides of the band self-join scan the same bucketed table, so
+    the join needs no Exchange — the only shuffle left is the final
+    pair-distinct (candidate-pair-sized, orders of magnitude smaller
+    than the band table).  Re-run after a threshold change without
+    re-paying signatures OR the band shuffle."""
+    idx = spark.table(table)
+    a, b = idx.alias("a"), idx.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *_sig_pair_stats(F.col("a.sig"), F.col("b.sig")),
+        )
+        .distinct()
+    )
+
+
+def probe_band_index(
+    spark, table: str, new_docs: DataFrame, strong_hash: bool = False
+) -> DataFrame:
+    """O(batch) ingest probe: the new batch's bands are computed
+    map-only (Arrow signature UDF, no shuffle) and BROADCAST against
+    the persisted index — the corpus-sized side is never shuffled and
+    never recomputed.  After probing, append the batch's band rows to
+    the index (`write_bucketed` mode="append") to complete the ingest
+    cycle.  Emits normalized (doc_a < doc_b) pairs with signature
+    stats, including batch-internal pairs when the batch collides
+    with itself through the index (the driver demo indexes the full
+    corpus, so batch×batch pairs surface through the index side)."""
+    nb = _band_exploded(
+        _checkpointed_sigs(new_docs, strong_hash=strong_hash), with_sig=True
+    )
+    idx = spark.table(table)
+    i, n = idx.alias("i"), nb.alias("n")
+    return (
+        i.join(
+            F.broadcast(n),
+            (F.col("i.band") == F.col("n.band"))
+            & (F.col("i.doc_id") != F.col("n.doc_id")),
+        )
+        .select(
+            F.least(F.col("i.doc_id"), F.col("n.doc_id")).alias("doc_a"),
+            F.greatest(F.col("i.doc_id"), F.col("n.doc_id")).alias("doc_b"),
+            *_sig_pair_stats(F.col("i.sig"), F.col("n.sig")),
+        )
+        .distinct()
+    )
+
+
+#: (weakref(session), docs_path) → registered index table name; the
+#: weakref identity check mirrors __spark_entry__._tables — a reused
+#: id() must not resurrect an index bound to a dead session
+_BAND_INDEX_CACHE: dict = {}
+_BAND_INDEX_DIR: str | None = None
+
+
+def _band_index_for(spark, docs: DataFrame, docs_key: str) -> str:
+    """Build-once band index per (session, corpus): the layout cost is
+    paid on first use, every later probe reads the bucketed files."""
+    import hashlib
+    import weakref
+
+    key = (id(spark), docs_key)
+    hit = _BAND_INDEX_CACHE.get(key)
+    if hit is not None:
+        wref, table = hit
+        if wref() is spark:
+            return table
+    global _BAND_INDEX_DIR
+    if _BAND_INDEX_DIR is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _BAND_INDEX_DIR = tempfile.mkdtemp(prefix="srqe_band_index_")
+        atexit.register(shutil.rmtree, _BAND_INDEX_DIR, True)
+    table = "band_idx_" + hashlib.md5(docs_key.encode()).hexdigest()[:12]
+    build_band_index(spark, docs, table, os.path.join(_BAND_INDEX_DIR, table))
+    _BAND_INDEX_CACHE[key] = (weakref.ref(spark), table)
+    return table
+
+
+def q_dedup_minhash_bucketed(spark, sf_dir: str) -> DataFrame:
+    """Driver entry for the bucketed-layout ingest path: the corpus
+    band index is persisted bucketed-on-band (built once per session,
+    the ingest steady state), and the incremental probe — every 5th
+    doc as the arriving batch, same demo predicate as
+    ``dedup_minhash_incr`` — reads it WITHOUT shuffling or recomputing
+    anything corpus-sized: the batch's band rows are filtered out of
+    the index scan and broadcast back against it.  Same output as
+    ``dedup_minhash_incr`` (one shared DuckDB oracle definition),
+    entirely different cost shape: O(batch × collisions) per call vs
+    re-paying signatures + band shuffle."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    table = _band_index_for(spark, docs, os.path.abspath(sf_dir))
+    idx = spark.table(table)
+    nb = idx.filter(F.col("doc_id") % INCR_MOD == 0)
+    i, n = idx.alias("i"), nb.alias("n")
+    return (
+        i.join(
+            F.broadcast(n),
+            (F.col("i.band") == F.col("n.band"))
+            & (F.col("i.doc_id") != F.col("n.doc_id")),
+        )
+        .select(
+            F.least(F.col("i.doc_id"), F.col("n.doc_id")).alias("doc_a"),
+            F.greatest(F.col("i.doc_id"), F.col("n.doc_id")).alias("doc_b"),
+            *_sig_pair_stats(F.col("i.sig"), F.col("n.sig")),
+        )
+        .distinct()
     )
 
 
@@ -1236,6 +1419,9 @@ ORACLE: dict[str, str] = {
     """,
     "dedup_minhash": _minhash_oracle(),
     "dedup_minhash_incr": _minhash_incr_oracle(),
+    # the bucketed-index probe emits the same pair set as the
+    # from-scratch incremental join — one oracle definition for both
+    "dedup_minhash_bucketed": _minhash_incr_oracle(),
     "simhash": _simhash_oracle(),
     "simhash_pairs": _simhash_pairs_oracle(),
     "ngram_jaccard": f"""
@@ -1328,4 +1514,9 @@ QUERIES = {
     "dup_spans": q_dup_spans,
     "dup_span_frac": q_dup_span_frac,
     "decontaminate": q_decontaminate,
+}
+
+#: entries that need (spark, sf_dir) directly (persisted-index layout)
+QUERIES_SPARK = {
+    "dedup_minhash_bucketed": q_dedup_minhash_bucketed,
 }

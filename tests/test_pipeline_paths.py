@@ -97,6 +97,37 @@ def test_incremental_minhash_is_restriction_of_full(tables):
     assert incr == expected
 
 
+def test_band_index_full_and_probe_match_from_scratch(spark, tables, tmp_path):
+    # the persisted bucketed band index must be a pure layout change:
+    # full regeneration == minhash_lsh_pairs, and a fresh-batch probe
+    # (signatures recomputed for the batch only) == the from-scratch
+    # incremental join — rows, stats and all
+    from simple_rust_query_engine_spark.pipeline.dedup import (
+        INCR_MOD,
+        build_band_index,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+        minhash_pairs_from_index,
+        probe_band_index,
+    )
+
+    docs = tables["documents"]
+    build_band_index(spark, docs, "band_idx_test", str(tmp_path / "bi"), 8)
+    try:
+        full = minhash_pairs_from_index(spark, "band_idx_test")
+        scratch = minhash_lsh_pairs(docs)
+        assert full.exceptAll(scratch).count() == 0
+        assert scratch.exceptAll(full).count() == 0
+
+        batch = docs.filter(F.col("doc_id") % INCR_MOD == 0)
+        probed = probe_band_index(spark, "band_idx_test", batch)
+        incr = minhash_lsh_pairs_incremental(docs, lambda d: d % INCR_MOD == 0)
+        assert probed.exceptAll(incr).count() == 0
+        assert incr.exceptAll(probed).count() == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS band_idx_test")
+
+
 def test_multiprobe_recall_dominates_single_probe(tables):
     # multi-probe searches a strict superset of buckets, so its k-th
     # best cosine can never be worse than single-probe's

@@ -140,6 +140,50 @@ def test_bucketed_join_is_shuffle_free(spark, tables, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_customer")
 
 
+def test_band_index_self_join_is_shuffle_free(spark, tables, tmp_path):
+    # the persisted band index is bucketed on the band key: full pair
+    # regeneration self-joins the table against itself with ZERO
+    # Exchange before the join — the only shuffle left is the final
+    # pair-distinct.  This is the pay-the-band-shuffle-once layout
+    # contract for continuous dedup at 100 TB.
+    from simple_rust_query_engine_spark.pipeline.dedup import (
+        build_band_index,
+        minhash_pairs_from_index,
+    )
+
+    build_band_index(
+        spark, tables["documents"], "band_idx_plan", str(tmp_path / "bi"), 8
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        full = minhash_pairs_from_index(spark, "band_idx_plan")
+        plan = full._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        # exactly one shuffle: the pair-distinct.  The band self-join
+        # reads pre-bucketed files on both sides.
+        assert plan.count("Exchange") == 1, plan
+        assert full.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS band_idx_plan")
+
+
+def test_band_index_probe_no_shuffle_no_recompute(spark):
+    # the incremental ingest probe against the persisted index must
+    # (a) broadcast the batch — the corpus-sized index side is never
+    # shuffled — and (b) recompute NO signatures (no Python UDF node:
+    # the sigs ride in the index rows)
+    plan = (
+        _q(spark, "dedup_minhash_bucketed")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    # only the pair-distinct may hash-shuffle
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_pack_sequences_shards_never_global_sort(spark):
     # the running token sum must be windowed per SHARD: the physical
     # plan may exchange on hashpartitioning(source) but NEVER on
