@@ -138,6 +138,11 @@ def main() -> None:
                 cold[name] = round(time.perf_counter() - t0, 4)
                 warm_times = []
                 for _ in range(2):
+                    # release between passes too: barrier-backed caches
+                    # (near_dup_edges) would otherwise hand the warm
+                    # pass a precomputed table, and steady must measure
+                    # re-execution, not cache reads
+                    release_barriers(spark)
                     t0 = time.perf_counter()
                     n = qs[name](spark, SF_DIR).count()
                     warm_times.append(time.perf_counter() - t0)

@@ -273,6 +273,18 @@ def as_event_time(df: DataFrame, col_name: str) -> DataFrame:
     return df.withColumn(col_name, F.timestamp_micros(micros))
 
 
+#: callbacks that drop caches holding barrier-backed DataFrames —
+#: registered by modules that memoize materialized intermediates (e.g.
+#: pipeline.dedup's near-dup edge table).  release_barriers invalidates
+#: the underlying blocks, so any such cache MUST be cleared with them
+#: or later hits would raise CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.
+_BARRIER_CACHE_CLEARERS: list = []
+
+
+def register_barrier_cache(clear_fn) -> None:
+    _BARRIER_CACHE_CLEARERS.append(clear_fn)
+
+
 def release_barriers(spark: SparkSession) -> int:
     """Unpersist every persistent RDD in the context (localCheckpoint
     barriers included) and clear the SQL cache.  Returns the number of
@@ -291,6 +303,8 @@ def release_barriers(spark: SparkSession) -> int:
     files live in the checkpoint dir, not the block manager, and the
     context cleaner retires them as their frames are collected
     (``spark.cleaner.referenceTracking.cleanCheckpoints``)."""
+    for clear in _BARRIER_CACHE_CLEARERS:
+        clear()
     sc = spark.sparkContext
     jrdds = sc._jsc.sc().getPersistentRDDs()
     n = jrdds.size()

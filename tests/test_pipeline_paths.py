@@ -128,6 +128,22 @@ def test_band_index_full_and_probe_match_from_scratch(spark, tables, tmp_path):
         spark.sql("DROP TABLE IF EXISTS band_idx_test")
 
 
+def test_near_dup_edges_cache_shared_and_invalidated(spark, tables):
+    # the dedup family shares ONE materialized edge table per corpus
+    # per session; release_barriers must drop the cache with the
+    # blocks (a stale hit would raise CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
+    from simple_rust_query_engine_spark.pipeline.dedup import near_dup_edges
+    from simple_rust_query_engine_spark.session import release_barriers
+
+    e1 = near_dup_edges(tables["documents"])
+    assert near_dup_edges(tables["documents"]) is e1
+    n1 = e1.count()
+    release_barriers(spark)
+    e3 = near_dup_edges(tables["documents"])
+    assert e3 is not e1
+    assert e3.count() == n1
+
+
 def test_multiprobe_recall_dominates_single_probe(tables):
     # multi-probe searches a strict superset of buckets, so its k-th
     # best cosine can never be worse than single-probe's
