@@ -231,6 +231,12 @@ _DEFER_PAST_CAP = (
     # pipeline_clean_incr stays in-window covering the from-scratch
     # incremental composition
     "dedup_minhash_incr",
+    # round-6 addition profile_table_approx (HLL ndistinct, no Expand
+    # — rows-only driver check, estimates pinned vs exact in pytest)
+    # enters; len_histogram (r5-green) defers — the text-analysis
+    # family stays checked via lang_id, doc_repetition, lm_score and
+    # quality_topk, and profile_table keeps the hash-checked exact row
+    "len_histogram",
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

@@ -102,6 +102,7 @@ EXTRA_QUERIES = [
     # round 6 — cold pays the one-time bucketed index build; steady is
     # the shuffle-free UDF-free probe (the ingest steady state)
     "dedup_minhash_bucketed",
+    "profile_table_approx",
 ]
 
 

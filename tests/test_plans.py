@@ -534,3 +534,18 @@ def test_global_window_probe_catches_offender(spark):
     )
     plan3 = df3._jdf.queryExecution().executedPlan().toString()
     assert _has_global_window(plan3), plan3
+
+
+def test_profile_approx_has_no_expand(spark):
+    # exact multi-column countDistinct Expands the scan (×4 shuffled
+    # rows); the HLL variant must plan WITHOUT Expand — fixed-size
+    # mergeable sketch state is the whole point of the 100 TB dial
+    exact_plan = (
+        _q(spark, "profile_table")._jdf.queryExecution().executedPlan().toString()
+    )
+    approx_plan = (
+        _q(spark, "profile_table_approx")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" in exact_plan, exact_plan  # the cost being dialed away
+    assert "Expand" not in approx_plan, approx_plan

@@ -155,3 +155,28 @@ def test_epoch_ms_handles_date_columns(spark):
     )
     got = sorted(r[0] for r in df.select(epoch_ms(df, "d")).collect())
     assert got == [-86_400_000, 86_400_000]
+
+
+def test_profile_approx_within_tolerance(tables):
+    # the HLL profile must agree with the exact profile on everything
+    # that isn't an estimate, and its ndistinct estimates must land
+    # within a generous HLL error band (rsd=0.02 → 3σ ≈ 6%, widened
+    # to 10% so the pin never flakes on a particular column)
+    from simple_rust_query_engine_spark.operators.profile import (
+        profile_table,
+        profile_table_approx,
+    )
+
+    exact = {r.col_name: r for r in profile_table(tables["orders"]).collect()}
+    approx = {
+        r.col_name: r for r in profile_table_approx(tables["orders"]).collect()
+    }
+    assert set(exact) == set(approx)
+    for c, e in exact.items():
+        a = approx[c]
+        assert (a.n_nulls, a.min_val, a.max_val, a.min_str, a.max_str) == (
+            e.n_nulls, e.min_val, e.max_val, e.min_str, e.max_str
+        ), c
+        assert abs(a.n_distinct - e.n_distinct) <= max(1, 0.10 * e.n_distinct), (
+            c, a.n_distinct, e.n_distinct
+        )
