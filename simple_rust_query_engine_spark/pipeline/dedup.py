@@ -1171,6 +1171,68 @@ def q_dup_span_frac(t: dict) -> DataFrame:
     )
 
 
+def q_excise_spans(t: dict) -> DataFrame:
+    """Span-level EXCISION — the surgical variant of exact-substring
+    dedup: Lee et al. 2022 REMOVE each duplicated passage from the
+    text rather than dropping the whole document (``dup_span_frac``'s
+    drop rule).  A token is excised when ANY of the ``SPAN_W``-token
+    windows covering it occurs verbatim elsewhere in the corpus;
+    emits every document with its cleaned text and removal counts.
+
+    Plan: the same rolling-hash explode + one window count over the
+    span hash as ``dup_span_frac`` (uniform high-cardinality key),
+    then the duplicated window POSITIONS collapse to one small sorted
+    array per affected doc (groupBy doc_id — near-dup positions per
+    doc are few), left-joined back to documents on doc_id and applied
+    MAP-SIDE: a positional filter over the token array rebuilds the
+    text with no further shuffle.  Three uniform shuffles total, and
+    the join's right side holds only AFFECTED docs.  The per-token
+    coverage test is O(dup positions in that doc) — interpreted
+    higher-order function, but over arrays that are empty for clean
+    docs and tiny otherwise."""
+    from pyspark.sql import Window
+
+    docs = t["documents"]
+    spans = docs.select(
+        "doc_id",
+        F.posexplode(window_hash_udf()(F.col("text"))).alias("pos0", "span_hash"),
+    )
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("span_hash"))
+    dup_pos = (
+        spans.withColumn("_cnt", cnt)
+        .filter(F.col("_cnt") >= 2)
+        # 1-based window start, matching the DuckDB oracle's range(1,·)
+        .select("doc_id", (F.col("pos0") + 1).alias("j"))
+    )
+    djs = dup_pos.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("j")).alias("js")
+    )
+    joined = docs.join(djs, "doc_id", "left").select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("toks"),
+        F.coalesce("js", F.array().cast("array<int>")).alias("js"),
+    )
+    # token i (1-based) survives unless some duplicated window start j
+    # covers it: j <= i < j + SPAN_W
+    kept = F.filter(
+        "toks",
+        lambda tok, i0: F.size(
+            F.filter(
+                "js",
+                lambda j: (j <= i0 + F.lit(1))
+                & (i0 + F.lit(1) < j + F.lit(SPAN_W)),
+            )
+        )
+        == 0,
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("text_clean"),
+        F.size("toks").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).alias("n_removed"),
+    )
+
+
 #: the held-out benchmark source for the decontamination demo — at
 #: real scale this is the eval-suite corpus, inherently tiny
 EVAL_SOURCE = "src0"
@@ -1458,6 +1520,45 @@ ORACLE: dict[str, str] = {
                    > {DUP_FRAC_T} AS drop_doc
         FROM c GROUP BY doc_id
     """,
+    # positional span CTE: parallel unnest zips the window-start list
+    # with the hash list (same lengths by construction)
+    "excise_spans": f"""
+        WITH whdoc AS (
+            SELECT doc_id, {_SQL_WHS_ORDERED} AS whs,
+                   string_split(text, ' ') AS w
+            FROM documents
+        ),
+        spans AS (
+            SELECT doc_id,
+                   unnest(range(1, len(whs) - {SPAN_W - 2})) AS j,
+                   unnest(list_transform(range(1, len(whs) - {SPAN_W - 2}),
+                                         i -> {_sql_span_hash()})) AS span_hash
+            FROM whdoc
+        ),
+        dup AS (
+            SELECT doc_id, j FROM (
+                SELECT doc_id, j,
+                       COUNT(*) OVER (PARTITION BY span_hash) AS cnt
+                FROM spans
+            ) WHERE cnt >= 2
+        ),
+        ps AS (SELECT doc_id, list_sort(list(j)) AS js FROM dup GROUP BY doc_id)
+        SELECT doc_id,
+               -- array_to_string([]) is NULL in DuckDB but Spark's
+               -- array_join([]) is '' — a fully-excised doc must
+               -- agree on the empty string
+               COALESCE(array_to_string(kept, ' '), '') AS text_clean,
+               len(w)::INT AS n_tokens,
+               (len(w) - len(kept))::INT AS n_removed
+        FROM (
+            SELECT d.doc_id, d.w,
+                   [d.w[i] FOR i IN range(1, len(d.w) + 1)
+                    IF len(list_filter(COALESCE(p.js, CAST([] AS BIGINT[])),
+                                       j -> j <= i AND i < j + {SPAN_W})) = 0]
+                       AS kept
+            FROM whdoc d LEFT JOIN ps p USING (doc_id)
+        ) t
+    """,
     "decontaminate": f"""
         WITH {SQL_SPAN_CTES},
         ev AS (SELECT DISTINCT span_hash FROM spans
@@ -1575,6 +1676,7 @@ QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     "dup_spans": q_dup_spans,
     "dup_span_frac": q_dup_span_frac,
+    "excise_spans": q_excise_spans,
     "decontaminate": q_decontaminate,
 }
 

@@ -128,6 +128,33 @@ def test_band_index_full_and_probe_match_from_scratch(spark, tables, tmp_path):
         spark.sql("DROP TABLE IF EXISTS band_idx_test")
 
 
+def test_excise_spans_consistent_with_span_frac(tables):
+    # excision and the drop rule share the duplicated-window
+    # detection: a doc loses tokens iff it has duplicated windows,
+    # and k distinct duplicated window starts excise at least k and
+    # at most k*SPAN_W tokens (distinct starts have distinct leftmost
+    # tokens; each window covers SPAN_W)
+    from simple_rust_query_engine_spark.pipeline.dedup import (
+        SPAN_W,
+        q_dup_span_frac,
+        q_excise_spans,
+    )
+
+    frac = {r.doc_id: r for r in q_dup_span_frac(tables).collect()}
+    exc = {r.doc_id: r for r in q_excise_spans(tables).collect()}
+    docs = {r.doc_id: r.text for r in tables["documents"].collect()}
+    assert set(exc) == set(docs)  # every doc comes back
+    for doc_id, e in exc.items():
+        f = frac.get(doc_id)
+        if f is None:  # shorter than SPAN_W: no windows, never excised
+            assert e.n_removed == 0 and e.text_clean == docs[doc_id]
+        elif f.n_dup_windows == 0:
+            assert e.n_removed == 0 and e.text_clean == docs[doc_id]
+        else:
+            assert f.n_dup_windows <= e.n_removed <= f.n_dup_windows * SPAN_W
+            assert e.text_clean != docs[doc_id]
+
+
 def test_near_dup_edges_cache_shared_and_invalidated(spark, tables):
     # the dedup family shares ONE materialized edge table per corpus
     # per session; release_barriers must drop the cache with the
