@@ -6,12 +6,15 @@ metadata; run decode / feature-extraction as Arrow-batched pandas
 functions over ``mapInPandas`` so bytes never round-trip through
 row-at-a-time Python.
 
-The container has no image/audio libs, so the decode step is STUBBED
-with a deterministic fake (clearly marked in ``decode_images``) while
-the Spark-side plumbing — schema, Arrow batch shape, partitioning,
-UDF signature — is real, tested, and oracle-checked (the fake is pure
-arithmetic over the payload bytes, so even the Python path has an
-exact DuckDB twin).
+``decode_images`` carries BOTH kernels: a real ``PIL.Image.open``
+path used when PIL imports on the executor (``codec="real"``/"auto"),
+and a deterministic fake (``codec="fake"``) for environments without
+a codec — the build container has none, so its tests and the
+oracle-checked driver query run the fake while the real path is
+covered by a skip-marked test.  The Spark-side plumbing — schema,
+Arrow batch shape, partitioning, UDF signature — is identical for
+both (the fake is pure arithmetic over the payload bytes, so the
+Python path has an exact DuckDB twin).
 """
 
 from __future__ import annotations
@@ -43,7 +46,9 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
 
 
 def _fake_decode(payload: bytes) -> tuple:
-    """Deterministic stand-in for an image decode (no PIL in image)."""
+    """Deterministic stand-in for an image decode (no PIL in the
+    build container) — pure arithmetic over the payload bytes, so it
+    has an exact DuckDB twin."""
     n = len(payload)
     width = n % 640 + 1
     height = (n * 7) % 480 + 1
@@ -51,20 +56,71 @@ def _fake_decode(payload: bytes) -> tuple:
     return n, "fake", width, height, 3, mean_luma
 
 
-def decode_images(payloads: DataFrame) -> DataFrame:
+def _real_decode(payload: bytes) -> tuple:
+    """PIL decode: actual format/dimensions/bands plus the mean luma
+    of a bounded grayscale thumbnail (64×64 cap keeps per-image cost
+    flat regardless of source resolution).  Runs on the EXECUTOR,
+    per Arrow batch — the import lives in the worker process."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        fmt = (im.format or "unknown").lower()
+        width, height = im.size
+        n_channels = len(im.getbands())
+        gray = im.convert("L")
+        gray.thumbnail((64, 64))
+        arr = np.asarray(gray, dtype=np.float64)
+        mean_luma = float(arr.mean()) if arr.size else 0.0
+    return len(payload), fmt, width, height, n_channels, mean_luma
+
+
+def decode_images(payloads: DataFrame, codec: str = "auto") -> DataFrame:
     """Arrow-batched decode over mapInPandas. Each batch is a pandas
     DataFrame of (doc_id, payload); output rows follow DECODE_SCHEMA.
 
-    With a real codec installed this is where `PIL.Image.open` runs —
-    per Arrow batch, per partition, never on the driver."""
+    ``codec`` selects the kernel, resolved PER EXECUTOR at batch time:
+
+    * ``"fake"`` — the deterministic byte-arithmetic stub; the only
+      bit-reproducible choice, and what the oracle-checked driver
+      query pins (the driver corpus is text standing in for images —
+      a real codec could not decode it anyway).
+    * ``"real"`` — ``PIL.Image.open`` per payload; raises if PIL is
+      missing on the executor or a payload is not a decodable image.
+    * ``"auto"`` — real when PIL imports AND the payload decodes,
+      per-payload fake fallback otherwise: the ingest-friendly mode
+      for mixed/dirty corpora.
+
+    Either way the Spark plan is identical: map-only, bytes move as
+    Arrow batches, never row-at-a-time through the driver."""
+    if codec not in ("fake", "real", "auto"):
+        raise ValueError(f"codec must be fake|real|auto, got {codec!r}")
 
     def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        use_real = False
+        if codec != "fake":
+            try:
+                import PIL  # noqa: F401 — probe the executor env
+
+                use_real = True
+            except ImportError:
+                if codec == "real":
+                    raise
+
+        def one(payload: bytes) -> tuple:
+            if use_real:
+                try:
+                    return _real_decode(payload)
+                except Exception:
+                    if codec == "real":
+                        raise
+                    # auto: not a decodable image — deterministic fake
+            return _fake_decode(payload)
+
         for pdf in batches:
-            # a real codec would slot in here (PIL.Image.open over
-            # pdf["payload"]); until wired, the deterministic fake
-            # keeps the plumbing testable — even when PIL happens to
-            # be importable on the executor
-            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            decoded = [one(p) for p in pdf["payload"]]
             out = pd.DataFrame(
                 decoded,
                 columns=["n_bytes", "format", "width", "height", "n_channels", "mean_luma"],
@@ -163,10 +219,14 @@ def q_multimodal_meta(t: dict) -> DataFrame:
 
 def q_multimodal_decode(t: dict) -> DataFrame:
     """The full Arrow-batched mapInPandas decode path as a driver-
-    contract query.  The stub decode is deterministic arithmetic over
-    the payload bytes, so even the Python path gets an exact DuckDB
-    twin (corpus is ASCII: byte == codepoint)."""
-    return decode_images(with_binary_payload(t["documents"]))
+    contract query.  Pinned to ``codec="fake"``: the stub decode is
+    deterministic arithmetic over the payload bytes, so the Python
+    path gets an exact DuckDB twin (corpus is ASCII: byte ==
+    codepoint) regardless of whether PIL exists on the executor.
+    The real-codec path is covered by
+    ``tests/test_pipeline_paths.py::test_decode_images_real_codec``
+    (skipped where PIL is absent)."""
+    return decode_images(with_binary_payload(t["documents"]), codec="fake")
 
 
 def q_frame_sample(t: dict) -> DataFrame:

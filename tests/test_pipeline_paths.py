@@ -25,6 +25,40 @@ def test_decode_images_mapinpandas(tables):
     assert r0.n_bytes > 0 and 1 <= r0.width <= 640 and 1 <= r0.height <= 480
 
 
+def test_decode_images_real_codec(spark):
+    # exercised only where a codec exists (the build container has no
+    # PIL): a synthetic in-memory PNG must decode to its true
+    # dimensions/format through the same mapInPandas plumbing
+    import io
+
+    import pytest
+
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 5), (255, 0, 0)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, bytearray(png))], "doc_id long, payload binary"
+    )
+    r = decode_images(df, codec="real").collect()[0]
+    assert (r.format, r.width, r.height, r.n_channels) == ("png", 8, 5, 3)
+    assert r.n_bytes == len(png)
+    assert abs(r.mean_luma - 76.245) < 1.0  # ITU-R 601 luma of pure red
+
+
+def test_decode_images_rejects_unknown_codec(tables):
+    import pytest
+
+    from simple_rust_query_engine_spark.pipeline.multimodal import (
+        with_binary_payload,
+    )
+
+    with pytest.raises(ValueError, match="codec"):
+        decode_images(with_binary_payload(tables["documents"]), codec="webp")
+
+
 def test_frame_sample_explode(tables):
     b = with_binary_payload(tables["documents"])
     fs = frame_sample(b, every_n_bytes=64)
