@@ -95,6 +95,15 @@ class EngineDataFrame:
           NestedLoopJoinExec, planner.rs:186-194).
         * join types: inner, left (reference's complete set,
           join.rs:14-17) — plus every other Spark type for free.
+
+        DELIBERATE schema deviation from the reference: for a
+        name-based equi join, the reference's
+        ``Join::create_join_schema`` concatenates left+right schemas,
+        so BOTH same-named key columns survive in the output; this
+        facade emits Spark's USING semantics — ONE coalesced key
+        column — because the duplicated pair makes every later
+        select/filter on the key an AMBIGUOUS_REFERENCE error.
+        Tested; parity audits should expect one key column here.
         """
         right = _unwrap(other)
         on_items = list(on) if on else []

@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import word_hash
+from .text import py_word_hash, word_hash
 
 #: durability switch for every hard materialization barrier below.
 #: default (False): ``localCheckpoint`` — fastest; partitions are
@@ -242,10 +242,7 @@ def minhash_signatures(docs: DataFrame, strong_hash: bool = False) -> DataFrame:
                 g = _strong_shingle_hashes(words)
             else:
                 wh = np.fromiter(
-                    (
-                        (ord(w[0]) * 131 + len(w) * 31 + ord(w[-1])) if w else 0
-                        for w in words
-                    ),
+                    (py_word_hash(w) for w in words),
                     dtype=np.int64,
                     count=len(words),
                 )
@@ -593,10 +590,7 @@ def simhash(docs: DataFrame, strong_hash: bool = False) -> DataFrame:
                 g = np.unique(_strong_shingle_hashes(words))
             else:
                 wh = np.fromiter(
-                    (
-                        (ord(w[0]) * 131 + len(w) * 31 + ord(w[-1])) if w else 0
-                        for w in words
-                    ),
+                    (py_word_hash(w) for w in words),
                     dtype=np.int64,
                     count=len(words),
                 )
@@ -1081,9 +1075,7 @@ def _py_window_hashes(text: str, width: int = SPAN_W) -> "np.ndarray":
     from .text import _FP_MOD, _FP_MUL
 
     wh = np.fromiter(
-        ((ord(w[0]) * 131 + len(w) * 31 + ord(w[-1])) if w else 0 for w in words),
-        dtype=np.int64,
-        count=n,
+        (py_word_hash(w) for w in words), dtype=np.int64, count=n
     )
     h = wh[: n - width + 1].copy()
     for j in range(1, width):
@@ -1250,11 +1242,24 @@ def q_decontaminate(t: dict) -> DataFrame:
     construction, so the train corpus is never shuffled: one map-only
     explode + broadcast hash probe + per-doc partial-combine agg.
     ``contaminated`` flags any verbatim overlap; ``contam_frac``
-    supports thresholded policies."""
-    spans = t["documents"].select(
-        "doc_id",
-        "source",
-        F.explode(window_hash_udf()(F.col("text"))).alias("span_hash"),
+    supports thresholded policies.
+
+    The per-doc window-hash ARRAYS are materialized once before the
+    eval/train branch: both branches consume the same Arrow UDF
+    subtree, and without a barrier Catalyst inlines the full-corpus
+    rolling-hash computation into each (the dominant map-side cost
+    here — the same tokenize-twice trap ``pack.token_budget_mixture``
+    materializes against).  The barrier holds one array row per doc;
+    each branch's explode stays JVM-side."""
+    whs = materialize(
+        t["documents"].select(
+            "doc_id",
+            "source",
+            window_hash_udf()(F.col("text")).alias("whs"),
+        )
+    )
+    spans = whs.select(
+        "doc_id", "source", F.explode("whs").alias("span_hash")
     )
     ev = (
         spans.filter(F.col("source") == EVAL_SOURCE)

@@ -49,6 +49,18 @@ def word_hash(w: Column) -> Column:
     ).cast("long")
 
 
+def py_word_hash(w: str) -> int:
+    """Python twin of ``word_hash`` — the ONE kernel every Arrow UDF
+    (minhash signatures, simhash, rolling window hashes) folds over,
+    so the numpy paths can never drift from the JVM/DuckDB
+    expressions.  All three engines agree even on non-BMP text:
+    Spark's ``length``/``ascii`` count CODEPOINTS (UTF8String), as do
+    Python ``len``/``ord`` and DuckDB ``length``/``ascii`` — pinned
+    (astral/accented/CJK cases included) by
+    ``tests/test_strong_hash_parity.py::test_word_hash_cross_engine_non_ascii``."""
+    return (ord(w[0]) * 131 + len(w) * 31 + ord(w[-1])) if w else 0
+
+
 def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + a BPE-ish piece count (letter runs,
     digit runs, single punctuation — a cheap proxy for subword

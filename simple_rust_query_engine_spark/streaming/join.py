@@ -72,7 +72,7 @@ def interval_join_batch(events: DataFrame) -> DataFrame:
             & (
                 F.col("c_ts")
                 >= F.col("p_ts")
-                - F.expr(f"INTERVAL {JOIN_WINDOW_MS // 1000} SECONDS")
+                - F.expr(f"INTERVAL {JOIN_WINDOW_MS} MILLISECONDS")
             ),
         )
         .select(
@@ -126,7 +126,7 @@ def stream_interval_join(
             & (F.col("c_ts") <= F.col("p_ts"))
             & (
                 F.col("c_ts")
-                >= F.col("p_ts") - F.expr(f"INTERVAL {JOIN_WINDOW_MS // 1000} SECONDS")
+                >= F.col("p_ts") - F.expr(f"INTERVAL {JOIN_WINDOW_MS} MILLISECONDS")
             ),
         )
         .select(
@@ -170,7 +170,7 @@ ORACLE: dict[str, str] = {
           ON p.user_id = c.user_id
          AND p.event_type = '{_LEFT_TYPE}' AND c.event_type = '{_RIGHT_TYPE}'
          AND c.ts <= p.ts
-         AND c.ts >= p.ts - INTERVAL {JOIN_WINDOW_MS // 1000} SECONDS
+         AND c.ts >= p.ts - INTERVAL {JOIN_WINDOW_MS} MILLISECONDS
     """,
 }
 

@@ -91,3 +91,29 @@ def test_weak_and_strong_hash_agree_on_planted_dups(spark, seed):
     planted_copies = {b for _, b in planted}
     assert len(planted_copies - surv_weak) >= 0.9 * N_PLANTED
     assert len(planted_copies - surv_strong) >= 0.9 * N_PLANTED
+
+
+def test_word_hash_cross_engine_non_ascii(spark):
+    # the ONE Python word-hash kernel (py_word_hash, folded by every
+    # Arrow UDF) must agree with the JVM expression AND the DuckDB
+    # oracle on real text — including accented, CJK, and astral
+    # (non-BMP) characters, where a UTF-16-unit-counting engine would
+    # diverge from codepoint counters.  All three count codepoints.
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from simple_rust_query_engine_spark.pipeline.text import (
+        py_word_hash,
+        word_hash,
+    )
+
+    words = ["hello", "héllo", "naïve", "日本語", "🙂", "x𝄞", "𝄞clef", "ß", "", "a"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    jvm = {r.w: r.h for r in df.select("w", word_hash(F.col("w")).alias("h")).collect()}
+    con = duckdb.connect()
+    for w in words:
+        duck = con.sql(
+            "SELECT (ascii(?)*131 + length(?)*31 + ascii(reverse(?)))::BIGINT",
+            params=[w, w, w],
+        ).fetchone()[0]
+        assert jvm[w] == py_word_hash(w) == duck, (w, jvm[w], py_word_hash(w), duck)
