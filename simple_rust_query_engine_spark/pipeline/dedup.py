@@ -1244,22 +1244,21 @@ def q_decontaminate(t: dict) -> DataFrame:
     ``contaminated`` flags any verbatim overlap; ``contam_frac``
     supports thresholded policies.
 
-    The per-doc window-hash ARRAYS are materialized once before the
-    eval/train branch: both branches consume the same Arrow UDF
-    subtree, and without a barrier Catalyst inlines the full-corpus
-    rolling-hash computation into each (the dominant map-side cost
-    here — the same tokenize-twice trap ``pack.token_budget_mixture``
-    materializes against).  The barrier holds one array row per doc;
-    each branch's explode stays JVM-side."""
-    whs = materialize(
-        t["documents"].select(
-            "doc_id",
-            "source",
-            window_hash_udf()(F.col("text")).alias("whs"),
-        )
-    )
-    spans = whs.select(
-        "doc_id", "source", F.explode("whs").alias("span_hash")
+    The ``spans`` subtree appears under BOTH branches, but this is
+    NOT the tokenize-twice trap ``pack.token_budget_mixture``
+    materializes against: the complementary source predicates push
+    below the UDF into each branch's parquet scan (plan-pinned —
+    ``test_decontaminate_eval_set_is_broadcast`` asserts the pushed
+    filter), so the eval branch runs the rolling hash over the eval
+    docs only and the train branch over the train docs only — every
+    document hashed exactly once across the two disjoint scans.  A
+    materialization barrier here was tried and is strictly worse: it
+    computes the same one-pass total but pays a checkpoint write and
+    forfeits the scan pushdown."""
+    spans = t["documents"].select(
+        "doc_id",
+        "source",
+        F.explode(window_hash_udf()(F.col("text"))).alias("span_hash"),
     )
     ev = (
         spans.filter(F.col("source") == EVAL_SOURCE)
