@@ -162,6 +162,50 @@ def test_band_index_full_and_probe_match_from_scratch(spark, tables, tmp_path):
         spark.sql("DROP TABLE IF EXISTS band_idx_test")
 
 
+def test_band_index_append_ingest_cycle(spark, tables, tmp_path):
+    # the REAL ingest loop: index holds the existing corpus, a new
+    # batch arrives → probe (new-vs-existing pairs), append the
+    # batch's bands, and the grown index must reproduce the
+    # from-scratch full pair set exactly
+    from simple_rust_query_engine_spark.pipeline.dedup import (
+        INCR_MOD,
+        _band_exploded,
+        _checkpointed_sigs,
+        build_band_index,
+        minhash_lsh_pairs,
+        minhash_pairs_from_index,
+        probe_band_index,
+    )
+    from simple_rust_query_engine_spark.sources.write import write_bucketed
+
+    docs = tables["documents"]
+    existing = docs.filter(F.col("doc_id") % INCR_MOD != 0)
+    batch = docs.filter(F.col("doc_id") % INCR_MOD == 0)
+    build_band_index(spark, existing, "band_idx_cycle", str(tmp_path / "bi"), 8)
+    try:
+        probed = probe_band_index(spark, "band_idx_cycle", batch)
+        # the probe sees only new-vs-EXISTING pairs here (the index
+        # predates the batch); every one must be a true full-join pair
+        full = minhash_lsh_pairs(docs)
+        assert probed.join(
+            full, ["doc_a", "doc_b", "n_match", "est_jaccard"], "left_anti"
+        ).count() == 0
+        # complete the cycle: append the batch's band rows
+        write_bucketed(
+            _band_exploded(_checkpointed_sigs(batch), with_sig=True),
+            "band_idx_cycle",
+            str(tmp_path / "bi"),
+            bucket_by=["band"],
+            num_buckets=8,
+            mode="append",
+        )
+        grown = minhash_pairs_from_index(spark, "band_idx_cycle")
+        assert grown.exceptAll(full).count() == 0
+        assert full.exceptAll(grown).count() == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS band_idx_cycle")
+
+
 def test_excise_spans_consistent_with_span_frac(tables):
     # excision and the drop rule share the duplicated-window
     # detection: a doc loses tokens iff it has duplicated windows,
