@@ -248,6 +248,12 @@ _DEFER_PAST_CAP = (
     # (r5-green, unchanged) defers — bm25_search composes the same
     # index construction and stays hash-checked
     "inverted_index",
+    # round-6 addition dedup_minhash_ingest_stream (continuous LSH
+    # ingest through foreachBatch: band-append + broadcast probe per
+    # micro-batch, full-pair oracle) enters; doc_repetition (r5-green,
+    # unchanged) defers — the text family stays checked via lang_id,
+    # lm_score, quality_topk and chunk_documents
+    "doc_repetition",
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

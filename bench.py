@@ -104,6 +104,7 @@ EXTRA_QUERIES = [
     "dedup_minhash_bucketed",
     "profile_table_approx",
     "excise_spans",
+    "dedup_minhash_ingest_stream",
 ]
 
 

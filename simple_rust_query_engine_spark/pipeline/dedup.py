@@ -458,7 +458,11 @@ def minhash_pairs_from_index(spark, table: str) -> DataFrame:
 
 
 def probe_band_index(
-    spark, table: str, new_docs: DataFrame, strong_hash: bool = False
+    spark,
+    table: str,
+    new_docs: DataFrame | None = None,
+    strong_hash: bool = False,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """O(batch) ingest probe: the new batch's bands are computed
     map-only (Arrow signature UDF, no shuffle) and BROADCAST against
@@ -468,10 +472,18 @@ def probe_band_index(
     cycle.  Emits normalized (doc_a < doc_b) pairs with signature
     stats, including batch-internal pairs when the batch collides
     with itself through the index (the driver demo indexes the full
-    corpus, so batch×batch pairs surface through the index side)."""
-    nb = _band_exploded(
-        _checkpointed_sigs(new_docs, strong_hash=strong_hash), with_sig=True
-    )
+    corpus, so batch×batch pairs surface through the index side).
+
+    Pass ``new_bands`` (a (doc_id, band, sig) frame, e.g. the one just
+    appended to the index) to skip recomputing the batch signatures —
+    the shape ``streaming.dedup.stream_minhash_ingest`` uses so each
+    micro-batch pays the signature UDF exactly once."""
+    if new_bands is not None:
+        nb = new_bands
+    else:
+        nb = _band_exploded(
+            _checkpointed_sigs(new_docs, strong_hash=strong_hash), with_sig=True
+        )
     idx = spark.table(table)
     i, n = idx.alias("i"), nb.alias("n")
     return (

@@ -196,3 +196,8 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table)
+    # invalidate any cached file listing from earlier reads of this
+    # table: after an append, a consumer holding the cached relation
+    # would silently read the PRE-append snapshot (caught by the
+    # streaming ingest multi-batch test)
+    inner.sparkSession.catalog.refreshTable(table)

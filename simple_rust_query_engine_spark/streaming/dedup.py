@@ -250,6 +250,114 @@ def q_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_minhash_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    index_table: str,
+    index_path: str,
+    pairs_table: str,
+    query_name: str = "minhash_ingest",
+    glob: str | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous LSH near-dup ingest THROUGH the streaming engine —
+    the streaming twin of the persisted bucketed band index
+    (``pipeline.dedup.build_band_index``): per micro-batch of
+    documents, ``foreachBatch``
+
+    1. computes the batch's band rows map-only (Arrow signature UDF
+       over the BATCH only — paid exactly once per batch),
+    2. APPENDS them to the bucketed-on-band index table, then
+    3. PROBES the index with those same band rows (batch broadcast,
+       index never shuffled) and appends the resulting pairs to
+       ``pairs_table``.
+
+    Because the append precedes the probe, a batch sees itself plus
+    everything earlier: each unordered near-dup pair surfaces exactly
+    once — in the probe of its LATER member's batch — so after any
+    prefix of batches the accumulated ``pairs_table`` equals the
+    from-scratch ``minhash_lsh_pairs`` over the documents ingested so
+    far (pinned multi-batch by
+    ``tests/test_streaming_multibatch.py::test_stream_minhash_ingest_accumulates_full_pairs``).
+    This is the 100 TB ingest steady state: per batch, one map-only
+    UDF pass over the batch, one bucketed append, one broadcast
+    probe; the corpus-sized index is never recomputed or reshuffled.
+    """
+    from ..pipeline.dedup import (
+        BAND_BUCKETS,
+        _band_exploded,
+        _checkpointed_sigs,
+        materialize,
+        probe_band_index,
+    )
+    from ..sources.write import write_bucketed
+    from .source import file_stream
+
+    src = file_stream(
+        spark,
+        sf_dir,
+        "documents",
+        glob=glob,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+
+    def ingest(batch_df, batch_id):
+        bands = materialize(
+            _band_exploded(_checkpointed_sigs(batch_df), with_sig=True)
+        )
+        write_bucketed(
+            bands.repartition(BAND_BUCKETS, F.col("band")),
+            index_table,
+            index_path,
+            bucket_by=["band"],
+            num_buckets=BAND_BUCKETS,
+            mode="append",
+        )
+        # refresh on THE PROBING SESSION: write_bucketed refreshes the
+        # writer's session, but inside foreachBatch the batch frame is
+        # bound to an isolated micro-batch session clone — the outer
+        # session's cached file listing survives its refresh, and the
+        # probe would read the PRE-append index and silently miss
+        # every pair involving this batch (caught by the multi-batch
+        # test, which failed under either refresh alone)
+        spark.catalog.refreshTable(index_table)
+        pairs = probe_band_index(spark, index_table, new_bands=bands)
+        pairs.write.mode("append").saveAsTable(pairs_table)
+
+    return (
+        src.writeStream.foreachBatch(ingest)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def q_dedup_minhash_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: the full corpus ingested through
+    ``stream_minhash_ingest`` (single micro-batch at driver scale —
+    the multi-batch path is pinned by the chronological-replay test),
+    accumulated pairs returned.  One batch holding every doc probes
+    the fully-appended index, so the result is the COMPLETE pair set:
+    hash-checked against the same DuckDB oracle as ``dedup_minhash``."""
+    import tempfile
+
+    _STREAM_RUN[0] += 1
+    run = _STREAM_RUN[0]
+    index_table = f"minhash_ingest_idx_{run}"
+    pairs_table = f"minhash_ingest_pairs_{run}"
+    q = stream_minhash_ingest(
+        spark,
+        sf_dir,
+        index_table,
+        tempfile.mkdtemp(prefix="srqe_ingest_idx_"),
+        pairs_table,
+        query_name=f"minhash_ingest_{run}",
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(pairs_table)
+
+
 def _minhash_sig_stream_oracle() -> str:
     from ..pipeline.dedup import MH_K, _minhash_sig_sql
 
@@ -268,10 +376,20 @@ def _decontaminate_stream_oracle() -> str:
     return _batch_dedup.ORACLE["decontaminate"]
 
 
+def _minhash_ingest_oracle() -> str:
+    # the accumulated streaming ingest pairs over the full corpus ARE
+    # the full from-scratch pair set — one oracle definition with the
+    # batch dedup_minhash row
+    from ..pipeline.dedup import _minhash_oracle
+
+    return _minhash_oracle()
+
+
 ORACLE: dict[str, str] = {
     "dedup_exact_stream": "SELECT DISTINCT md5(text) AS content_hash FROM documents",
     "minhash_sig_stream": _minhash_sig_stream_oracle(),
     "decontaminate_stream": _decontaminate_stream_oracle(),
+    "dedup_minhash_ingest_stream": _minhash_ingest_oracle(),
 }
 
 QUERIES: dict = {}
@@ -281,4 +399,5 @@ QUERIES_SPARK = {
     "dedup_exact_stream": q_dedup_exact_stream,
     "minhash_sig_stream": q_minhash_sig_stream,
     "decontaminate_stream": q_decontaminate_stream,
+    "dedup_minhash_ingest_stream": q_dedup_minhash_ingest_stream,
 }

@@ -84,6 +84,7 @@ _STREAMING_QUERIES = {
     "dedup_exact_stream",
     "minhash_sig_stream",
     "events_stream_join",
+    "dedup_minhash_ingest_stream",
 }
 
 
