@@ -256,6 +256,7 @@ def stream_minhash_ingest(
     index_table: str,
     index_path: str,
     pairs_table: str,
+    pairs_path: str | None = None,
     query_name: str = "minhash_ingest",
     glob: str | None = None,
     max_files_per_trigger: int | None = None,
@@ -322,7 +323,11 @@ def stream_minhash_ingest(
         # test, which failed under either refresh alone)
         spark.catalog.refreshTable(index_table)
         pairs = probe_band_index(spark, index_table, new_bands=bands)
-        pairs.write.mode("append").saveAsTable(pairs_table)
+        w = pairs.write.mode("append")
+        if pairs_path is not None:
+            w = w.option("path", pairs_path)
+        w.saveAsTable(pairs_table)
+        spark.catalog.refreshTable(pairs_table)
 
     return (
         src.writeStream.foreachBatch(ingest)
@@ -340,17 +345,25 @@ def q_dedup_minhash_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     the fully-appended index, so the result is the COMPLETE pair set:
     hash-checked against the same DuckDB oracle as ``dedup_minhash``."""
     import tempfile
+    import uuid
 
-    _STREAM_RUN[0] += 1
-    run = _STREAM_RUN[0]
+    # uuid, not a run counter: the counter restarts per process while
+    # spark-warehouse/ persists, so a managed table named by counter
+    # collides with a previous process's leftover directory
+    # (LOCATION_ALREADY_EXISTS — caught by the durable hardening
+    # sweep).  Both tables get explicit tmp locations so the repo's
+    # warehouse dir stays empty.
+    run = uuid.uuid4().hex[:10]
     index_table = f"minhash_ingest_idx_{run}"
     pairs_table = f"minhash_ingest_pairs_{run}"
+    tmp = tempfile.mkdtemp(prefix="srqe_ingest_")
     q = stream_minhash_ingest(
         spark,
         sf_dir,
         index_table,
-        tempfile.mkdtemp(prefix="srqe_ingest_idx_"),
+        os.path.join(tmp, "idx"),
         pairs_table,
+        pairs_path=os.path.join(tmp, "pairs"),
         query_name=f"minhash_ingest_{run}",
     )
     q.processAllAvailable()
