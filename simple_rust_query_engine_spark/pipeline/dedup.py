@@ -8,14 +8,24 @@ minhash_lsh  shingle→minhash→band→bucket-join.  Signatures are
              map-only Arrow/numpy UDF work (no explode, no shuffle);
              only the band-bucket self-join shuffles, on the band key.
              This is the shape that survives 100 TB: candidate pairs
-             ≈ true near-dups, never O(n²).
+             ≈ true near-dups, never O(n²).  The band table persists
+             BUCKETED on the band key (``build_band_index``): full
+             regeneration self-joins with zero Exchange, and ingest
+             batches broadcast-probe it (``probe_band_index``;
+             streaming twin in ``streaming.dedup``).
 simhash      per-bit affine-hash votes over the shingle-hash set
              (map-only numpy UDF); near-dup pairs by hamming distance
              over a self-join blocked on the hash's high 16 bits.
 ngram_jaccard EXACT 3-gram Jaccard via the AllPairs/PPJoin prefix
-             filter (hash-keyed candidates, string-array verify).
-dedup_cc     transitive components over the jaccard edges (iterative
-             min-label propagation) + greedy `dedup_survivors`.
+             filter (hash-keyed candidates, string-array verify);
+             the pair table materializes once per corpus per session
+             (``near_dup_edges``) and feeds the whole family below.
+dedup_cc     transitive components over the jaccard edges (endpoint-
+             restricted min-label propagation) + greedy
+             `dedup_survivors` + quality-aware `keep_best`.
+span ops     rolling-window hashes: `dup_spans` (detection),
+             `dup_span_frac` (drop rule), `excise_spans` (surgical
+             removal), `decontaminate` (train/eval overlap).
 
 Cross-engine determinism: the word hash is an affine combo of
 codepoints (see ``text.word_hash``); all arithmetic stays < 2^53 so
@@ -350,10 +360,13 @@ def minhash_lsh_pairs_incremental(
     A full corpus re-join is O(corpus²) work repeated every batch;
     joining the new batch's bands against the full band index is
     O(new × collisions) and produces exactly the pairs the full join
-    would add.  With the signature/band table persisted (bucketed on
-    the band key), each ingest batch shuffles only its own bands.
-    Output pairs are normalized (doc_a < doc_b) so a pair arriving
-    from either orientation dedups to one row."""
+    would add.  This is the FROM-SCRATCH form (recomputes signatures
+    per call — the standalone-query contract); the production path
+    persists the band table bucketed on the band key and probes it
+    shuffle-free: ``build_band_index`` / ``probe_band_index`` batch,
+    ``streaming.dedup.stream_minhash_ingest`` continuous.  Output
+    pairs are normalized (doc_a < doc_b) so a pair arriving from
+    either orientation dedups to one row."""
     sigs = _checkpointed_sigs(docs, strong_hash=strong_hash)
     bands = _band_exploded(sigs)
     new_bands = bands.filter(is_new(F.col("doc_id")))
