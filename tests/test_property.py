@@ -424,3 +424,48 @@ def test_token_budget_mixture_matches_python(spark, docs):
     df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
     got = sorted(map(tuple, token_budget_mixture(df, budget=10).collect()))
     assert got == _py_budget(rows, 10)
+
+
+@settings(**_SETTINGS)
+@given(
+    base=st.lists(st.sampled_from(["aa", "ab", "ba", "bb", "ac"]), min_size=0, max_size=30),
+    slices=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 20)), min_size=1, max_size=5
+    ),
+)
+def test_excise_spans_matches_python(spark, base, slices):
+    # docs are slices of one shared word sequence, so SPAN_W-windows
+    # genuinely repeat across docs; the Spark excision must equal a
+    # direct Python implementation over the same window-hash kernel
+    # (multiset count >= 2 -> every covered token removed)
+    from collections import Counter
+
+    from simple_rust_query_engine_spark.pipeline.dedup import (
+        SPAN_W,
+        _py_window_hashes,
+        q_excise_spans,
+    )
+
+    texts = {
+        i: " ".join(base[s : s + ln]) for i, (s, ln) in enumerate(slices)
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.text_clean, r.n_tokens, r.n_removed)
+        for r in q_excise_spans({"documents": df}).collect()
+    }
+
+    wins = {d: _py_window_hashes(t, SPAN_W).tolist() for d, t in texts.items()}
+    cnt = Counter(h for arr in wins.values() for h in arr)
+    want = {}
+    for d, t in texts.items():
+        toks = t.split(" ")
+        covered: set = set()
+        for j, h in enumerate(wins[d]):
+            if cnt[h] >= 2:
+                covered.update(range(j, j + SPAN_W))
+        kept = [w for i, w in enumerate(toks) if i not in covered]
+        want[d] = (" ".join(kept), len(toks), len(toks) - len(kept))
+    assert got == want
