@@ -254,6 +254,15 @@ _DEFER_PAST_CAP = (
     # unchanged) defers — the text family stays checked via lang_id,
     # lm_score, quality_topk and chunk_documents
     "doc_repetition",
+    # round-6 additions temperature_mixture (sqrt-weighted per-source
+    # quotas + two-phase exact selection) and decontaminate_fuzzy
+    # (minhash train-vs-eval near-dup probe) enter; two r5-green
+    # unchanged siblings defer: simhash_pairs (sketch-dedup family
+    # stays checked via dedup_minhash_bucketed, the ingest stream and
+    # embedding_neardup) and kmv_ndistinct (approx-stats family stays
+    # checked via quantile_approx and profile_table)
+    "simhash_pairs",
+    "kmv_ndistinct",
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

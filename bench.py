@@ -105,6 +105,8 @@ EXTRA_QUERIES = [
     "profile_table_approx",
     "excise_spans",
     "dedup_minhash_ingest_stream",
+    "temperature_mixture",
+    "decontaminate_fuzzy",
 ]
 
 

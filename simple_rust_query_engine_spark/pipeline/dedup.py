@@ -1369,6 +1369,74 @@ def q_dedup_keep_best(t: dict) -> DataFrame:
     return keep_best(t["documents"], q_dedup_cc(t))
 
 
+#: fuzzy-decontamination flag threshold, in agreeing minhash rows
+#: (integer compare — never a float boundary): est_jaccard >= 0.5
+DECON_NM = -(-MH_K // 2)  # ceil(MH_K * 0.5)
+
+
+def q_decontaminate_fuzzy(t: dict) -> DataFrame:
+    """Document-level FUZZY decontamination: a training document is
+    flagged when its minhash-estimated Jaccard against ANY eval-set
+    document reaches 0.5 — the near-duplicate leakage (paraphrased
+    questions, reformatted answers, partial copies) that the exact
+    span probe (``q_decontaminate``) cannot see.  Real pipelines run
+    both: exact n-gram overlap for verbatim leakage, fuzzy minhash
+    for near-verbatim (e.g. the Llama/GPT-4 contamination appendices
+    combine token-overlap with fuzzy matching).
+
+    Emits every train doc with its candidate-eval count, the count
+    that clears the threshold, the max estimated Jaccard (NULL when
+    LSH surfaces no candidate), and the flag.
+
+    Plan: eval and train signatures come from two disjoint
+    source-pushed scans (one Arrow UDF pass over each subset); the
+    eval band table is tiny by construction and BROADCAST into the
+    train side — the train corpus is never shuffled for the probe;
+    candidate pairs (LSH collisions only, never all-pairs) distinct,
+    one groupBy on the train doc id, then a broadcast-sized hit
+    table left-joins back to the train docs."""
+    docs = t["documents"]
+    ev_bands = _band_exploded(
+        _checkpointed_sigs(docs.filter(F.col("source") == EVAL_SOURCE)),
+        with_sig=True,
+    )
+    tr_bands = _band_exploded(
+        _checkpointed_sigs(docs.filter(F.col("source") != EVAL_SOURCE)),
+        with_sig=True,
+    )
+    tr, ev = tr_bands.alias("tr"), ev_bands.alias("ev")
+    n_match = F.size(
+        F.filter(
+            F.zip_with(F.col("tr.sig"), F.col("ev.sig"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    pairs = (
+        tr.join(F.broadcast(ev), F.col("tr.band") == F.col("ev.band"))
+        .select(
+            F.col("tr.doc_id").alias("tid"),
+            F.col("ev.doc_id").alias("eid"),
+            n_match.alias("nm"),
+        )
+        .distinct()
+    )
+    hits = pairs.groupBy("tid").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("nm") >= DECON_NM, 1).otherwise(0)).alias("n_hits"),
+        (F.max("nm").cast("double") / F.lit(float(MH_K))).alias("max_est_jaccard"),
+    )
+    train = docs.filter(F.col("source") != EVAL_SOURCE).select("doc_id")
+    return train.join(
+        F.broadcast(hits), train.doc_id == hits.tid, "left"
+    ).select(
+        "doc_id",
+        F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        "max_est_jaccard",
+        (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
 # ------------------------------------------------------------ oracle
 _SQL_WH = "(ascii(w)*131 + length(w)*31 + ascii(reverse(w)))::BIGINT"
 # ordered (with multiplicity) word hashes → shingle hashes, mirroring
@@ -1425,6 +1493,51 @@ def _minhash_incr_oracle() -> str:
     return _minhash_oracle(
         f"WHERE a.doc_id % {INCR_MOD} = 0 OR b.doc_id % {INCR_MOD} = 0"
     )
+
+
+def _decontaminate_fuzzy_oracle() -> str:
+    """Fuzzy (minhash) train-vs-eval probe: same sig/band CTE family
+    as ``_minhash_oracle``, with the band rows carrying ``source`` so
+    candidates pair train docs against eval docs only."""
+    rows = MH_K // MH_BANDS
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, source, '{b},' || {parts} AS band FROM sigsrc".format(
+            b=b,
+            parts=" || ',' || ".join(f"s{b * rows + j}::VARCHAR" for j in range(rows)),
+        )
+        for b in range(MH_BANDS)
+    )
+    n_match = " + ".join(f"(x.s{i} = y.s{i})::INT" for i in range(MH_K))
+    return f"""
+        WITH sig AS ({_minhash_sig_sql()}),
+        sigsrc AS (
+            SELECT s.*, d.source FROM sig s JOIN documents d USING (doc_id)
+        ),
+        bands AS ({band_selects}),
+        cand AS (
+            SELECT DISTINCT t.doc_id AS tid, e.doc_id AS eid
+            FROM bands t JOIN bands e ON t.band = e.band
+            WHERE t.source <> '{EVAL_SOURCE}' AND e.source = '{EVAL_SOURCE}'
+        ),
+        scored AS (
+            SELECT tid, eid, ({n_match}) AS nm
+            FROM cand JOIN sig x ON tid = x.doc_id
+                      JOIN sig y ON eid = y.doc_id
+        ),
+        agg AS (
+            SELECT tid, COUNT(*) AS n_candidates,
+                   COUNT(*) FILTER (nm >= {DECON_NM}) AS n_hits,
+                   MAX(nm)::DOUBLE / {MH_K} AS max_est_jaccard
+            FROM scored GROUP BY tid
+        )
+        SELECT d.doc_id,
+               COALESCE(a.n_candidates, 0) AS n_candidates,
+               COALESCE(a.n_hits, 0) AS n_hits,
+               a.max_est_jaccard,
+               COALESCE(a.n_hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.tid
+        WHERE d.source <> '{EVAL_SOURCE}'
+    """
 
 
 def _simhash_expr_sql() -> str:
@@ -1614,6 +1727,7 @@ ORACLE: dict[str, str] = {
     # the bucketed-index probe emits the same pair set as the
     # from-scratch incremental join — one oracle definition for both
     "dedup_minhash_bucketed": _minhash_incr_oracle(),
+    "decontaminate_fuzzy": _decontaminate_fuzzy_oracle(),
     "simhash": _simhash_oracle(),
     "simhash_pairs": _simhash_pairs_oracle(),
     "ngram_jaccard": f"""
@@ -1707,6 +1821,7 @@ QUERIES = {
     "dup_span_frac": q_dup_span_frac,
     "excise_spans": q_excise_spans,
     "decontaminate": q_decontaminate,
+    "decontaminate_fuzzy": q_decontaminate_fuzzy,
 }
 
 #: entries that need (spark, sf_dir) directly (persisted-index layout)

@@ -344,6 +344,73 @@ def token_budget_mixture(
     )
 
 
+TEMP_TARGET = 300        # total docs selected by the temperature mix
+TEMP_SALT = "temp"       # selection-order salt
+TEMP_W_SCALE = 1_000_000  # weight quantization (sqrt(n) -> integer)
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    target: int = TEMP_TARGET,
+    key_col: str = "source",
+    salt: str = TEMP_SALT,
+    n_buckets: int = STRAT_BUCKETS,
+) -> DataFrame:
+    """Temperature-weighted mixture sampling (α = 0.5): per-source
+    quotas ∝ √n_source — the standard rebalance (GPT-3 §2.2, LLaMA
+    §2; multilingual T=2 sampling) that upweights small sources
+    relative to proportional sampling without letting one giant crawl
+    dominate.  Selects exactly ``want_s = min(n_s, ⌊target·w_s/Σw⌋)``
+    docs per source, deterministically (smallest salted md5 order),
+    and emits (doc_id, source, rank, n_target).
+
+    Cross-engine exactness: the only float op is the correctly-
+    rounded IEEE ``sqrt`` (bit-identical everywhere), immediately
+    quantized to an integer weight ``w_s = ⌊√n_s · 10⁶⌋``; quota
+    arithmetic is then pure int64 (target·w < 2⁶³), so the driver
+    hash gate holds bit-for-bit.
+
+    Scale: counts/weights/quotas are a source-cardinality frame
+    (broadcast); selection is the same two-phase skew-safe top-k as
+    ``stratified_sample`` — phase 1 ranks per (source, hash-bucket)
+    so a 5-source corpus never funnels N/5 rows through one reducer;
+    per-source quotas ride the broadcast join, so the per-row filter
+    ``rank <= want`` costs nothing extra.  Phase 1 keeps a superset
+    of each source's global top-want (any global top-want row is
+    top-want in its own bucket), so the result is exact."""
+    counts = docs.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    weights = counts.select(
+        key_col,
+        "n",
+        F.floor(F.sqrt(F.col("n")) * F.lit(TEMP_W_SCALE)).cast("long").alias("w"),
+    )
+    tot = weights.agg(F.sum("w").alias("wt"))
+    wants = weights.crossJoin(F.broadcast(tot)).select(
+        key_col,
+        F.least(
+            F.col("n"), F.expr(f"({target} * w) div wt")
+        ).alias("n_target"),
+    )
+    keyed = docs.select(
+        "doc_id", key_col, _salted_sort_key(salt).alias("sort_key")
+    ).join(F.broadcast(wants), key_col)
+    order = [F.col("sort_key").asc(), F.col("doc_id").asc()]
+    bucket = _affine_bucket(F.col("doc_id")) % n_buckets
+    w_pre = Window.partitionBy(key_col, "_b").orderBy(*order)
+    pruned = (
+        keyed.withColumn("_b", bucket)
+        .withColumn("_rn", F.row_number().over(w_pre))
+        .filter(F.col("_rn") <= F.col("n_target"))
+        .drop("_rn", "_b")
+    )
+    w_fin = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w_fin).cast("long"))
+        .filter(F.col("rank") <= F.col("n_target"))
+        .select("doc_id", key_col, "rank", "n_target")
+    )
+
+
 # ------------------------------------------------------------ driver
 def q_pack_sequences(t: dict) -> DataFrame:
     return pack_sequences(t["documents"])
@@ -367,6 +434,10 @@ def q_stratified_sample(t: dict) -> DataFrame:
 
 def q_token_budget_mixture(t: dict) -> DataFrame:
     return token_budget_mixture(t["documents"])
+
+
+def q_temperature_mixture(t: dict) -> DataFrame:
+    return temperature_mixture(t["documents"])
 
 
 def _rates_case_sql() -> str:
@@ -466,6 +537,33 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+ORACLE["temperature_mixture"] = f"""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, n,
+               CAST(floor(sqrt(n) * {TEMP_W_SCALE}) AS BIGINT) AS w
+        FROM counts
+    ),
+    tot AS (SELECT SUM(w)::BIGINT AS wt FROM w),
+    wants AS (
+        SELECT source, LEAST(n, ({TEMP_TARGET} * w) // wt) AS n_target
+        FROM w, tot
+    ),
+    ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('{TEMP_SALT}' || doc_id::VARCHAR), doc_id
+               ) AS rank
+        FROM documents
+    )
+    SELECT r.doc_id, r.source, r.rank, wa.n_target
+    FROM ranked r JOIN wants wa USING (source)
+    WHERE r.rank <= wa.n_target
+"""
+
 QUERIES = {
     "pack_sequences": q_pack_sequences,
     "sample_mixture": q_sample_mixture,
@@ -473,4 +571,5 @@ QUERIES = {
     "train_test_split": q_train_test_split,
     "stratified_sample": q_stratified_sample,
     "token_budget_mixture": q_token_budget_mixture,
+    "temperature_mixture": q_temperature_mixture,
 }

@@ -39,6 +39,9 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
         "dedup_minhash_bucketed",  # new in r6 (persisted bucketed band index)
         "profile_table_approx",    # new in r6 (HLL profile, no Expand)
         "excise_spans",            # new in r6 (span-level excision)
+        "dedup_minhash_ingest_stream",  # new in r6 (streaming LSH ingest)
+        "temperature_mixture",     # new in r6 (sqrt-weighted source quotas)
+        "decontaminate_fuzzy",     # new in r6 (minhash train-vs-eval probe)
         "ngram_jaccard",     # r6: shared materialized edge table
         "dedup_cc",          # r6: endpoint-restricted propagation CC
         "dedup_survivors",   # r6: routed through near_dup_edges

@@ -206,6 +206,85 @@ def test_band_index_append_ingest_cycle(spark, tables, tmp_path):
         spark.sql("DROP TABLE IF EXISTS band_idx_cycle")
 
 
+def test_temperature_mixture_upweights_small_sources(tables):
+    # alpha=0.5 quotas: each source gets min(n, floor(target*sqrt(n)/
+    # sum sqrt)) docs — smaller sources get a LARGER share than
+    # proportional sampling would give them, totals never exceed the
+    # target, and per-source selection is an exact rank prefix
+    import math
+
+    from simple_rust_query_engine_spark.pipeline.dedup import materialize  # noqa: F401
+    from simple_rust_query_engine_spark.pipeline.pack import (
+        TEMP_TARGET,
+        TEMP_W_SCALE,
+        temperature_mixture,
+    )
+
+    docs = tables["documents"]
+    n_by_src = {r.source: r.cnt for r in docs.groupBy("source").count().withColumnRenamed("count", "cnt").collect()}
+    out = temperature_mixture(docs).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.source, []).append(r.rank)
+    w = {s: math.floor(math.sqrt(n) * TEMP_W_SCALE) for s, n in n_by_src.items()}
+    wt = sum(w.values())
+    for s, n in n_by_src.items():
+        want = min(n, (TEMP_TARGET * w[s]) // wt)
+        ranks = sorted(got.get(s, []))
+        assert ranks == list(range(1, want + 1)), (s, want, ranks[:5])
+    assert len(out) <= TEMP_TARGET
+
+
+def test_temperature_mixture_upweight_property_on_skewed_sources(spark):
+    # the driver corpus has uniform source sizes (sqrt == proportional
+    # there), so the temperature property needs a skewed frame: with
+    # sources of 1000/100/10 docs, the small sources' selected SHARE
+    # must exceed their corpus share and the giant's must shrink
+    from simple_rust_query_engine_spark.pipeline.pack import (
+        temperature_mixture,
+    )
+
+    rows = []
+    did = 0
+    for src, n in (("big", 1000), ("mid", 100), ("small", 10)):
+        for _ in range(n):
+            rows.append((did, src))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mixture(df, target=200)
+    got = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    total = 1110
+    selected = sum(got.values())
+    # small/mid overrepresented, big underrepresented vs corpus share
+    assert got["small"] / selected > 10 / total
+    assert got["mid"] / selected > 100 / total
+    assert got["big"] / selected < 1000 / total
+    assert selected <= 200
+
+
+def test_decontaminate_fuzzy_flags_eval_neardups(tables):
+    # ground truth from the full minhash pair list: a train doc is
+    # flagged iff it has an est_jaccard>=0.5 pair with an eval doc
+    from simple_rust_query_engine_spark.pipeline.dedup import (
+        EVAL_SOURCE,
+        q_decontaminate_fuzzy,
+        minhash_lsh_pairs,
+    )
+
+    docs = tables["documents"]
+    src = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    flagged_want = set()
+    for r in minhash_lsh_pairs(docs).collect():
+        if r.est_jaccard >= 0.5:
+            a_ev, b_ev = src[r.doc_a] == EVAL_SOURCE, src[r.doc_b] == EVAL_SOURCE
+            if a_ev != b_ev:  # one train, one eval
+                flagged_want.add(r.doc_b if a_ev else r.doc_a)
+    out = {r.doc_id: r for r in q_decontaminate_fuzzy(tables).collect()}
+    assert set(out) == {d for d, s in src.items() if s != EVAL_SOURCE}
+    flagged_got = {d for d, r in out.items() if r.contaminated}
+    assert flagged_got == flagged_want
+
+
 def test_excise_spans_consistent_with_span_frac(tables):
     # excision and the drop rule share the duplicated-window
     # detection: a doc loses tokens iff it has duplicated windows,

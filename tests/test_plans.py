@@ -537,6 +537,42 @@ def test_global_window_probe_catches_offender(spark):
     assert _has_global_window(plan3), plan3
 
 
+def test_temperature_mixture_two_phase_and_broadcast_quotas(spark):
+    # selection must run the same two-phase skew protection as
+    # stratified_sample (phase-1 window keyed by (source, bucket),
+    # never a bare low-cardinality source partition alone), and the
+    # per-source quota frame must BROADCAST into the corpus — a
+    # shuffled join there would reshuffle 100 TB to attach 5 rows
+    df = _q(spark, "temperature_mixture")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window [row_number()") == 2, plan
+    assert re.search(r"windowspecdefinition\(source#\d+, _b#", plan), plan
+    # the 5-row quota frames may single-partition (global SUM over a
+    # source-cardinality aggregate); the DATA-SIZED windows must not —
+    # every window line must carry partition keys
+    for line in plan.splitlines():
+        if "Window [row_number()" in line:
+            assert "windowspecdefinition(source#" in line, line
+    strategies = join_strategies(df)
+    # quota frames attach by broadcast only (hash for the per-source
+    # quotas, nested-loop for the 1-row weight total); a shuffled join
+    # here would reshuffle the corpus to attach 5 rows
+    assert strategies, strategies
+    assert set(strategies) <= {"BroadcastHashJoin", "BroadcastNestedLoopJoin"}, (
+        strategies
+    )
+    assert "BroadcastHashJoin" in strategies, strategies
+
+
+def test_decontaminate_fuzzy_broadcasts_eval_side(spark):
+    # every join must broadcast (the tiny eval band table into the
+    # train probe; the hit table back onto train docs) — the train
+    # corpus is never shuffled through a join
+    df = _q(spark, "decontaminate_fuzzy")
+    strategies = join_strategies(df)
+    assert strategies and set(strategies) == {"BroadcastHashJoin"}, strategies
+
+
 def test_profile_approx_has_no_expand(spark):
     # exact multi-column countDistinct Expands the scan (×4 shuffled
     # rows); the HLL variant must plan WITHOUT Expand — fixed-size
