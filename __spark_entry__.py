@@ -332,9 +332,11 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for mod in _MODULES:
         out.update(getattr(mod, "ORACLE", {}))
-    # present the exact queries() key order so an order-sensitive
-    # consumer can zip the two dicts.  No ==50 assert here: a query
-    # may legitimately lack an oracle twin (profile_table_approx —
-    # HLL estimates can't hash-match), in which case the driver
-    # records its weaker rows-only check.
+    # present keys in queries() order, matched BY NAME — do NOT zip
+    # the two dicts positionally: a query may legitimately lack an
+    # oracle twin (profile_table_approx — HLL estimates can't
+    # hash-match), so oracle_sql() can be shorter than queries() and
+    # a positional zip would mispair everything after the gap.  The
+    # driver matches by key and records a rows-only check for the
+    # missing name.  (No ==50 assert here for the same reason.)
     return {name: out[name] for name in queries() if name in out}

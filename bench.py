@@ -209,7 +209,13 @@ def main() -> None:
     if errors:
         compact["error_count"] = len(errors)
     line = json.dumps(compact)
-    assert len(line) < 1900, f"compact bench line too long ({len(line)} chars)"
+    if len(line) >= 1900:
+        # degrade rather than die: a run that already paid for every
+        # query must ALWAYS emit a parseable final line.  Totals-only
+        # is ~200 chars; per-query detail survives in BENCH_LOCAL.json.
+        compact.pop("queries", None)
+        compact["queries_in_local_json_only"] = True
+        line = json.dumps(compact)
     print(line)
     if not cold:
         sys.exit(1)

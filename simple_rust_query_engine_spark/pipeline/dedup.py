@@ -493,10 +493,12 @@ def probe_band_index(
     micro-batch pays the signature UDF exactly once."""
     if new_bands is not None:
         nb = new_bands
-    else:
+    elif new_docs is not None:
         nb = _band_exploded(
             _checkpointed_sigs(new_docs, strong_hash=strong_hash), with_sig=True
         )
+    else:
+        raise ValueError("probe_band_index: pass new_docs or new_bands")
     idx = spark.table(table)
     i, n = idx.alias("i"), nb.alias("n")
     return (
@@ -560,22 +562,8 @@ def q_dedup_minhash_bucketed(spark, sf_dir: str) -> DataFrame:
     re-paying signatures + band shuffle."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     table = _band_index_for(spark, docs, os.path.abspath(sf_dir))
-    idx = spark.table(table)
-    nb = idx.filter(F.col("doc_id") % INCR_MOD == 0)
-    i, n = idx.alias("i"), nb.alias("n")
-    return (
-        i.join(
-            F.broadcast(n),
-            (F.col("i.band") == F.col("n.band"))
-            & (F.col("i.doc_id") != F.col("n.doc_id")),
-        )
-        .select(
-            F.least(F.col("i.doc_id"), F.col("n.doc_id")).alias("doc_a"),
-            F.greatest(F.col("i.doc_id"), F.col("n.doc_id")).alias("doc_b"),
-            *_sig_pair_stats(F.col("i.sig"), F.col("n.sig")),
-        )
-        .distinct()
-    )
+    batch_bands = spark.table(table).filter(F.col("doc_id") % INCR_MOD == 0)
+    return probe_band_index(spark, table, new_bands=batch_bands)
 
 
 # ---------------------------------------------------------- simhash

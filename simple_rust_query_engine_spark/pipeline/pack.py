@@ -224,19 +224,28 @@ def two_phase_topk(
     under the shared order), so the result is EXACT at any fan.
     ``order_cols`` must be a total order (include a unique tiebreak).
     Appends a 1-based ``rank`` column; NULL stratum keys form their
-    own stratum (window semantics on both engines)."""
+    own stratum (window semantics on both engines).
+
+    ``k`` may be an int or a COLUMN of ``df`` (a per-stratum quota,
+    constant within each stratum — ``temperature_mixture`` rides its
+    broadcast-joined ``n_target`` through here); the superset
+    argument is unchanged since the bound is constant per stratum.
+    Column quotas forgo the map-side WindowGroupLimit (it needs a
+    literal limit) but keep the (stratum, bucket) fan-out that is the
+    actual skew protection."""
+    k_col = F.lit(k) if isinstance(k, int) else k
     bucket = _affine_bucket(F.col(bucket_id_col)) % n_buckets
     keyed = df.withColumn("_b", bucket)
     w_pre = Window.partitionBy(key_col, "_b").orderBy(*order_cols)
     pruned = (
         keyed.withColumn("_rn", F.row_number().over(w_pre))
-        .filter(F.col("_rn") <= k)
+        .filter(F.col("_rn") <= k_col)
         .drop("_rn", "_b")
     )
     w_fin = Window.partitionBy(key_col).orderBy(*order_cols)
     return pruned.withColumn(
         "rank", F.row_number().over(w_fin).cast("long")
-    ).filter(F.col("rank") <= k)
+    ).filter(F.col("rank") <= k_col)
 
 
 def stratified_sample(
@@ -394,21 +403,13 @@ def temperature_mixture(
     keyed = docs.select(
         "doc_id", key_col, _salted_sort_key(salt).alias("sort_key")
     ).join(F.broadcast(wants), key_col)
-    order = [F.col("sort_key").asc(), F.col("doc_id").asc()]
-    bucket = _affine_bucket(F.col("doc_id")) % n_buckets
-    w_pre = Window.partitionBy(key_col, "_b").orderBy(*order)
-    pruned = (
-        keyed.withColumn("_b", bucket)
-        .withColumn("_rn", F.row_number().over(w_pre))
-        .filter(F.col("_rn") <= F.col("n_target"))
-        .drop("_rn", "_b")
-    )
-    w_fin = Window.partitionBy(key_col).orderBy(*order)
-    return (
-        pruned.withColumn("rank", F.row_number().over(w_fin).cast("long"))
-        .filter(F.col("rank") <= F.col("n_target"))
-        .select("doc_id", key_col, "rank", "n_target")
-    )
+    return two_phase_topk(
+        keyed,
+        key_col,
+        [F.col("sort_key").asc(), F.col("doc_id").asc()],
+        F.col("n_target"),
+        n_buckets,
+    ).select("doc_id", key_col, "rank", "n_target")
 
 
 # ------------------------------------------------------------ driver

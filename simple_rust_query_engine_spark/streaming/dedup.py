@@ -260,6 +260,7 @@ def stream_minhash_ingest(
     query_name: str = "minhash_ingest",
     glob: str | None = None,
     max_files_per_trigger: int | None = None,
+    checkpoint_location: str | None = None,
 ):
     """Continuous LSH near-dup ingest THROUGH the streaming engine —
     the streaming twin of the persisted bucketed band index
@@ -283,6 +284,28 @@ def stream_minhash_ingest(
     This is the 100 TB ingest steady state: per batch, one map-only
     UDF pass over the batch, one bucketed append, one broadcast
     probe; the corpus-sized index is never recomputed or reshuffled.
+
+    Failure semantics — foreachBatch is AT-LEAST-ONCE, and the two
+    appends are not transactional, so a task retry or restart can
+    replay a batch's appends.  Replays cannot produce WRONG pairs,
+    only duplicate rows: a duplicated band append yields duplicate
+    candidates whose pair stats are identical, and a duplicated pairs
+    append repeats rows verbatim — so the correct read of
+    ``pairs_table`` is ``DISTINCT`` (the driver query does this), and
+    duplicate index rows cost probe work, never correctness.  In
+    production pass ``checkpoint_location`` so a restarted stream
+    resumes from the committed source offset (only the in-flight
+    batch can replay) instead of re-ingesting every file; compact the
+    index periodically (``sources.write.compact_parquet``) if replay
+    duplicates accumulate.
+
+    Each batch's materialization barriers (signature + band
+    localCheckpoints) are released once its appends commit — without
+    that, a long-running ingest grows block-manager storage linearly
+    with batch count.  The sweep assumes this stream owns the session
+    (the intended deployment): it unpersists every RDD persisted
+    DURING the batch, which would race with a concurrent query
+    creating barriers in the same session.
     """
     from ..pipeline.dedup import (
         BAND_BUCKETS,
@@ -302,7 +325,17 @@ def stream_minhash_ingest(
         max_files_per_trigger=max_files_per_trigger,
     )
 
+    def _persistent_rdds(sc) -> dict:
+        out = {}
+        it = sc._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            t = it.next()
+            out[t._1()] = t._2()
+        return out
+
     def ingest(batch_df, batch_id):
+        sc = spark.sparkContext
+        live_before = set(_persistent_rdds(sc))
         bands = materialize(
             _band_exploded(_checkpointed_sigs(batch_df), with_sig=True)
         )
@@ -328,13 +361,16 @@ def stream_minhash_ingest(
             w = w.option("path", pairs_path)
         w.saveAsTable(pairs_table)
         spark.catalog.refreshTable(pairs_table)
+        # this batch's barriers are consumed (both appends committed);
+        # release their blocks so state stays bounded across batches
+        for rid, rdd in _persistent_rdds(sc).items():
+            if rid not in live_before:
+                rdd.unpersist(False)
 
-    return (
-        src.writeStream.foreachBatch(ingest)
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = src.writeStream.foreachBatch(ingest).queryName(query_name)
+    if checkpoint_location is not None:
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    return writer.trigger(availableNow=True).start()
 
 
 def q_dedup_minhash_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,19 +380,21 @@ def q_dedup_minhash_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     accumulated pairs returned.  One batch holding every doc probes
     the fully-appended index, so the result is the COMPLETE pair set:
     hash-checked against the same DuckDB oracle as ``dedup_minhash``."""
-    import tempfile
     import uuid
 
     # uuid, not a run counter: the counter restarts per process while
     # spark-warehouse/ persists, so a managed table named by counter
     # collides with a previous process's leftover directory
     # (LOCATION_ALREADY_EXISTS — caught by the durable hardening
-    # sweep).  Both tables get explicit tmp locations so the repo's
-    # warehouse dir stays empty.
+    # sweep).  Both tables get explicit locations under ONE
+    # per-process dir removed at interpreter exit (same lifecycle as
+    # the band-index cache dir) so neither the repo warehouse nor
+    # /tmp accumulates run leftovers; the uuid-named catalog entries
+    # are in-memory metadata that dies with the session.
     run = uuid.uuid4().hex[:10]
     index_table = f"minhash_ingest_idx_{run}"
     pairs_table = f"minhash_ingest_pairs_{run}"
-    tmp = tempfile.mkdtemp(prefix="srqe_ingest_")
+    tmp = os.path.join(_ingest_run_dir(), run)
     q = stream_minhash_ingest(
         spark,
         sf_dir,
@@ -368,7 +406,23 @@ def q_dedup_minhash_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.processAllAvailable()
     q.stop()
-    return spark.table(pairs_table)
+    # DISTINCT: at-least-once appends can only duplicate rows (never
+    # alter the pair set) — see stream_minhash_ingest's failure notes
+    return spark.table(pairs_table).distinct()
+
+
+_INGEST_RUN_DIR: list = [None]
+
+
+def _ingest_run_dir() -> str:
+    if _INGEST_RUN_DIR[0] is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _INGEST_RUN_DIR[0] = tempfile.mkdtemp(prefix="srqe_ingest_runs_")
+        atexit.register(shutil.rmtree, _INGEST_RUN_DIR[0], True)
+    return _INGEST_RUN_DIR[0]
 
 
 def _minhash_sig_stream_oracle() -> str:
