@@ -213,7 +213,6 @@ def test_temperature_mixture_upweights_small_sources(tables):
     # target, and per-source selection is an exact rank prefix
     import math
 
-    from simple_rust_query_engine_spark.pipeline.dedup import materialize  # noqa: F401
     from simple_rust_query_engine_spark.pipeline.pack import (
         TEMP_TARGET,
         TEMP_W_SCALE,
