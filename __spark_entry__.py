@@ -263,6 +263,12 @@ _DEFER_PAST_CAP = (
     # checked via quantile_approx and profile_table)
     "simhash_pairs",
     "kmv_ndistinct",
+    # round-6 addition dedup_cc_incr (incremental label maintenance:
+    # merge_labels folds probe-emitted edges into existing component
+    # labels, oracle = from-scratch dedup_cc) enters; semantic_search
+    # (r5-green, unchanged) defers — the embedding family stays
+    # checked via embedding_neardup and semantic_dedup
+    "semantic_search",
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

@@ -107,6 +107,7 @@ EXTRA_QUERIES = [
     "dedup_minhash_ingest_stream",
     "temperature_mixture",
     "decontaminate_fuzzy",
+    "dedup_cc_incr",
 ]
 
 

@@ -1008,6 +1008,64 @@ def connected_components(
     )
 
 
+def merge_labels(
+    labels: DataFrame, new_edges: DataFrame, vertices: DataFrame
+) -> DataFrame:
+    """Incremental connected components: fold NEW near-dup edges into
+    EXISTING component labels without recomputing CC over the corpus
+    — the label-maintenance step of continuous ingest (band-index
+    probe emits the new edges; this merges them; ``keep_best``
+    re-ranks only the touched components downstream).
+
+    Existing labels are connectivity-equivalent to the old edge set
+    as a star forest (doc → label), so CC over (star ∪ new_edges)
+    yields exactly the labels a from-scratch CC over (old ∪ new)
+    edges would — component minima are doc ids in both, and min-label
+    propagation preserves them through the union.  Cost per batch:
+    the iterated edge set is |non-trivial labels| + |new edges| — the
+    dup subgraph, not the corpus — and the endpoint-restricted loop
+    in ``connected_components`` keeps the per-round label table that
+    size too."""
+    star = labels.filter(F.col("label") != F.col("doc_id")).select(
+        F.col("doc_id").alias("doc_a"), F.col("label").alias("doc_b")
+    )
+    return connected_components(
+        star.union(new_edges.select("doc_a", "doc_b")), vertices
+    )
+
+
+def q_dedup_cc_incr(t: dict) -> DataFrame:
+    """Driver demo of incremental label maintenance: the corpus minus
+    the arriving batch (every 5th doc, the ``INCR_MOD`` demo
+    predicate) is the "existing" state with labels already computed;
+    the batch's near-dup pairs arrive (exactly what the band-index
+    probe emits) and ``merge_labels`` folds them in.  The merged
+    labels must equal from-scratch CC over the full corpus — the
+    oracle IS ``dedup_cc``'s recursive-reachability CTE.
+
+    Both edge subsets derive from the ONE cached corpus pair table
+    (``near_dup_edges``), so this standalone query pays the shingle
+    machinery once, like the rest of the family."""
+    docs = t["documents"]
+    pairs = near_dup_edges(docs).select("doc_a", "doc_b")
+    is_new = lambda c: c % INCR_MOD == 0  # noqa: E731
+    old_edges = pairs.filter(
+        ~is_new(F.col("doc_a")) & ~is_new(F.col("doc_b"))
+    )
+    new_edges = pairs.filter(
+        is_new(F.col("doc_a")) | is_new(F.col("doc_b"))
+    )
+    old_docs = docs.filter(~is_new(F.col("doc_id"))).select("doc_id")
+    labels0 = connected_components(old_edges, old_docs)
+    # arriving docs enter with identity labels (no prior state)
+    labels0 = labels0.union(
+        docs.filter(is_new(F.col("doc_id"))).select(
+            "doc_id", F.col("doc_id").alias("label")
+        )
+    )
+    return merge_labels(labels0, new_edges, docs.select("doc_id"))
+
+
 def q_dedup_cc(t: dict) -> DataFrame:
     """Near-dup components: each doc labeled with the smallest doc_id
     reachable through 3-gram-Jaccard>=0.5 edges — the correct
@@ -1795,6 +1853,10 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+# incremental label maintenance must reproduce from-scratch CC
+# exactly — one oracle definition for both
+ORACLE["dedup_cc_incr"] = ORACLE["dedup_cc"]
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -1804,6 +1866,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_survivors": q_dedup_survivors,
     "dedup_cc": q_dedup_cc,
+    "dedup_cc_incr": q_dedup_cc_incr,
     "dedup_keep_best": q_dedup_keep_best,
     "dup_spans": q_dup_spans,
     "dup_span_frac": q_dup_span_frac,

@@ -42,6 +42,7 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
         "dedup_minhash_ingest_stream",  # new in r6 (streaming LSH ingest)
         "temperature_mixture",     # new in r6 (sqrt-weighted source quotas)
         "decontaminate_fuzzy",     # new in r6 (minhash train-vs-eval probe)
+        "dedup_cc_incr",           # new in r6 (incremental label merge)
         "ngram_jaccard",     # r6: shared materialized edge table
         "dedup_cc",          # r6: endpoint-restricted propagation CC
         "dedup_survivors",   # r6: routed through near_dup_edges

@@ -206,6 +206,28 @@ def test_band_index_append_ingest_cycle(spark, tables, tmp_path):
         spark.sql("DROP TABLE IF EXISTS band_idx_cycle")
 
 
+def test_merge_labels_bridges_old_components(spark):
+    # the case where incremental label maintenance must actually do
+    # work: a new edge BRIDGES two existing components (their minima
+    # must unify to the global min), another attaches a brand-new doc
+    # pair, and untouched components keep their labels
+    from simple_rust_query_engine_spark.pipeline.dedup import merge_labels
+
+    labels0 = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5), (6, 5), (3, 3), (7, 7), (9, 9)],
+        "doc_id long, label long",
+    )
+    new_edges = spark.createDataFrame(
+        [(2, 5), (7, 9)], "doc_a long, doc_b long"
+    )
+    vertices = labels0.select("doc_id")
+    got = {
+        r.doc_id: r.label
+        for r in merge_labels(labels0, new_edges, vertices).collect()
+    }
+    assert got == {1: 1, 2: 1, 5: 1, 6: 1, 3: 3, 7: 7, 9: 7}
+
+
 def test_temperature_mixture_upweights_small_sources(tables):
     # alpha=0.5 quotas: each source gets min(n, floor(target*sqrt(n)/
     # sum sqrt)) docs — smaller sources get a LARGER share than
