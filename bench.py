@@ -65,8 +65,9 @@ BENCH_QUERIES = [
 #: later-round additions, timed identically but reported under
 #: separate keys (extra_*) so ``value``/``steady_total`` stay
 #: comparable with rounds 1-3 over the SAME 22-query set.  This list
-#: GROWS as operators land (r4: first 12; r5: +18), so extra_total is
-#: only comparable round-over-round per query, not as a sum.
+#: GROWS as operators land (r4: first 12; r5: +18; r6: +7), so
+#: extra_total is only comparable round-over-round per query, not as
+#: a sum.
 EXTRA_QUERIES = [
     "tpch_q5_like",
     "events_funnel",
