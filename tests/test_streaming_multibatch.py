@@ -281,3 +281,70 @@ def test_stream_minhash_ingest_accumulates_full_pairs(
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ingest_idx")
         spark.sql("DROP TABLE IF EXISTS t_ingest_pairs")
+
+
+def test_stream_minhash_ingest_restart_resumes_from_checkpoint(
+    spark, tmp_path_factory, tables
+):
+    # the production restart path: ingest files 0-1 with a checkpoint,
+    # stop, a new file arrives, restart on the SAME checkpoint/tables.
+    # The committed batches must NOT replay (pairs stay duplicate-free
+    # without any distinct), and the final accumulation equals the
+    # from-scratch pair set
+    from simple_rust_query_engine_spark.pipeline.dedup import (
+        minhash_lsh_pairs,
+    )
+    from simple_rust_query_engine_spark.streaming.dedup import (
+        stream_minhash_ingest,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    out = tmp_path_factory.mktemp("docs_restart")
+    n = t.num_rows
+    cuts = [0, n // 3, 2 * n // 3, n]
+    paths = []
+    for i in range(3):
+        p = str(out / f"documents-{i}.parquet")
+        paths.append((p, t.slice(cuts[i], cuts[i + 1] - cuts[i])))
+
+    for i in range(2):  # only the first two files exist initially
+        pq.write_table(paths[i][1], paths[i][0])
+        os.utime(paths[i][0], (1_700_000_000 + i * 60,) * 2)
+
+    base = tmp_path_factory.mktemp("restart_state")
+    args = (
+        spark,
+        str(out),
+        "t_restart_idx",
+        str(base / "idx"),
+        "t_restart_pairs",
+    )
+    kwargs = dict(
+        pairs_path=str(base / "pairs"),
+        glob="documents-*.parquet",
+        max_files_per_trigger=1,
+        checkpoint_location=str(base / "ckpt"),
+    )
+    try:
+        q = stream_minhash_ingest(*args, query_name="t_restart_a", **kwargs)
+        q.processAllAvailable()
+        q.stop()
+        n_after_two = spark.table("t_restart_pairs").count()
+
+        pq.write_table(paths[2][1], paths[2][0])
+        os.utime(paths[2][0], (1_700_000_000 + 180,) * 2)
+        q = stream_minhash_ingest(*args, query_name="t_restart_b", **kwargs)
+        q.processAllAvailable()
+        q.stop()
+
+        got = spark.table("t_restart_pairs")
+        # no committed batch replayed: zero duplicate rows even
+        # WITHOUT the defensive distinct
+        assert got.count() == got.distinct().count()
+        assert got.count() >= n_after_two
+        want = minhash_lsh_pairs(tables["documents"])
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_restart_idx")
+        spark.sql("DROP TABLE IF EXISTS t_restart_pairs")
