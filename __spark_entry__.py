@@ -339,10 +339,11 @@ def oracle_sql() -> dict[str, str]:
     for mod in _MODULES:
         out.update(getattr(mod, "ORACLE", {}))
     # present keys in queries() order, matched BY NAME — do NOT zip
-    # the two dicts positionally: a query may legitimately lack an
-    # oracle twin (profile_table_approx — HLL estimates can't
-    # hash-match), so oracle_sql() can be shorter than queries() and
-    # a positional zip would mispair everything after the gap.  The
-    # driver matches by key and records a rows-only check for the
-    # missing name.  (No ==50 assert here for the same reason.)
+    # the two dicts positionally: every query carries an oracle twin
+    # as of r7 (approx operators emit deterministic validity bands
+    # instead of raw estimates — the driver records err=no_oracle,
+    # not a rows-only check, for a missing twin), but name-matching
+    # keeps a future genuinely-non-SQL entry from mispairing
+    # everything after the gap.  (No ==50 assert here — queries()
+    # already asserts the window head.)
     return {name: out[name] for name in queries() if name in out}
