@@ -89,8 +89,6 @@ _MODULES = (
 # sf0.001 and sf0.01, and usable.  queries() asserts the ==50 head
 # invariant so a new query cannot silently evict a checked entry.
 _DEFER_PAST_CAP = (
-    "set_union",
-    "agg_rollup",
     "window_topk_per_group",
     "ann_brute",
     "ann_ivf",
@@ -105,7 +103,6 @@ _DEFER_PAST_CAP = (
     "join_asof",
     "pivot",
     "dedup_exact",
-    "cross_join_filter",
     # round-4 addition events_stream_join enters the window per the
     # place-new-operators-inside-the-window rule; minhash_sig_stream
     # (r3-green) defers — streaming-execution-vs-batch-oracle stays
@@ -115,10 +112,6 @@ _DEFER_PAST_CAP = (
     # round-4 additions tpch_q5_like, events_funnel, shuffle_shards,
     # train_test_split, emb_centroid, text_normalize enter the window
     # (same rule); six more r3-green redundant siblings defer:
-    "limit_skip",      # → topk (limit family) stays
-    "agg_global",      # → agg_grouped, agg_having, tpch_q1 stay
-    "sort_multi",      # → topk + every ORDER BY composite stays
-    "coercion",        # → filter_predicate (expression family) stays
     "token_count",     # → quality_score, lang_id, text_normalize stay
     "fingerprint",     # → same text family
     # round-4 addition semantic_search (ANN topk → broadcast-hydrate
@@ -134,7 +127,6 @@ _DEFER_PAST_CAP = (
     # join_anti stay; join_left defers separately below, subsumed by
     # the full-outer row)
     "agg_having",
-    "join_nonequi_filter",
     # round-4 addition join_full (full outer) enters; join_left
     # defers — its null-extension semantics are a strict subset of
     # the full-outer row now checked, and join_inner stays
@@ -269,6 +261,33 @@ _DEFER_PAST_CAP = (
     # (r5-green, unchanged) defers — the embedding family stays
     # checked via embedding_neardup and semantic_dedup
     "semantic_search",
+    # ---- round 7 ----
+    # r7 RE-CERTIFICATION sweep (VERDICT r6 item 6): driver evidence
+    # ages as surrounding code moves, so the 8 OLDEST deferred rows
+    # (driver-green only in r3/r4) rotate back IN-window this round:
+    #   set_union, agg_rollup, cross_join_filter, limit_skip,
+    #   agg_global, sort_multi, coercion, join_nonequi_filter
+    # (removed from this tuple above/below).  Together with the r7
+    # addition pipeline_incr_stateful (end-to-end stateful ingest
+    # cycle: band-index probe -> merge_labels vs persisted label state
+    # -> keep_best on touched components) that is 9 entries entering,
+    # so 9 r5/r6-green unchanged siblings defer:
+    "set_intersect",       # → set_union re-enters (set-op family)
+    "agg_grouping_sets",   # → agg_rollup re-enters (grouping/Expand
+                           #   family; cube plan pinned in pytest)
+    "tpch_q3_like",        # → tpch_q1/q5/q14/q18 stay (composites)
+    "range_join",          # → join_asof_nearest + join_nonequi_filter
+                           #   (re-entering) stay (non-equi family)
+    "events_funnel",       # → events_window_stream + events_stream_join
+                           #   stay (events family)
+    "quantile_approx",     # → profile_table_approx (now oracle-twinned)
+                           #   + profile_table stay (approx-stats)
+    "lang_id",             # → lm_score, quality_topk, chunk_documents
+                           #   stay (text family)
+    "embedding_neardup",   # → semantic_dedup stays (embedding family)
+    "dedup_survivors",     # → ngram_jaccard, dedup_cc, dedup_keep_best,
+                           #   dedup_cc_incr stay (same shared edge
+                           #   machinery, all r7-touched and in-window)
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

@@ -20,12 +20,10 @@ def test_head_is_exactly_driver_cap():
     assert len(names) == entry_mod._DRIVER_CAP + len(entry_mod._DEFER_PAST_CAP)
     assert not set(head) & set(entry_mod._DEFER_PAST_CAP)
     # oracle dict must present the same order (driver zips them);
-    # queries documented as oracle-less (HLL estimates can't
-    # hash-match) are the only permitted gaps
-    no_oracle = {"profile_table_approx"}
+    # every query carries an oracle twin as of r7 (approx operators
+    # emit deterministic validity bands instead of raw estimates)
     osql = entry_mod.oracle_sql()
-    assert list(osql) == [n for n in names if n not in no_oracle]
-    assert not no_oracle & set(osql)
+    assert list(osql) == names
 
 
 def test_rotation_keeps_new_and_changed_operators_in_window():
@@ -33,23 +31,36 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
     # this round must sit inside the driver's 50-entry checked window
     # the round it changes.  After round 4 every query has a
     # driver-green row on record, so the remaining invariant is this
-    # one plus the ==50 head assert.  Round 6: three new operators and
-    # the dedup family's shared-edge/endpoint-CC rework.
+    # one plus the ==50 head assert.  Round 7: the stateful ingest
+    # pipeline + persisted label state rework, the profile validity
+    # band, and the first re-certification sweep of the oldest
+    # deferred rows (VERDICT r6 item 6).
     must_be_checked = {
-        "dedup_minhash_bucketed",  # new in r6 (persisted bucketed band index)
-        "profile_table_approx",    # new in r6 (HLL profile, no Expand)
-        "excise_spans",            # new in r6 (span-level excision)
-        "dedup_minhash_ingest_stream",  # new in r6 (streaming LSH ingest)
-        "temperature_mixture",     # new in r6 (sqrt-weighted source quotas)
-        "decontaminate_fuzzy",     # new in r6 (minhash train-vs-eval probe)
-        "dedup_cc_incr",           # new in r6 (incremental label merge)
-        "ngram_jaccard",     # r6: shared materialized edge table
-        "dedup_cc",          # r6: endpoint-restricted propagation CC
-        "dedup_survivors",   # r6: routed through near_dup_edges
-        "dedup_keep_best",   # r6: keep_best(docs, labels) refactor
-        "profile_table",     # r6: shared _profile kernel
-        "dup_span_frac",     # span family rep (excise shares its stage 1)
-        "decontaminate",     # r5 family reps that stay put
+        # r7 additions / changes
+        "pipeline_incr_stateful",  # new in r7 (stateful ingest cycle)
+        "profile_table_approx",    # r7: deterministic validity-band twin
+        "dedup_cc",            # r7: reads/builds persisted label state
+        "dedup_cc_incr",       # r7: merges into persisted base labels
+        "dedup_keep_best",     # r7: window over persisted label state
+        "dedup_minhash_bucketed",  # r7: band index cache unified on
+        "ngram_jaccard",           # _STATE_CACHE (weakref eviction)
+        # r7 re-certifications (oldest driver rows, r3/r4-green only)
+        "set_union",
+        "agg_rollup",
+        "cross_join_filter",
+        "limit_skip",
+        "agg_global",
+        "sort_multi",
+        "coercion",
+        "join_nonequi_filter",
+        # r6 additions that keep their rows
+        "excise_spans",
+        "dedup_minhash_ingest_stream",
+        "temperature_mixture",
+        "decontaminate_fuzzy",
+        "profile_table",
+        "dup_span_frac",
+        "decontaminate",
         "decontaminate_stream",
         "lm_score",
         "quality_topk",
