@@ -90,7 +90,6 @@ EXTRA_QUERIES = [
     "doc_repetition",
     "semantic_dedup",
     "join_asof_nearest",
-    "dedup_keep_best",
     "dup_spans",
     "dup_span_frac",
     "decontaminate",
@@ -108,14 +107,43 @@ EXTRA_QUERIES = [
     "dedup_minhash_ingest_stream",
     "temperature_mixture",
     "decontaminate_fuzzy",
+    # round 7 — the stateful-ingest family reads persisted state
+    # tables built once per session.  ORDER MATTERS here: dedup_cc is
+    # the state BUILDER (its cold pass prices pair machinery + CC +
+    # the bucketed label layout, its steady the state scan);
+    # dedup_keep_best / dedup_cc_incr / pipeline_incr_stateful then
+    # price what production pays per batch against held state.
+    # dedup_keep_best and dedup_cc_incr moved here from the r5/r6
+    # positions for exactly that reason (per-query keys unchanged, so
+    # round-over-round per-query comparison still lines up).
+    "dedup_cc",
+    "dedup_keep_best",
     "dedup_cc_incr",
+    "pipeline_incr_stateful",
 ]
+
+
+def _canary_sec() -> float:
+    """Host-speed canary: a 20M-iteration CPython loop, the same probe
+    that diagnosed the r5/r6 cross-round drift (identical code
+    measured 14.1s vs 18.3s cold in different host windows; the loop
+    read 1.3-1.4s in fast windows, 1.9-2.1s in slow ones, with zero
+    steal and no competing load).  Emitting it in the JSON line makes
+    every bench number normalizable without digging through commit
+    messages: compare rounds via value/canary ratios, not raw secs."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(20_000_000):
+        x += i
+    assert x  # keep the loop from being optimized away by a future VM
+    return round(time.perf_counter() - t0, 4)
 
 
 def main() -> None:
     import __spark_entry__ as entry_mod
     from simple_rust_query_engine_spark.session import get_spark, release_barriers
 
+    canary_pre = _canary_sec()
     spark = get_spark("srqe-bench")
     qs = entry_mod.queries()
 
@@ -170,6 +198,7 @@ def main() -> None:
 
     cold, steady = run_set(BENCH_QUERIES)
     extra_cold, extra_steady = run_set(EXTRA_QUERIES)
+    canary_post = _canary_sec()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -184,6 +213,12 @@ def main() -> None:
         "extra_queries": extra_cold,
         "extra_steady_total": round(sum(extra_steady.values()), 4),
         "extra_steady_queries": extra_steady,
+        # host-speed canary bracketing the run (pre/post); min is the
+        # window's best-case CPU speed — normalize cross-round compares
+        # by value/canary_sec, not raw seconds
+        "canary_sec": min(canary_pre, canary_post),
+        "canary_pre": canary_pre,
+        "canary_post": canary_post,
         "sf": sf_val,
     }
     if errors:
@@ -206,6 +241,7 @@ def main() -> None:
         "steady_total": full["steady_total"],
         "extra_total": full["extra_total"],
         "extra_steady_total": full["extra_steady_total"],
+        "canary_sec": full["canary_sec"],
         "sf": sf_val,
     }
     if errors:
