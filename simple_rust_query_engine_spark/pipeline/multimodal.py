@@ -109,11 +109,23 @@ def decode_images(payloads: DataFrame, codec: str = "auto") -> DataFrame:
                 if codec == "real":
                     raise
 
+        if use_real:
+            # resolve the decode-shaped error set once per batch fn:
+            # UnidentifiedImageError/OSError = not a decodable image,
+            # ValueError = truncated/corrupt payload paths inside PIL.
+            # ONLY these fall back in auto mode — an environment
+            # failure (broken numpy, MemoryError, PIL misconfig) must
+            # PROPAGATE, not silently degrade every payload to fake
+            # metadata with no signal.
+            from PIL import UnidentifiedImageError
+
+            _decode_errors = (UnidentifiedImageError, OSError, ValueError)
+
         def one(payload: bytes) -> tuple:
             if use_real:
                 try:
                     return _real_decode(payload)
-                except Exception:
+                except _decode_errors:
                     if codec == "real":
                         raise
                     # auto: not a decodable image — deterministic fake

@@ -261,6 +261,7 @@ def stream_minhash_ingest(
     glob: str | None = None,
     max_files_per_trigger: int | None = None,
     checkpoint_location: str | None = None,
+    release_batch_barriers: bool = True,
 ):
     """Continuous LSH near-dup ingest THROUGH the streaming engine —
     the streaming twin of the persisted bucketed band index
@@ -305,7 +306,12 @@ def stream_minhash_ingest(
     with batch count.  The sweep assumes this stream owns the session
     (the intended deployment): it unpersists every RDD persisted
     DURING the batch, which would race with a concurrent query
-    creating barriers in the same session.
+    creating barriers in the same session — a later read of that
+    query's truncated frame raises CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.
+    A SHARED-session caller must pass
+    ``release_batch_barriers=False`` (the guard, not just a docstring
+    assumption) and manage block growth itself, e.g. via
+    ``session.release_barriers`` between its own queries.
     """
     from ..pipeline.dedup import (
         BAND_BUCKETS,
@@ -335,7 +341,7 @@ def stream_minhash_ingest(
 
     def ingest(batch_df, batch_id):
         sc = spark.sparkContext
-        live_before = set(_persistent_rdds(sc))
+        live_before = set(_persistent_rdds(sc)) if release_batch_barriers else ()
         bands = materialize(
             _band_exploded(_checkpointed_sigs(batch_df), with_sig=True)
         )
@@ -363,9 +369,11 @@ def stream_minhash_ingest(
         spark.catalog.refreshTable(pairs_table)
         # this batch's barriers are consumed (both appends committed);
         # release their blocks so state stays bounded across batches
-        for rid, rdd in _persistent_rdds(sc).items():
-            if rid not in live_before:
-                rdd.unpersist(False)
+        # (exclusive-session mode only — see release_batch_barriers)
+        if release_batch_barriers:
+            for rid, rdd in _persistent_rdds(sc).items():
+                if rid not in live_before:
+                    rdd.unpersist(False)
 
     writer = src.writeStream.foreachBatch(ingest).queryName(query_name)
     if checkpoint_location is not None:

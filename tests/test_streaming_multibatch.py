@@ -348,3 +348,46 @@ def test_stream_minhash_ingest_restart_resumes_from_checkpoint(
     finally:
         spark.sql("DROP TABLE IF EXISTS t_restart_idx")
         spark.sql("DROP TABLE IF EXISTS t_restart_pairs")
+
+
+def test_stream_minhash_ingest_shared_session_keeps_foreign_barriers(
+    spark, tmp_path_factory, tables
+):
+    # release_batch_barriers=False is the shared-session contract: a
+    # concurrent query's localCheckpoint blocks must SURVIVE the
+    # ingest (the default sweep would unpersist them and a later read
+    # would raise CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
+    from simple_rust_query_engine_spark.pipeline.dedup import materialize
+    from simple_rust_query_engine_spark.streaming.dedup import (
+        stream_minhash_ingest,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    out = tmp_path_factory.mktemp("docs_shared")
+    path = str(out / "documents-0.parquet")
+    pq.write_table(t.slice(0, t.num_rows // 3), path)
+    os.utime(path, (1_700_000_000, 1_700_000_000))
+
+    # the "concurrent query": a barrier created BEFORE ingest runs,
+    # read AFTER — only possible if the sweep leaves it alone
+    held = materialize(tables["documents"].select("doc_id").limit(100))
+    n_before = held.count()
+
+    idx_dir = tmp_path_factory.mktemp("ingest_idx_shared")
+    q = stream_minhash_ingest(
+        spark,
+        str(out),
+        "t_shared_idx",
+        str(idx_dir / "idx"),
+        "t_shared_pairs",
+        query_name="t_minhash_ingest_shared",
+        glob="documents-*.parquet",
+        release_batch_barriers=False,
+    )
+    q.processAllAvailable()
+    q.stop()
+    try:
+        assert held.count() == n_before  # blocks intact, no rebuild error
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_shared_idx")
+        spark.sql("DROP TABLE IF EXISTS t_shared_pairs")
