@@ -1586,6 +1586,77 @@ def _mh_old_label_state_for(
     )
 
 
+def commit_label_state(
+    spark, labels: DataFrame, table: str, path: str,
+    num_buckets: int = BAND_BUCKETS,
+) -> None:
+    """Overwrite the persisted label state with merged labels — the
+    COMMIT step of the ingest cycle.  The merged frame is hard-
+    materialized first (``merge_labels`` output already truncates
+    lineage at the CC loop, but the final vertex join is lazy): a
+    plan still referencing the table being overwritten would read
+    files the overwrite is deleting."""
+    from ..sources.write import write_bucketed
+
+    write_bucketed(
+        materialize(labels), table, path,
+        bucket_by=["doc_id"], num_buckets=num_buckets,
+    )
+
+
+def ingest_docs_batch(
+    spark,
+    batch_docs: DataFrame,
+    seen_docs: DataFrame,
+    index_table: str,
+    index_path: str,
+    label_table: str,
+    label_path: str,
+) -> DataFrame:
+    """ONE full committed ingest cycle — the loop a continuous dedup
+    pipeline runs per arriving batch at 100 TB, every corpus-sized
+    input persisted state:
+
+    1. band rows for the batch computed map-only (Arrow signature
+       UDF over the BATCH only) and APPENDED to the bucketed index;
+    2. the index PROBED with those same rows (batch broadcast, corpus
+       never shuffled) — because the append precedes the probe, the
+       batch sees itself plus everything earlier, so each new pair
+       surfaces exactly once across batches;
+    3. pairs at >= ``MH_DUP_NM`` agreeing signature rows become edges
+       and ``merge_labels`` folds them into the label state (CC over
+       star forest ∪ new edges — the dup subgraph);
+    4. the merged labels are COMMITTED back over the label state.
+
+    ``seen_docs`` is (doc_id) for every document ingested so far
+    INCLUDING this batch.  Returns the committed label frame.  After
+    any prefix of batches the label state equals from-scratch CC over
+    the same-threshold LSH edges of the documents seen so far
+    (``tests/test_end_to_end_pipeline.py::
+    test_committed_ingest_cycle_matches_from_scratch``)."""
+    from ..sources.write import write_bucketed
+
+    bands = materialize(
+        _band_exploded(_checkpointed_sigs(batch_docs), with_sig=True)
+    )
+    write_bucketed(
+        bands.repartition(BAND_BUCKETS, F.col("band")),
+        index_table, index_path,
+        bucket_by=["band"], num_buckets=BAND_BUCKETS, mode="append",
+    )
+    new_edges = (
+        probe_band_index(spark, index_table, new_bands=bands)
+        .filter(F.col("n_match") >= MH_DUP_NM)
+        .select("doc_a", "doc_b")
+    )
+    labels0 = spark.table(label_table).union(
+        batch_docs.select("doc_id", F.col("doc_id").alias("label"))
+    )
+    merged = merge_labels(labels0, new_edges, seen_docs.select("doc_id"))
+    commit_label_state(spark, merged, label_table, label_path)
+    return spark.table(label_table)
+
+
 def q_pipeline_incr_stateful(spark, sf_dir: str) -> DataFrame:
     """The 100 TB ingest cycle END-TO-END as one per-batch query, every
     corpus-sized input a persisted table laid down once per session:

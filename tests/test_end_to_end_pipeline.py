@@ -90,3 +90,52 @@ def test_curation_pipeline_end_to_end(spark, tables):
 
     # the funnel is monotone and ends non-trivial
     assert n0 >= n1 >= n2 >= n3 >= n4 > 0
+
+
+def test_committed_ingest_cycle_matches_from_scratch(
+    spark, tables, tmp_path_factory
+):
+    # the FULL committed loop, three arriving batches: band append ->
+    # broadcast probe -> merge_labels -> commit label state.  After
+    # every batch the persisted label state must equal from-scratch
+    # CC over the same-threshold LSH edges of the documents seen so
+    # far — the invariant that makes incremental ingest trustworthy
+    # at 100 TB (no drift, ever, regardless of batch boundaries).
+    from simple_rust_query_engine_spark.pipeline import dedup as D
+
+    docs = tables["documents"]
+    out = tmp_path_factory.mktemp("ingest_cycle")
+    idx_t, lab_t = "t_cycle_idx", "t_cycle_labels"
+
+    # empty initial state
+    D.commit_label_state(
+        spark,
+        spark.createDataFrame([], "doc_id long, label long"),
+        lab_t,
+        str(out / "labels"),
+    )
+    try:
+        seen = None
+        for b in range(3):
+            batch = docs.filter(F.col("doc_id") % 3 == b)
+            seen = batch.select("doc_id") if seen is None else (
+                seen.union(batch.select("doc_id"))
+            )
+            state = D.ingest_docs_batch(
+                spark, batch, seen, idx_t, str(out / "idx"),
+                lab_t, str(out / "labels"),
+            )
+            # from-scratch truth over the documents seen so far
+            seen_docs = docs.join(seen, "doc_id")
+            edges = (
+                D.minhash_lsh_pairs(seen_docs)
+                .filter(F.col("n_match") >= D.MH_DUP_NM)
+                .select("doc_a", "doc_b")
+            )
+            want = D.connected_components(edges, seen.select("doc_id"))
+            got = {(r.doc_id, r.label) for r in state.collect()}
+            exp = {(r.doc_id, r.label) for r in want.collect()}
+            assert got == exp, f"batch {b}: state diverged from scratch"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {idx_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {lab_t}")
