@@ -110,16 +110,30 @@ def decode_images(payloads: DataFrame, codec: str = "auto") -> DataFrame:
                     raise
 
         if use_real:
-            # resolve the decode-shaped error set once per batch fn:
-            # UnidentifiedImageError/OSError = not a decodable image,
-            # ValueError = truncated/corrupt payload paths inside PIL.
-            # ONLY these fall back in auto mode — an environment
-            # failure (broken numpy, MemoryError, PIL misconfig) must
-            # PROPAGATE, not silently degrade every payload to fake
-            # metadata with no signal.
+            # resolve the decode-shaped (PAYLOAD-failure) error set
+            # once per batch fn: UnidentifiedImageError/OSError = not
+            # a decodable image; ValueError/SyntaxError/EOFError/
+            # struct.error = truncated or corrupt payload paths inside
+            # PIL's format plugins; DecompressionBombError = a valid
+            # but hostile payload (it subclasses Exception directly,
+            # not OSError/ValueError).  ONLY these fall back in auto
+            # mode — an environment failure (broken numpy,
+            # MemoryError, PIL misconfig) must PROPAGATE, not silently
+            # degrade every payload to fake metadata with no signal.
+            import struct
+
+            from PIL import Image as _PILImage
             from PIL import UnidentifiedImageError
 
-            _decode_errors = (UnidentifiedImageError, OSError, ValueError)
+            _decode_errors = (
+                UnidentifiedImageError,
+                _PILImage.DecompressionBombError,
+                OSError,
+                ValueError,
+                SyntaxError,
+                EOFError,
+                struct.error,
+            )
 
         def one(payload: bytes) -> tuple:
             if use_real:

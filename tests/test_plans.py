@@ -631,14 +631,19 @@ def test_label_state_reused_across_calls(spark):
     # would re-pay CC + layout, the exact cost VERDICT r6 flagged
     from simple_rust_query_engine_spark.pipeline import dedup as D
 
-    before = dict(D._STATE_CACHE)
     _q(spark, "dedup_keep_best").count()
     mid = {k: v for k, v in D._STATE_CACHE.items() if k[0].startswith("state:")}
+    assert mid  # keep_best laid down pair + label state
     _q(spark, "dedup_keep_best").count()
     _q(spark, "dedup_cc_incr").count()
     after = {k: v for k, v in D._STATE_CACHE.items() if k[0].startswith("state:")}
-    # keep_best's second call added no new state; cc_incr added only
-    # its own base-label/pair tables, never rebuilt keep_best's
+    # TUPLE IDENTITY, not value equality: table names are
+    # deterministic md5 digests, so a broken cache that rebuilds per
+    # call still produces equal strings — only the entry object
+    # itself proves build() did not rerun
     for k, v in mid.items():
-        assert after[k][1] == v[1], k
-    assert before is not None
+        assert after[k] is v, k
+    # cc_incr never evicted/rebuilt keep_best's entries (its own keys
+    # may or may not be new — an earlier test in the shared session
+    # can have built them already)
+    assert set(mid) <= set(after)
