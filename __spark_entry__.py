@@ -288,6 +288,14 @@ _DEFER_PAST_CAP = (
     "dedup_survivors",     # → ngram_jaccard, dedup_cc, dedup_keep_best,
                            #   dedup_cc_incr stay (same shared edge
                            #   machinery, all r7-touched and in-window)
+    # r7 addition dedup_labels_stream (continuous label maintenance
+    # through foreachBatch: per-batch merge_labels + commit, oracle =
+    # from-scratch minhash-CC labels) enters; dedup_exact_stream
+    # (r6-green, unchanged) defers — streaming-execution-vs-batch-
+    # oracle stays checked via events_window_stream,
+    # decontaminate_stream, events_stream_join,
+    # dedup_minhash_ingest_stream and the new labels stream itself
+    "dedup_exact_stream",
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

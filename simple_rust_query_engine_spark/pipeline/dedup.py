@@ -2216,12 +2216,13 @@ ORACLE: dict[str, str] = {
 ORACLE["dedup_cc_incr"] = ORACLE["dedup_cc"]
 
 
-def _pipeline_incr_stateful_oracle() -> str:
-    """From-scratch twin of the stateful ingest cycle: full-corpus
-    banded-LSH candidate pairs thresholded at ``MH_DUP_NM`` agreeing
-    signature rows (same sig/band CTE family as ``_minhash_oracle``),
-    recursive-CTE connected components, then the ``dedup_keep_best``
-    richness rank restricted to components containing a batch doc."""
+def _mh_cc_lab_ctes() -> str:
+    """Shared oracle CTE chain for minhash-edged connected components:
+    full-corpus banded-LSH candidate pairs thresholded at
+    ``MH_DUP_NM`` agreeing signature rows (same sig/band family as
+    ``_minhash_oracle``) → recursive reachability → per-node reached
+    minimum (``lab``).  Consumed by the stateful-pipeline and
+    streaming-labels oracles."""
     rows = MH_K // MH_BANDS
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, '{b},' || {parts} AS band FROM sig".format(
@@ -2232,7 +2233,6 @@ def _pipeline_incr_stateful_oracle() -> str:
     )
     n_match = " + ".join(f"(x.s{i} = y.s{i})::INT" for i in range(MH_K))
     return f"""
-        WITH RECURSIVE
         sig AS ({_minhash_sig_sql()}),
         bands AS ({band_selects}),
         edges AS (
@@ -2253,7 +2253,28 @@ def _pipeline_incr_stateful_oracle() -> str:
             UNION
             SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
         ),
-        lab AS (SELECT src AS doc_id, MIN(dst) AS mn FROM reach GROUP BY src),
+        lab AS (SELECT src AS doc_id, MIN(dst) AS mn FROM reach GROUP BY src)
+    """
+
+
+def mh_cc_labels_oracle() -> str:
+    """From-scratch minhash-edged component labels over the full
+    corpus — the oracle of any incremental/streaming label-state
+    maintainer (the state must equal this after every batch)."""
+    return f"""
+        WITH RECURSIVE {_mh_cc_lab_ctes()}
+        SELECT d.doc_id,
+               LEAST(d.doc_id, COALESCE(l.mn, d.doc_id)) AS label
+        FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+    """
+
+
+def _pipeline_incr_stateful_oracle() -> str:
+    """From-scratch twin of the stateful ingest cycle: the shared
+    minhash-CC label CTEs, then the ``dedup_keep_best`` richness rank
+    restricted to components containing a batch doc."""
+    return f"""
+        WITH RECURSIVE {_mh_cc_lab_ctes()},
         labeled AS (
             SELECT d.doc_id,
                    LEAST(d.doc_id, COALESCE(l.mn, d.doc_id)) AS label,

@@ -262,6 +262,8 @@ def stream_minhash_ingest(
     max_files_per_trigger: int | None = None,
     checkpoint_location: str | None = None,
     release_batch_barriers: bool = True,
+    label_table: str | None = None,
+    label_path: str | None = None,
 ):
     """Continuous LSH near-dup ingest THROUGH the streaming engine —
     the streaming twin of the persisted bucketed band index
@@ -312,7 +314,21 @@ def stream_minhash_ingest(
     ``release_batch_barriers=False`` (the guard, not just a docstring
     assumption) and manage block growth itself, e.g. via
     ``session.release_barriers`` between its own queries.
-    """
+
+    Pass ``label_table``/``label_path`` to ALSO maintain component
+    labels continuously: after each batch's pairs land, the thresholded
+    new edges are folded into the persisted label state
+    (``merge_labels`` over the dup-subgraph star forest ∪ new edges)
+    and the merged labels committed back — the streaming twin of
+    ``pipeline.dedup.ingest_docs_batch``.  Batch docs enter with
+    identity labels via an ANTI-join against the state, so an
+    at-least-once replay of a committed batch re-merges the same
+    edges into the same labels (idempotent) instead of duplicating
+    vertices.  After any prefix of batches the label state equals
+    from-scratch CC over the same-threshold LSH edges of the
+    documents seen so far."""
+    if label_table is not None and label_path is None:
+        raise ValueError("stream_minhash_ingest: label_table needs label_path")
     from ..pipeline.dedup import (
         BAND_BUCKETS,
         _band_exploded,
@@ -367,6 +383,36 @@ def stream_minhash_ingest(
             w = w.option("path", pairs_path)
         w.saveAsTable(pairs_table)
         spark.catalog.refreshTable(pairs_table)
+        if label_table is not None:
+            from ..pipeline.dedup import (
+                MH_DUP_NM,
+                commit_label_state,
+                merge_labels,
+            )
+
+            if not spark.catalog.tableExists(label_table):
+                commit_label_state(
+                    spark,
+                    spark.createDataFrame([], "doc_id long, label long"),
+                    label_table,
+                    label_path,
+                )
+            state = spark.table(label_table)
+            # anti-join: only genuinely-new docs get identity labels,
+            # so a replayed batch re-merges into identical state
+            arriving = (
+                batch_df.select("doc_id")
+                .join(state.select("doc_id"), "doc_id", "left_anti")
+                .select("doc_id", F.col("doc_id").alias("label"))
+            )
+            labels0 = state.union(arriving)
+            new_edges = pairs.filter(
+                F.col("n_match") >= MH_DUP_NM
+            ).select("doc_a", "doc_b")
+            merged = merge_labels(
+                labels0, new_edges, labels0.select("doc_id")
+            )
+            commit_label_state(spark, merged, label_table, label_path)
         # this batch's barriers are consumed (both appends committed);
         # release their blocks so state stays bounded across batches
         # (exclusive-session mode only — see release_batch_barriers)
@@ -419,6 +465,40 @@ def q_dedup_minhash_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table(pairs_table).distinct()
 
 
+def q_dedup_labels_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for CONTINUOUS label maintenance: the corpus
+    ingested through ``stream_minhash_ingest`` with
+    ``label_table`` set, so every micro-batch appends its bands,
+    probes, and folds the thresholded edges into the persisted label
+    state (``merge_labels`` + commit).  The committed state after the
+    stream drains must equal from-scratch minhash-edged CC over the
+    corpus — the oracle IS that recursive CTE
+    (``pipeline.dedup.mh_cc_labels_oracle``); the multi-batch
+    chronological-replay path is pinned by
+    ``tests/test_streaming_multibatch.py``."""
+    import uuid
+
+    run = uuid.uuid4().hex[:10]
+    index_table = f"labels_stream_idx_{run}"
+    pairs_table = f"labels_stream_pairs_{run}"
+    label_table = f"labels_stream_state_{run}"
+    tmp = os.path.join(_ingest_run_dir(), run)
+    q = stream_minhash_ingest(
+        spark,
+        sf_dir,
+        index_table,
+        os.path.join(tmp, "idx"),
+        pairs_table,
+        pairs_path=os.path.join(tmp, "pairs"),
+        query_name=f"labels_stream_{run}",
+        label_table=label_table,
+        label_path=os.path.join(tmp, "labels"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(label_table)
+
+
 _INGEST_RUN_DIR: list = [None]
 
 
@@ -460,11 +540,20 @@ def _minhash_ingest_oracle() -> str:
     return _minhash_oracle()
 
 
+def _labels_stream_oracle() -> str:
+    # continuous label maintenance must reproduce from-scratch
+    # minhash-edged CC exactly — shared definition
+    from ..pipeline.dedup import mh_cc_labels_oracle
+
+    return mh_cc_labels_oracle()
+
+
 ORACLE: dict[str, str] = {
     "dedup_exact_stream": "SELECT DISTINCT md5(text) AS content_hash FROM documents",
     "minhash_sig_stream": _minhash_sig_stream_oracle(),
     "decontaminate_stream": _decontaminate_stream_oracle(),
     "dedup_minhash_ingest_stream": _minhash_ingest_oracle(),
+    "dedup_labels_stream": _labels_stream_oracle(),
 }
 
 QUERIES: dict = {}
@@ -475,4 +564,5 @@ QUERIES_SPARK = {
     "minhash_sig_stream": q_minhash_sig_stream,
     "decontaminate_stream": q_decontaminate_stream,
     "dedup_minhash_ingest_stream": q_dedup_minhash_ingest_stream,
+    "dedup_labels_stream": q_dedup_labels_stream,
 }

@@ -38,6 +38,7 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
     must_be_checked = {
         # r7 additions / changes
         "pipeline_incr_stateful",  # new in r7 (stateful ingest cycle)
+        "dedup_labels_stream",     # new in r7 (continuous label state)
         "profile_table_approx",    # r7: deterministic validity-band twin
         "dedup_cc",            # r7: reads/builds persisted label state
         "dedup_cc_incr",       # r7: merges into persisted base labels

@@ -391,3 +391,61 @@ def test_stream_minhash_ingest_shared_session_keeps_foreign_barriers(
     finally:
         spark.sql("DROP TABLE IF EXISTS t_shared_idx")
         spark.sql("DROP TABLE IF EXISTS t_shared_pairs")
+
+
+def test_stream_label_maintenance_matches_from_scratch(
+    spark, tmp_path_factory, tables
+):
+    # continuous label maintenance across 3 chronological batches:
+    # after the stream drains, the committed label state must equal
+    # from-scratch minhash-edged CC over the full corpus — the
+    # streaming counterpart of the committed batch-loop test
+    from pyspark.sql import functions as F
+
+    from simple_rust_query_engine_spark.pipeline import dedup as D
+    from simple_rust_query_engine_spark.streaming.dedup import (
+        stream_minhash_ingest,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    out = tmp_path_factory.mktemp("docs_labels")
+    n = t.num_rows
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        path = str(out / f"documents-{i}.parquet")
+        pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]), path)
+        stamp = 1_700_000_000 + i * 60
+        os.utime(path, (stamp, stamp))
+
+    run = tmp_path_factory.mktemp("labels_state")
+    q = stream_minhash_ingest(
+        spark,
+        str(out),
+        "t_lbl_idx",
+        str(run / "idx"),
+        "t_lbl_pairs",
+        query_name="t_labels_stream",
+        glob="documents-*.parquet",
+        max_files_per_trigger=1,
+        label_table="t_lbl_state",
+        label_path=str(run / "labels"),
+    )
+    q.processAllAvailable()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    q.stop()
+    try:
+        assert n_batches >= 3
+        edges = (
+            D.minhash_lsh_pairs(tables["documents"])
+            .filter(F.col("n_match") >= D.MH_DUP_NM)
+            .select("doc_a", "doc_b")
+        )
+        want = D.connected_components(
+            edges, tables["documents"].select("doc_id")
+        )
+        got = {(r.doc_id, r.label) for r in spark.table("t_lbl_state").collect()}
+        exp = {(r.doc_id, r.label) for r in want.collect()}
+        assert got == exp
+    finally:
+        for tbl in ("t_lbl_idx", "t_lbl_pairs", "t_lbl_state"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
