@@ -296,6 +296,12 @@ _DEFER_PAST_CAP = (
     # decontaminate_stream, events_stream_join,
     # dedup_minhash_ingest_stream and the new labels stream itself
     "dedup_exact_stream",
+    # r7 addition bpe_pair_counts (tokenizer-induction kernel: adjacent
+    # char pairs weighted by word frequency off the vocab-sized word
+    # dict, deterministic top-k) enters; lm_score (r6-green, unchanged)
+    # defers — its _lm_scores machinery is composed and hash-checked
+    # inside quality_topk, which stays in-window
+    "lm_score",
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

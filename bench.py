@@ -121,6 +121,7 @@ EXTRA_QUERIES = [
     "dedup_cc_incr",
     "pipeline_incr_stateful",
     "dedup_labels_stream",
+    "bpe_pair_counts",
     # the r7 driver entry for profile_table_approx adds an exact
     # validity band (for the hash oracle), so timing IT under the r6
     # key would silently change what that key measures (approx+exact

@@ -19,6 +19,7 @@ splits.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -508,6 +509,133 @@ def q_quality_topk(t: dict) -> DataFrame:
     return quality_topk_per_lang(t["documents"])
 
 
+# ---------------------------------------------------------- tokenizer
+#: pairs reported by the driver's BPE kernel query
+BPE_TOPK = 20
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct-word frequency dictionary — the tokenizer-training
+    input (Sennrich et al. 2016 §3.2 train BPE on exactly this).  The
+    ONLY corpus-sized work in tokenizer induction happens here: one
+    map-side explode and one uniform, map-combinable groupBy on the
+    word.  Every BPE iteration afterwards runs over this vocab-sized
+    frame — at 100 TB the corpus pass is unavoidable and linear, the
+    dictionary is millions of rows, not trillions."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def bpe_pair_counts(docs: DataFrame, k: int = BPE_TOPK) -> DataFrame:
+    """The argmax kernel of one BPE merge round: adjacent CHARACTER
+    pairs weighted by word frequency, top-``k`` with a deterministic
+    tie-break (count desc, then pair lexicographic).  Positions
+    explode off the vocab-sized word dictionary, never the corpus;
+    the final top-k plans as TakeOrdered (k rows per partition cross
+    the exchange)."""
+    wc = word_counts(docs).filter(F.length("word") >= 2)
+    pairs = wc.select(
+        "word",
+        "cnt",
+        F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+    ).select(
+        F.expr("substring(word, i, 1)").alias("a"),
+        F.expr("substring(word, i + 1, 1)").alias("b"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.sum("cnt").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(k)
+    )
+
+
+def q_bpe_pair_counts(t: dict) -> DataFrame:
+    return bpe_pair_counts(t["documents"])
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = 10, text_col: str = "text"
+) -> list[tuple[str, str, int]]:
+    """Byte-pair-encoding merge induction (Sennrich et al. 2016) —
+    the standard subword-tokenizer training loop, distributed: per
+    round, count adjacent symbol pairs over the WORD DICTIONARY
+    (weighted by word frequency), take the most frequent pair
+    (deterministic tie-break), merge it left-to-right in every word's
+    symbol sequence, repeat.  Returns the ordered merge list
+    [(a, b, pair_count), ...].
+
+    Scale shape: the corpus is touched once (``word_counts``); each
+    of the ``n_merges`` rounds is two vocab-sized jobs (a pair-count
+    aggregation and a map-only merge application via an Arrow-batched
+    pandas UDF — per-row Python over the dictionary, not the corpus).
+    The driver holds only the 1-row argmax per round; the
+    segmentation state is localCheckpointed per round so iterative
+    plans do not nest (same discipline as connected components).
+    Verified against a pure-Python reference implementation in
+    ``tests/test_pipeline_paths.py``."""
+    from .dedup import materialize
+
+    state = materialize(
+        word_counts(docs, text_col)
+        .filter(F.length("word") >= 2)
+        .select(F.split("word", "").alias("syms"), "cnt")
+    )
+    merges: list[tuple[str, str, int]] = []
+    pair_expr = F.expr(
+        "transform(sequence(1, size(syms) - 1), "
+        "i -> struct(syms[i - 1] AS a, syms[i] AS b))"
+    )
+    for _ in range(n_merges):
+        top = (
+            state.select("cnt", F.explode(pair_expr).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, c = top[0].a, top[0].b, int(top[0].c)
+        merges.append((a, b, c))
+        merge_udf = _bpe_merge_udf(a, b)
+        state = materialize(
+            state.select(merge_udf("syms").alias("syms"), "cnt")
+        )
+    return merges
+
+
+def _bpe_merge_udf(a: str, b: str):
+    """Closure factory for the per-round merge application (a bare
+    closure keeps the pandas_udf type hints resolvable under
+    ``from __future__ import annotations`` — pd is a module-level
+    import)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def merge(xs: list) -> list:
+        out, i, n = [], 0, len(xs)
+        while i < n:
+            if i + 1 < n and xs[i] == a and xs[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(xs[i])
+                i += 1
+        return out
+
+    @pandas_udf("array<string>")
+    def merge_pair(col: pd.Series) -> pd.Series:
+        return col.apply(lambda xs: merge(list(xs)))
+
+    return merge_pair
+
+
 # ------------------------------------------------------------- oracles
 def _sql_word_hash(w: str) -> str:
     return f"(ascii({w})*131 + length({w})*31 + ascii(reverse({w})))::BIGINT"
@@ -718,6 +846,24 @@ ORACLE: dict[str, str] = {
         FROM tf JOIN df USING (token), n
         ORDER BY tf DESC, token ASC LIMIT {VOCAB_K}
     """,
+    # word[i] is 1-indexed character access in DuckDB; range(1, len) is
+    # end-exclusive, so positions pair (i, i+1) over the whole word —
+    # identical to Spark's substring(word, i, 1)/sequence(1, len-1)
+    "bpe_pair_counts": f"""
+        WITH w AS (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ),
+        wc AS (
+            SELECT word, COUNT(*) AS cnt FROM w
+            WHERE len(word) >= 2 GROUP BY word
+        ),
+        p AS (
+            SELECT word, cnt, unnest(range(1, len(word))) AS i FROM wc
+        )
+        SELECT word[i] AS a, word[i + 1] AS b, SUM(cnt) AS pair_count
+        FROM p GROUP BY 1, 2
+        ORDER BY pair_count DESC, a ASC, b ASC LIMIT {BPE_TOPK}
+    """,
 }
 
 # reorder oracle columns note: driver sorts columns by name before
@@ -735,4 +881,5 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "lm_score": q_lm_score,
     "quality_topk": q_quality_topk,
+    "bpe_pair_counts": q_bpe_pair_counts,
 }

@@ -39,6 +39,7 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
         # r7 additions / changes
         "pipeline_incr_stateful",  # new in r7 (stateful ingest cycle)
         "dedup_labels_stream",     # new in r7 (continuous label state)
+        "bpe_pair_counts",         # new in r7 (tokenizer induction)
         "profile_table_approx",    # r7: deterministic validity-band twin
         "dedup_cc",            # r7: reads/builds persisted label state
         "dedup_cc_incr",       # r7: merges into persisted base labels
@@ -63,7 +64,6 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
         "dup_span_frac",
         "decontaminate",
         "decontaminate_stream",
-        "lm_score",
         "quality_topk",
         "tpch_q18_like",
         "tpch_q14_like",

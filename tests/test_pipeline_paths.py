@@ -822,3 +822,59 @@ def test_durable_materialize_truncates_lineage(spark):
     assert "ExistingRDD" in plan, plan
     assert "Range" not in plan, plan
     assert sorted(map(tuple, out.collect())) == [(i, 2 * i) for i in range(10)]
+
+
+def test_bpe_train_matches_python_reference(spark, tables):
+    # the distributed BPE loop (pair counts + merge apply over the
+    # word dict) must produce the exact merge sequence a single-node
+    # reference implementation derives from the same word counts —
+    # including tie-breaks (count desc, then pair lexicographic)
+    from collections import Counter
+
+    from simple_rust_query_engine_spark.pipeline.text import (
+        bpe_train,
+        word_counts,
+    )
+
+    docs = tables["documents"]
+    wc = {
+        r.word: r.cnt
+        for r in word_counts(docs).collect()
+        if len(r.word) >= 2
+    }
+
+    def py_bpe(wc, n):
+        state = {w: tuple(w) for w in wc}
+        merges = []
+        for _ in range(n):
+            counts = Counter()
+            for w, syms in state.items():
+                for i in range(len(syms) - 1):
+                    counts[(syms[i], syms[i + 1])] += wc[w]
+            if not counts:
+                break
+            (a, b), c = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((a, b, c))
+            nxt = {}
+            for w, syms in state.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                nxt[w] = tuple(out)
+            state = nxt
+        return merges
+
+    want = py_bpe(wc, 8)
+    got = bpe_train(docs, n_merges=8)
+    assert got == want
