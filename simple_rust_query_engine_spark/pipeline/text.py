@@ -611,6 +611,59 @@ def bpe_train(
     return merges
 
 
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained BPE merge list to segment the corpus — THE
+    tokenization pass of a training pipeline.  Per document: split to
+    words, segment each word by repeatedly merging the adjacent pair
+    with the LOWEST merge rank (the standard BPE encode order —
+    identical output to replaying the merges sequentially), emit the
+    concatenated subword stream.
+
+    Map-only at any scale: the merge-rank dict is tiny and ships in
+    the UDF closure (broadcast with the task), text moves as Arrow
+    batches, and a per-batch word→segmentation memo collapses the
+    heavy-tailed word distribution (each distinct word in a batch is
+    segmented once).  Emits (doc_id, subwords, n_subwords)."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {(a, b): i for i, (a, b, *_) in enumerate(merges)}
+
+    def segment(word: str, memo: dict) -> list:
+        got = memo.get(word)
+        if got is not None:
+            return got
+        syms = list(word)
+        while len(syms) > 1:
+            best, best_rank = -1, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = i, r
+            if best_rank is None:
+                break
+            syms[best : best + 2] = [syms[best] + syms[best + 1]]
+        memo[word] = syms
+        return syms
+
+    @pandas_udf("array<string>")
+    def encode(col: pd.Series) -> pd.Series:
+        memo: dict = {}
+        return col.apply(
+            lambda t: [
+                s for w in t.split(" ") if w for s in segment(w, memo)
+            ]
+        )
+
+    return docs.select(
+        "doc_id",
+        encode(F.col(text_col)).alias("subwords"),
+    ).withColumn("n_subwords", F.size("subwords"))
+
+
 def _bpe_merge_udf(a: str, b: str):
     """Closure factory for the per-round merge application (a bare
     closure keeps the pandas_udf type hints resolvable under

@@ -878,3 +878,39 @@ def test_bpe_train_matches_python_reference(spark, tables):
     want = py_bpe(wc, 8)
     got = bpe_train(docs, n_merges=8)
     assert got == want
+
+
+def test_bpe_encode_matches_merge_replay(spark, tables):
+    # encode-by-lowest-rank must equal sequentially replaying the
+    # trained merges over every word (the standard BPE equivalence),
+    # and concatenating subwords must reproduce the original words
+    from simple_rust_query_engine_spark.pipeline.text import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = tables["documents"]
+    merges = bpe_train(docs, n_merges=8)
+
+    def replay(word):
+        syms = list(word)
+        for a, b, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    got = {r.doc_id: (list(r.subwords), r.n_subwords)
+           for r in bpe_encode(docs, merges).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        want = [s for w in row.text.split(" ") if w for s in replay(w)]
+        subwords, n = got[row.doc_id]
+        assert subwords == want, row.doc_id
+        assert n == len(want)
+        assert "".join(subwords) == row.text.replace(" ", "")
