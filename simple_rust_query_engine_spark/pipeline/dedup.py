@@ -1653,10 +1653,50 @@ def commit_label_state(
     )
 
 
+def fold_edges_into_labels(
+    spark,
+    arriving_docs: DataFrame,
+    pairs: DataFrame,
+    label_table: str,
+    label_path: str,
+) -> None:
+    """Fold one batch's thresholded near-dup edges into the persisted
+    label state — the shared merge/commit tail of BOTH ingest loops
+    (``ingest_docs_batch`` and
+    ``streaming.dedup.stream_minhash_ingest``), kept in one place so
+    the replay hardening cannot drift between the copies.
+
+    ``pairs`` is the batch's probe result (``doc_a, doc_b, n_match``);
+    rows at >= ``MH_DUP_NM`` agreeing signature rows become edges.
+    Arriving docs enter with identity labels via an ANTI-join against
+    the state, so an at-least-once replay of a committed batch
+    re-merges the same edges into the same labels (idempotent)
+    instead of duplicating vertices.  Creates the label table empty
+    on first use; commits the merged labels back when done."""
+    if not spark.catalog.tableExists(label_table):
+        commit_label_state(
+            spark,
+            spark.createDataFrame([], "doc_id long, label long"),
+            label_table,
+            label_path,
+        )
+    state = spark.table(label_table)
+    arriving = (
+        arriving_docs.select("doc_id")
+        .join(state.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("label"))
+    )
+    labels0 = state.union(arriving)
+    new_edges = (
+        pairs.filter(F.col("n_match") >= MH_DUP_NM).select("doc_a", "doc_b")
+    )
+    merged = merge_labels(labels0, new_edges, labels0.select("doc_id"))
+    commit_label_state(spark, merged, label_table, label_path)
+
+
 def ingest_docs_batch(
     spark,
     batch_docs: DataFrame,
-    seen_docs: DataFrame,
     index_table: str,
     index_path: str,
     label_table: str,
@@ -1674,14 +1714,15 @@ def ingest_docs_batch(
        batch sees itself plus everything earlier, so each new pair
        surfaces exactly once across batches;
     3. pairs at >= ``MH_DUP_NM`` agreeing signature rows become edges
-       and ``merge_labels`` folds them into the label state (CC over
-       star forest ∪ new edges — the dup subgraph);
+       and ``fold_edges_into_labels`` merges them into the label
+       state (``merge_labels``: CC over star forest ∪ new edges — the
+       dup subgraph; batch docs enter with identity labels via an
+       anti-join, so replaying a committed batch is idempotent);
     4. the merged labels are COMMITTED back over the label state.
 
-    ``seen_docs`` is (doc_id) for every document ingested so far
-    INCLUDING this batch.  Returns the committed label frame.  After
-    any prefix of batches the label state equals from-scratch CC over
-    the same-threshold LSH edges of the documents seen so far
+    Returns the committed label frame.  After any prefix of batches
+    the label state equals from-scratch CC over the same-threshold
+    LSH edges of the documents seen so far
     (``tests/test_end_to_end_pipeline.py::
     test_committed_ingest_cycle_matches_from_scratch``).
 
@@ -1713,16 +1754,8 @@ def ingest_docs_batch(
         index_table, index_path,
         bucket_by=["band"], num_buckets=BAND_BUCKETS, mode="append",
     )
-    new_edges = (
-        probe_band_index(spark, index_table, new_bands=bands)
-        .filter(F.col("n_match") >= MH_DUP_NM)
-        .select("doc_a", "doc_b")
-    )
-    labels0 = spark.table(label_table).union(
-        batch_docs.select("doc_id", F.col("doc_id").alias("label"))
-    )
-    merged = merge_labels(labels0, new_edges, seen_docs.select("doc_id"))
-    commit_label_state(spark, merged, label_table, label_path)
+    pairs = probe_band_index(spark, index_table, new_bands=bands)
+    fold_edges_into_labels(spark, batch_docs, pairs, label_table, label_path)
     if release_batch_barriers:
         for rid, rdd in _persistent_rdds(sc).items():
             if rid not in live_before:

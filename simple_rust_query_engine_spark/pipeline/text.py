@@ -530,26 +530,36 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _adjacent_pair_counts(syms_df: DataFrame) -> DataFrame:
+    """THE adjacent-pair-count kernel every BPE round shares: over a
+    (``syms`` array<string>, ``cnt``) frame, count adjacent symbol
+    pairs weighted by ``cnt``.  Rows whose symbol sequence has
+    collapsed below two symbols are filtered FIRST — without the
+    guard, ``sequence(1, size(syms) - 1)`` is the DESCENDING [1, 0]
+    when size = 1 and ``syms[i]`` indexes out of bounds (ANSI
+    INVALID_ARRAY_INDEX under Spark 4 defaults)."""
+    pair_expr = F.expr(
+        "transform(sequence(1, size(syms) - 1), "
+        "i -> struct(syms[i - 1] AS a, syms[i] AS b))"
+    )
+    return (
+        syms_df.filter(F.size("syms") >= 2)
+        .select("cnt", F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").alias("pair_count"))
+    )
+
+
 def bpe_pair_counts(docs: DataFrame, k: int = BPE_TOPK) -> DataFrame:
     """The argmax kernel of one BPE merge round: adjacent CHARACTER
     pairs weighted by word frequency, top-``k`` with a deterministic
-    tie-break (count desc, then pair lexicographic).  Positions
+    tie-break (count desc, then pair lexicographic).  Symbol pairs
     explode off the vocab-sized word dictionary, never the corpus;
     the final top-k plans as TakeOrdered (k rows per partition cross
     the exchange)."""
-    wc = word_counts(docs).filter(F.length("word") >= 2)
-    pairs = wc.select(
-        "word",
-        "cnt",
-        F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
-    ).select(
-        F.expr("substring(word, i, 1)").alias("a"),
-        F.expr("substring(word, i + 1, 1)").alias("b"),
-        "cnt",
-    )
+    wc = word_counts(docs).select(F.split("word", "").alias("syms"), "cnt")
     return (
-        pairs.groupBy("a", "b")
-        .agg(F.sum("cnt").alias("pair_count"))
+        _adjacent_pair_counts(wc)
         .orderBy(F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc())
         .limit(k)
     )
@@ -587,26 +597,26 @@ def bpe_train(
         .select(F.split("word", "").alias("syms"), "cnt")
     )
     merges: list[tuple[str, str, int]] = []
-    pair_expr = F.expr(
-        "transform(sequence(1, size(syms) - 1), "
-        "i -> struct(syms[i - 1] AS a, syms[i] AS b))"
-    )
     for _ in range(n_merges):
         top = (
-            state.select("cnt", F.explode(pair_expr).alias("p"))
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("cnt").alias("c"))
-            .orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
+            _adjacent_pair_counts(state)
+            .orderBy(
+                F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc()
+            )
             .limit(1)
             .collect()
         )
         if not top:
             break
-        a, b, c = top[0].a, top[0].b, int(top[0].c)
+        a, b, c = top[0].a, top[0].b, int(top[0].pair_count)
         merges.append((a, b, c))
         merge_udf = _bpe_merge_udf(a, b)
+        # fully-merged words (size 1 after the merge) can never join a
+        # future pair — drop them from the iterated state so rounds
+        # shrink and exhaustion terminates via the empty-argmax break
         state = materialize(
             state.select(merge_udf("syms").alias("syms"), "cnt")
+            .filter(F.size("syms") >= 2)
         )
     return merges
 

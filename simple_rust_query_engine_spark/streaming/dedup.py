@@ -333,6 +333,7 @@ def stream_minhash_ingest(
         BAND_BUCKETS,
         _band_exploded,
         _checkpointed_sigs,
+        fold_edges_into_labels,
         materialize,
         probe_band_index,
     )
@@ -378,41 +379,20 @@ def stream_minhash_ingest(
         # test, which failed under either refresh alone)
         spark.catalog.refreshTable(index_table)
         pairs = probe_band_index(spark, index_table, new_bands=bands)
+        if label_table is not None:
+            # the pair set is consumed twice (pairs append + label
+            # merge) — pin it so the broadcast probe against the
+            # corpus-sized index runs ONCE per batch, not per consumer
+            pairs = materialize(pairs)
         w = pairs.write.mode("append")
         if pairs_path is not None:
             w = w.option("path", pairs_path)
         w.saveAsTable(pairs_table)
         spark.catalog.refreshTable(pairs_table)
         if label_table is not None:
-            from ..pipeline.dedup import (
-                MH_DUP_NM,
-                commit_label_state,
-                merge_labels,
+            fold_edges_into_labels(
+                spark, batch_df, pairs, label_table, label_path
             )
-
-            if not spark.catalog.tableExists(label_table):
-                commit_label_state(
-                    spark,
-                    spark.createDataFrame([], "doc_id long, label long"),
-                    label_table,
-                    label_path,
-                )
-            state = spark.table(label_table)
-            # anti-join: only genuinely-new docs get identity labels,
-            # so a replayed batch re-merges into identical state
-            arriving = (
-                batch_df.select("doc_id")
-                .join(state.select("doc_id"), "doc_id", "left_anti")
-                .select("doc_id", F.col("doc_id").alias("label"))
-            )
-            labels0 = state.union(arriving)
-            new_edges = pairs.filter(
-                F.col("n_match") >= MH_DUP_NM
-            ).select("doc_a", "doc_b")
-            merged = merge_labels(
-                labels0, new_edges, labels0.select("doc_id")
-            )
-            commit_label_state(spark, merged, label_table, label_path)
         # this batch's barriers are consumed (both appends committed);
         # release their blocks so state stays bounded across batches
         # (exclusive-session mode only — see release_batch_barriers)

@@ -122,7 +122,7 @@ def test_committed_ingest_cycle_matches_from_scratch(
                 seen.union(batch.select("doc_id"))
             )
             state = D.ingest_docs_batch(
-                spark, batch, seen, idx_t, str(out / "idx"),
+                spark, batch, idx_t, str(out / "idx"),
                 lab_t, str(out / "labels"),
             )
             # from-scratch truth over the documents seen so far

@@ -880,6 +880,24 @@ def test_bpe_train_matches_python_reference(spark, tables):
     assert got == want
 
 
+def test_bpe_train_survives_word_collapse(spark):
+    # a frequent two-letter word collapses to ONE symbol the moment
+    # its pair wins a round; the next round's pair counting must skip
+    # (not index past) collapsed rows, and training must terminate by
+    # exhaustion once every word is fully merged (regression: the
+    # unguarded transform(sequence(1, size(syms) - 1)) evaluated the
+    # DESCENDING [1, 0] on size-1 rows and threw INVALID_ARRAY_INDEX
+    # under Spark 4's default ANSI mode)
+    from simple_rust_query_engine_spark.pipeline.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab cd cd"), (2, "ab cd xy")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, n_merges=10)
+    assert merges == [("a", "b", 4), ("c", "d", 3), ("x", "y", 1)]
+
+
 def test_bpe_encode_matches_merge_replay(spark, tables):
     # encode-by-lowest-rank must equal sequentially replaying the
     # trained merges over every word (the standard BPE equivalence),
