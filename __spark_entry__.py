@@ -302,6 +302,18 @@ _DEFER_PAST_CAP = (
     # defers — its _lm_scores machinery is composed and hash-checked
     # inside quality_topk, which stays in-window
     "lm_score",
+    # r7 additions doc_novelty (per-doc first-seen span fraction — the
+    # memorization-exposure ordering of the span family),
+    # cross_source_overlap (near-dup leakage matrix between sources
+    # off the shared edge table) and dup_cluster_sizes (component-size
+    # histogram off the persisted label state) enter; three r6-green
+    # unchanged siblings defer:
+    "excise_spans",         # → dup_span_frac + doc_novelty stay
+                            #   (span family)
+    "temperature_mixture",  # → token_budget_mixture +
+                            #   stratified_sample stay (mixture/pack)
+    "decontaminate_fuzzy",  # → decontaminate + decontaminate_stream
+                            #   stay (decontamination family)
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

@@ -129,6 +129,13 @@ EXTRA_QUERIES = [
     # the qs overlay in main); the checked driver gate is timed here
     # under its own key.
     "profile_table_approx_checked",
+    # r7 dedup-analytics family: doc_novelty is span machinery (off
+    # the same explode as dup_spans); cross_source_overlap reuses the
+    # session edge cache; dup_cluster_sizes scans the persisted label
+    # state dedup_cc built above (order matters: after the builder)
+    "doc_novelty",
+    "cross_source_overlap",
+    "dup_cluster_sizes",
 ]
 
 

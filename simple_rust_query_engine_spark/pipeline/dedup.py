@@ -1250,6 +1250,77 @@ def q_dedup_cc(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_cluster_sizes(spark, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER-SIZE distribution — the corpus-health report a
+    dedup run ends with (how much of the corpus is duplicated, and in
+    what shape: a few giant boilerplate clusters vs many small ones
+    drive very different excision policies).  One row per observed
+    component size: how many components have that size and how many
+    documents they hold.
+
+    Plan: scan of the persisted bucketed label state (built once per
+    session, the same table ``dedup_cc`` serves), then two uniform
+    aggregations — groupBy(label) (components are small, so the key is
+    near-unique; map-side partials absorb the within-partition
+    repeats) and groupBy(cluster_size) (low-cardinality but
+    partial-aggregated, so the hot size-1 key combines map-side and
+    no reducer sees corpus-scale rows).  No joins, no skew exposure —
+    this shape is unchanged at 100 TB."""
+    sizes = q_dedup_cc(spark, sf_dir).groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )
+
+
+def q_cross_source_overlap(t: dict) -> DataFrame:
+    """Cross-SOURCE near-dup leakage matrix: for every unordered pair
+    of sources, how many near-dup pairs (3-gram Jaccard >= JACCARD_T)
+    straddle them, and the worst overlap seen.  This is the audit a
+    training-data pipeline runs before mixing corpora — it surfaces
+    both inter-source contamination (a "web" crawl that swallowed the
+    "books" set) and intra-source boilerplate (the diagonal).
+
+    Plan: the session-cached near-dup edge table (tiny — pairs, not
+    corpus rows) is hydrated with each endpoint's source via two
+    equi-joins on doc_id (edge side auto-broadcasts locally; at
+    cluster scale it's a uniform shuffled join — doc_id is unique on
+    the build side, so no skew), then one low-cardinality groupBy
+    with map-side partials.  MAX(jaccard) is order-insensitive, so
+    the float column stays bit-identical to the oracle's; an AVG here
+    would be summation-order-dependent and is deliberately absent."""
+    docs = t["documents"]
+    edges = near_dup_edges(docs)
+    src = docs.select("doc_id", "source")
+    e = (
+        edges.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ),
+            "doc_a",
+        ).join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+    )
+    return (
+        e.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
 def q_dedup_survivors(t: dict) -> DataFrame:
     """Near-dup removal materialized: greedy keep-lowest-id — a doc is
     dropped when it near-duplicates (3-gram Jaccard >= 0.5) any doc
@@ -1405,6 +1476,75 @@ def q_dup_span_frac(t: dict) -> DataFrame:
             "n_dup_windows",
             dup_frac.alias("dup_frac"),
             (dup_frac > DUP_FRAC_T).alias("drop_doc"),
+        )
+    )
+
+
+def q_doc_novelty(t: dict) -> DataFrame:
+    """Per-document NOVELTY: the fraction of a doc's ``SPAN_W``-token
+    windows whose span text first appears in THIS doc (no earlier
+    doc_id carries it).  The corpus-ordering dual of ``dup_span_frac``
+    — that query asks "is this span duplicated anywhere", this one
+    asks "was it already seen by the time this doc arrived", which is
+    the memorization-exposure ordering Lee et al. 2022 (\"Deduplicating
+    Training Data Makes Language Models Better\") analyze: low-novelty
+    documents late in the stream contribute mostly text the model has
+    already trained on.  Docs shorter than ``SPAN_W`` tokens emit no
+    windows and no row (same contract as the span family).
+
+    Plan: ONE corpus scan (the rolling-hash UDF is the expensive
+    part — a naive spans-vs-firsts self-join would evaluate it
+    twice): the explode collapses immediately into per-(span, doc)
+    occurrence counts (uniform composite key, map-side combine), and
+    everything after runs over that windows-sized table — first
+    carrier via groupBy(span_hash).min(doc_id) (NOT min-over-window,
+    same skew argument as ``ngram_jaccard_pairs``'s two-phase counts:
+    a boilerplate span repeated 10^6 times would pin one window
+    task), equi-join back on the uniform span key, one per-doc
+    aggregate weighted by the occurrence counts.  Four uniform
+    shuffles, none corpus-keyed on a skewable key.
+
+    ``occ`` feeds two consumers (first-carrier aggregate + the probe
+    side), and column pruning rewrites the firsts subtree without
+    ``n_occ`` — a DIFFERENT aggregate, so ReusedExchange cannot share
+    the scan and the span UDF would run twice.  The explicit barrier
+    pins the (span, doc, count) table once — smaller than the raw
+    span explode (within-doc repeats collapsed); at 100 TB a pipeline
+    persists this intermediate to storage instead (same shape the
+    ``dup_spans`` family would share)."""
+    occ = materialize(
+        t["documents"]
+        .select(
+            "doc_id",
+            F.explode(window_hash_udf()(F.col("text"))).alias("span_hash"),
+        )
+        .groupBy("span_hash", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    firsts = occ.groupBy("span_hash").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    seen = F.sum(
+        F.when(F.col("first_doc") < F.col("doc_id"), F.col("n_occ"))
+        .otherwise(F.lit(0))
+    )
+    frac = F.round(
+        F.lit(1.0)
+        - F.col("n_seen_before").cast("double") / F.col("n_windows"),
+        6,
+    )
+    return (
+        occ.join(firsts, "span_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").alias("n_windows"),
+            seen.alias("n_seen_before"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_seen_before",
+            frac.alias("novelty_frac"),
         )
     )
 
@@ -2154,6 +2294,40 @@ ORACLE: dict[str, str] = {
         FROM spans WHERE source <> '{EVAL_SOURCE}'
         GROUP BY doc_id
     """,
+    "doc_novelty": f"""
+        WITH {SQL_SPAN_CTES},
+        firsts AS (
+            SELECT span_hash, MIN(doc_id) AS first_doc
+            FROM spans GROUP BY span_hash
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_windows,
+               COUNT(*) FILTER (first_doc < doc_id) AS n_seen_before,
+               ROUND(1 - COUNT(*) FILTER (first_doc < doc_id)::DOUBLE
+                         / COUNT(*), 6) AS novelty_frac
+        FROM spans JOIN firsts USING (span_hash)
+        GROUP BY doc_id
+    """,
+    "cross_source_overlap": f"""
+        WITH {SQL_NGRAM_PAIR_CTES},
+        ej AS (
+            SELECT doc_a, doc_b,
+                   common::DOUBLE / (ca.n_sh + cb.n_sh - common) AS jaccard
+            FROM pairs
+            JOIN cnt ca ON doc_a = ca.doc_id
+            JOIN cnt cb ON doc_b = cb.doc_id
+            WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common)
+                  >= {JACCARD_T}
+        )
+        SELECT LEAST(da.source, db.source) AS source_a,
+               GREATEST(da.source, db.source) AS source_b,
+               COUNT(*) AS n_pairs,
+               MAX(jaccard) AS max_jaccard
+        FROM ej
+        JOIN documents da ON ej.doc_a = da.doc_id
+        JOIN documents db ON ej.doc_b = db.doc_id
+        GROUP BY 1, 2
+    """,
     "dedup_exact": """
         SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
                COUNT(*) AS n_copies
@@ -2247,6 +2421,44 @@ ORACLE: dict[str, str] = {
 # incremental label maintenance must reproduce from-scratch CC
 # exactly — one oracle definition for both
 ORACLE["dedup_cc_incr"] = ORACLE["dedup_cc"]
+
+# cluster-size histogram over dedup_cc's labels: component sizes →
+# (how many components, how many docs) per size.  SUM over BIGINT is
+# HUGEINT in DuckDB — cast back so the schema matches Spark's long.
+ORACLE["dup_cluster_sizes"] = f"""
+        WITH RECURSIVE
+        {SQL_NGRAM_PAIR_CTES},
+        edges AS (
+            SELECT doc_a, doc_b FROM pairs
+            JOIN cnt ca ON doc_a = ca.doc_id
+            JOIN cnt cb ON doc_b = cb.doc_id
+            WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common)
+                  >= {JACCARD_T}
+        ),
+        bidir AS (
+            SELECT doc_a AS src, doc_b AS dst FROM edges
+            UNION SELECT doc_b, doc_a FROM edges
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM bidir
+            UNION
+            SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+        ),
+        lab AS (SELECT src AS doc_id, MIN(dst) AS mn FROM reach GROUP BY src),
+        labeled AS (
+            SELECT d.doc_id,
+                   LEAST(d.doc_id, COALESCE(l.mn, d.doc_id)) AS label
+            FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+        ),
+        sz AS (
+            SELECT label, COUNT(*) AS cluster_size
+            FROM labeled GROUP BY label
+        )
+        SELECT cluster_size,
+               COUNT(*) AS n_clusters,
+               SUM(cluster_size)::BIGINT AS n_docs
+        FROM sz GROUP BY cluster_size
+    """
 
 
 def _mh_cc_lab_ctes() -> str:
@@ -2343,6 +2555,8 @@ QUERIES = {
     "dedup_survivors": q_dedup_survivors,
     "dup_spans": q_dup_spans,
     "dup_span_frac": q_dup_span_frac,
+    "doc_novelty": q_doc_novelty,
+    "cross_source_overlap": q_cross_source_overlap,
     "excise_spans": q_excise_spans,
     "decontaminate": q_decontaminate,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
@@ -2352,6 +2566,7 @@ QUERIES = {
 QUERIES_SPARK = {
     "dedup_minhash_bucketed": q_dedup_minhash_bucketed,
     "dedup_cc": q_dedup_cc,
+    "dup_cluster_sizes": q_dup_cluster_sizes,
     "dedup_cc_incr": q_dedup_cc_incr,
     "dedup_keep_best": q_dedup_keep_best,
     "pipeline_incr_stateful": q_pipeline_incr_stateful,

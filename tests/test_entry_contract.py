@@ -40,6 +40,9 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
         "pipeline_incr_stateful",  # new in r7 (stateful ingest cycle)
         "dedup_labels_stream",     # new in r7 (continuous label state)
         "bpe_pair_counts",         # new in r7 (tokenizer induction)
+        "doc_novelty",             # new in r7 (first-seen span frac)
+        "cross_source_overlap",    # new in r7 (source leakage matrix)
+        "dup_cluster_sizes",       # new in r7 (component-size histo)
         "profile_table_approx",    # r7: deterministic validity-band twin
         "dedup_cc",            # r7: reads/builds persisted label state
         "dedup_cc_incr",       # r7: merges into persisted base labels
@@ -55,11 +58,11 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
         "sort_multi",
         "coercion",
         "join_nonequi_filter",
-        # r6 additions that keep their rows
-        "excise_spans",
+        # r6 additions that keep their rows (excise_spans,
+        # temperature_mixture and decontaminate_fuzzy deferred when
+        # the three dedup-analytics queries entered — family reps
+        # noted at their _DEFER_PAST_CAP entries)
         "dedup_minhash_ingest_stream",
-        "temperature_mixture",
-        "decontaminate_fuzzy",
         "profile_table",
         "dup_span_frac",
         "decontaminate",

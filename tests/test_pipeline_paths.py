@@ -932,3 +932,75 @@ def test_bpe_encode_matches_merge_replay(spark, tables):
         assert subwords == want, row.doc_id
         assert n == len(want)
         assert "".join(subwords) == row.text.replace(" ", "")
+
+
+def test_doc_novelty_first_seen_ordering(spark):
+    # novelty counts a window as "seen before" only when a LOWER
+    # doc_id carries the same span text; within-doc repeats and
+    # same-doc first carriers stay novel, and docs shorter than
+    # SPAN_W emit no row at all
+    from simple_rust_query_engine_spark.pipeline.dedup import q_doc_novelty
+
+    base = "a b c d e f g h"          # exactly SPAN_W tokens: 1 window
+    docs = spark.createDataFrame(
+        [
+            (1, base),                # first carrier -> novel
+            (2, base),                # verbatim replay -> seen before
+            (3, base + " i"),         # window1 seen, window2 novel
+            (4, "too short"),         # < SPAN_W tokens: no row
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_windows, r.n_seen_before, r.novelty_frac)
+        for r in q_doc_novelty({"documents": docs}).collect()
+    }
+    assert got == {1: (1, 0, 1.0), 2: (1, 1, 0.0), 3: (2, 1, 0.5)}
+
+
+def test_cross_source_overlap_matrix(spark):
+    # three verbatim copies across two sources: one intra-A pair and
+    # two A-B pairs, all at jaccard 1.0; the unrelated doc joins no
+    # pair and contributes no row
+    from simple_rust_query_engine_spark.pipeline.dedup import (
+        q_cross_source_overlap,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z w", "en", "srcA", 7),
+            (2, "x y z w", "en", "srcB", 7),
+            (3, "x y z w", "en", "srcA", 7),
+            (4, "p q r s t u v", "en", "srcB", 13),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        (r.source_a, r.source_b): (r.n_pairs, r.max_jaccard)
+        for r in q_cross_source_overlap({"documents": docs}).collect()
+    }
+    assert got == {
+        ("srcA", "srcA"): (1, 1.0),
+        ("srcA", "srcB"): (2, 1.0),
+    }
+
+
+def test_dup_cluster_sizes_matches_label_state(spark):
+    # the histogram must be exactly the size distribution of the
+    # persisted label state dedup_cc serves, and n_docs must tie out
+    # both per-row (size x count) and in total (the whole corpus)
+    from collections import Counter
+
+    from simple_rust_query_engine_spark.pipeline.dedup import (
+        q_dedup_cc,
+        q_dup_cluster_sizes,
+    )
+    from tests.conftest import SF_DIR
+
+    labels = q_dedup_cc(spark, SF_DIR).collect()
+    want = Counter(Counter(r.label for r in labels).values())
+    rows = q_dup_cluster_sizes(spark, SF_DIR).collect()
+    assert {r.cluster_size: r.n_clusters for r in rows} == dict(want)
+    for r in rows:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+    assert sum(r.n_docs for r in rows) == len(labels)
