@@ -314,6 +314,20 @@ _DEFER_PAST_CAP = (
                             #   stratified_sample stay (mixture/pack)
     "decontaminate_fuzzy",  # → decontaminate + decontaminate_stream
                             #   stay (decontamination family)
+    # r7 additions events_gapfill (dense hourly spine + forward fill —
+    # the time-series resample operator), fuzzy_join_names (blocked
+    # Levenshtein similarity self-join — entity resolution) and
+    # stats_moments (grouped variance/stddev/corr from exact integer
+    # sufficient statistics) enter; three green unchanged siblings
+    # defer:
+    "decontaminate",     # → decontaminate_stream stays (it executes
+                         #   the same eval-span semantics through the
+                         #   streaming engine vs the batch oracle)
+    "tpch_q14_like",     # → tpch_q1/q5/q18 stay (composite family;
+                         #   q14's conditional-agg core also lives in
+                         #   flagship's CASE-in-agg)
+    "chunk_documents",   # → pack_sequences (downstream consumer of
+                         #   chunk shapes) + quality_topk stay
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

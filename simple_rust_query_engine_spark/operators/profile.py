@@ -186,6 +186,73 @@ def q_profile_table_approx(t: dict) -> DataFrame:
     return profile_table_approx_checked(t["orders"])
 
 
+def q_stats_moments(t: dict) -> DataFrame:
+    """Grouped variance / stddev / correlation via EXACT integer
+    sufficient statistics — the distributed-moments pattern: one scan
+    accumulates (n, Σx, Σx², Σy, Σy², Σxy) per group with map-side
+    partials, and every derived statistic is computed from those six
+    numbers at the end.
+
+    Why not ``F.var_samp``/``F.corr`` directly: their internal
+    accumulation is floating-point and partial-merge-ORDER-dependent —
+    the result drifts in the last bits across partition layouts and
+    engines, failing the driver's exact value hash.  Here the inputs
+    are re-based to integers first (quantity is integral; price → cents
+    via the same IEEE ``ROUND(x*100)`` both engines evaluate
+    identically), the sums accumulate EXACTLY (decimal(38,0) in Spark,
+    HUGEINT-backed decimal in DuckDB — per-row cents² ~5e13 fits int64,
+    the 38-digit accumulator absorbs any corpus size), and the final
+    double arithmetic runs ONCE per group on identical exact operands
+    — deterministic to the bit, rounded to 6 dp.
+
+    Scale: identical shuffle shape to tpch_q1 — low-cardinality group
+    key is safe because partial aggregation reduces each map task to
+    ≤|groups| rows of fixed-width state before the exchange."""
+    li = t["lineitem"]
+    dec = "decimal(38,0)"
+    q = F.col("l_quantity").cast("long").cast(dec)
+    c = F.round(F.col("l_extendedprice") * 100).cast("long").cast(dec)
+    g = (
+        li.select(F.col("l_returnflag"), q.alias("q"), c.alias("c"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("q").alias("sq"),
+            F.sum(F.col("q") * F.col("q")).alias("sqq"),
+            F.sum("c").alias("sc"),
+            F.sum(F.col("c") * F.col("c")).alias("scc"),
+            F.sum(F.col("q") * F.col("c")).alias("sqc"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sq = F.col("sq").cast("double")
+    sqq = F.col("sqq").cast("double")
+    sc = F.col("sc").cast("double")
+    scc = F.col("scc").cast("double")
+    sqc = F.col("sqc").cast("double")
+    # greatest(..., 0): the exact sums make n·Σx²−(Σx)² ≥ 0
+    # mathematically, but the double subtraction can land an ulp below
+    # zero for near-constant groups — identically in both engines, yet
+    # sqrt(-ε) would be NaN; clamp on both sides
+    var_q = (sqq - sq * sq / n) / (n - F.lit(1.0))
+    ssq = F.greatest(n * sqq - sq * sq, F.lit(0.0))
+    ssc = F.greatest(n * scc - sc * sc, F.lit(0.0))
+    corr_den = F.sqrt(ssq) * F.sqrt(ssc)
+    return g.select(
+        "l_returnflag",
+        "n",
+        F.round(sq / n, 6).alias("mean_qty"),
+        F.when(F.col("n") > 1, F.round(var_q, 6)).alias("var_qty"),
+        F.when(
+            F.col("n") > 1, F.round(F.sqrt(F.greatest(var_q, F.lit(0.0))), 6)
+        ).alias("std_qty"),
+        F.round(sc / n / F.lit(100.0), 6).alias("mean_price"),
+        F.when(
+            corr_den > 0, F.round((n * sqc - sq * sc) / corr_den, 6)
+        ).alias("corr_qty_price"),
+    )
+
+
 def _oracle_profile(nd_expr_fmt: str, nd_alias: str) -> str:
     """Shared oracle builder: ``nd_expr_fmt`` supplies the distinct-
     count column per profiled column ``{c}`` — the exact count for
@@ -212,9 +279,51 @@ def _oracle_profile(nd_expr_fmt: str, nd_alias: str) -> str:
 ORACLE: dict[str, str] = {
     "profile_table": _oracle_profile("COUNT(DISTINCT {c})", "n_distinct"),
     "profile_table_approx": _oracle_profile("0::INTEGER", "nd_rel_err_band"),
+    # the moments twin mirrors the Spark expression step for step:
+    # integer re-base, exact DECIMAL(38,0) sums, then ONE double
+    # formula per group on identical operands (same clamp, same
+    # rounding) — SUM(BIGINT) in DuckDB is HUGEINT; the explicit
+    # DECIMAL cast keeps the -> DOUBLE conversion path identical
+    "stats_moments": """
+        WITH base AS (
+            SELECT l_returnflag,
+                   CAST(l_quantity AS BIGINT) AS q,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+            FROM lineitem
+        ),
+        g AS (
+            SELECT l_returnflag, COUNT(*) AS n,
+                   SUM(q)::DECIMAL(38,0) AS sq,
+                   SUM(q * q)::DECIMAL(38,0) AS sqq,
+                   SUM(c)::DECIMAL(38,0) AS sc,
+                   SUM(c * c)::DECIMAL(38,0) AS scc,
+                   SUM(q * c)::DECIMAL(38,0) AS sqc
+            FROM base GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               ROUND(sq::DOUBLE / n, 6) AS mean_qty,
+               CASE WHEN n > 1 THEN ROUND(
+                   (sqq::DOUBLE - sq::DOUBLE * sq::DOUBLE / n) / (n - 1.0), 6)
+               END AS var_qty,
+               CASE WHEN n > 1 THEN ROUND(SQRT(GREATEST(
+                   (sqq::DOUBLE - sq::DOUBLE * sq::DOUBLE / n) / (n - 1.0),
+                   0.0)), 6)
+               END AS std_qty,
+               ROUND(sc::DOUBLE / n / 100.0, 6) AS mean_price,
+               CASE WHEN SQRT(GREATEST(n * sqq::DOUBLE - sq::DOUBLE * sq::DOUBLE, 0.0))
+                       * SQRT(GREATEST(n * scc::DOUBLE - sc::DOUBLE * sc::DOUBLE, 0.0)) > 0
+                    THEN ROUND(
+                        (n * sqc::DOUBLE - sq::DOUBLE * sc::DOUBLE)
+                        / (SQRT(GREATEST(n * sqq::DOUBLE - sq::DOUBLE * sq::DOUBLE, 0.0))
+                           * SQRT(GREATEST(n * scc::DOUBLE - sc::DOUBLE * sc::DOUBLE, 0.0))),
+                        6)
+               END AS corr_qty_price
+        FROM g
+    """,
 }
 
 QUERIES = {
     "profile_table": q_profile_table,
     "profile_table_approx": q_profile_table_approx,
+    "stats_moments": q_stats_moments,
 }

@@ -499,6 +499,61 @@ def q_tpch_q14_like(t: Tables) -> DataFrame:
     )
 
 
+#: edit-distance ceiling for the fuzzy name join (two short tokens —
+#: adjective swaps land at 3-4, unrelated nouns well above)
+FUZZY_MAX_DIST = 4
+
+
+def q_fuzzy_join_names(t: Tables) -> DataFrame:
+    """BLOCKED string-similarity self-join — the entity-resolution /
+    record-linkage primitive (catalog aliases, near-identical product
+    names): all DISTINCT name pairs within ``FUZZY_MAX_DIST``
+    Levenshtein edits, blocked on the trailing token so the join
+    never goes all-pairs.
+
+    Scale shape: the quadratic step runs over the DISTINCT-name table
+    (vocabulary-sized, not corpus-sized — dedup first, then compare),
+    and only WITHIN a block (names sharing the last token): the join
+    is a hash equi-join on the block key, the edit-distance predicate
+    a post-filter per block pair.  Cost is sum(|block|²) over a
+    bounded vocabulary, not |corpus|² — the standard blocking
+    argument (Papadakis et al., "Blocking and Filtering Techniques
+    for Entity Resolution", CSUR 2020).  A skewed mega-block would
+    need a second blocking key (prefix + length band); block sizes
+    here are adjective-vocabulary-bounded.
+
+    Hash parity: Levenshtein distance is an exact integer — Spark's
+    ``levenshtein`` and DuckDB's agree on the classic unit-cost
+    definition (spot-pinned in tests); ``name_a < name_b`` emits each
+    unordered pair once on both engines.
+
+    The blocked name table is materialized once: a plain self-join
+    would plan the corpus scan + DISTINCT aggregate twice (the two
+    subtrees differ by output alias, so ReusedExchange cannot share
+    them) — the same single-compute barrier rationale as
+    ``doc_novelty``'s occurrence table."""
+    from ..pipeline.dedup import materialize
+
+    names = t["part"].select(F.col("p_name").alias("name_a")).distinct()
+    block = F.element_at(F.split(F.col("name_a"), " "), -1)
+    a = materialize(names.withColumn("block", block))
+    b = a.select(
+        F.col("block"), F.col("name_a").alias("name_b")
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "block")
+        .where(F.col("name_a") < F.col("name_b"))
+        .where(dist <= FUZZY_MAX_DIST)
+        .select(
+            "block",
+            "name_a",
+            "name_b",
+            dist.cast("int").alias("edit_dist"),
+        )
+    )
+
+
 # --------------------------------------------------------------- oracle
 ORACLE: dict[str, str] = {
     "scan_projection": """
@@ -712,6 +767,18 @@ ORACLE: dict[str, str] = {
         FROM m
         ORDER BY ship_month
     """,
+    "fuzzy_join_names": f"""
+        WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+        blocked AS (
+            SELECT name, string_split(name, ' ')[-1] AS block FROM names
+        )
+        SELECT a.block, a.name AS name_a, b.name AS name_b,
+               levenshtein(a.name, b.name)::INTEGER AS edit_dist
+        FROM blocked a
+        JOIN blocked b ON a.block = b.block
+        WHERE a.name < b.name
+          AND levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
+    """,
 }
 
 QUERIES = {
@@ -743,4 +810,5 @@ QUERIES = {
     "tpch_q5_like": q_tpch_q5_like,
     "tpch_q18_like": q_tpch_q18_like,
     "tpch_q14_like": q_tpch_q14_like,
+    "fuzzy_join_names": q_fuzzy_join_names,
 }

@@ -18,7 +18,7 @@ user, which Spark spills as needed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 SESSION_GAP_MIN = 30
@@ -64,6 +64,69 @@ def q_events_window_sliding(t: dict) -> DataFrame:
             # bit-reproducible across partial-aggregation orders
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
+    )
+
+
+def q_events_gapfill(t: dict) -> DataFrame:
+    """GAP-FILL + forward fill — the time-series resample operator
+    (TimescaleDB ``time_bucket_gapfill`` / QuestDB ``SAMPLE BY ...
+    FILL(PREV)``): a dense hourly spine per event_type over the
+    observed corpus span, with empty buckets emitted as ``is_gap``
+    rows carrying the previous hour's value forward.  Dashboards and
+    feature pipelines need the dense grid — a missing bucket is
+    indistinguishable from "no data arrived" downstream otherwise.
+
+    Scale shape: the ONLY corpus-sized work is the first hourly
+    aggregate (uniform (hour, type) key, partial/final combine),
+    materialized once so the spine bounds and the fill both read the
+    dimension-sized result instead of re-scanning events.  The spine
+    is ``sequence(lo, hi)`` exploded from ONE aggregated row — never
+    a driver-side loop — and the spine×types grid is an explicitly
+    tiny broadcast nested-loop (hours × event types, thousands of
+    rows at any corpus size; the no-CartesianProduct sweep still
+    holds).  The forward fill is one window per event_type over the
+    dense grid — dimension-sized state, independent of corpus rows.
+
+    Hash parity: the filled value is the ALREADY-ROUNDED hourly sum
+    (same 2 dp contract as ``events_window``), carried verbatim by
+    ``last(ignorenulls)`` — both engines forward the identical
+    double, so the float column stays bit-exact; leading gaps before
+    a type's first observation fill with 0.0 in both."""
+    from ..pipeline.dedup import materialize
+    from ..session import epoch_ms
+
+    e = t["events"]
+    hour_start = (F.floor(epoch_ms(e, "ts") / F.lit(3_600_000)) * 3600).cast(
+        "long"
+    )
+    hourly = materialize(
+        e.groupBy(hour_start.alias("hour_start"), "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    bounds = hourly.agg(
+        F.min("hour_start").alias("lo"), F.max("hour_start").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("hour_start")
+    )
+    types = hourly.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    filled = grid.join(hourly, ["hour_start", "event_type"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return filled.select(
+        "hour_start",
+        "event_type",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("sum_value").isNull().alias("is_gap"),
+        F.coalesce(
+            F.last("sum_value", ignorenulls=True).over(w), F.lit(0.0)
+        ).alias("sum_value_ff"),
     )
 
 
@@ -363,6 +426,42 @@ ORACLE: dict[str, str] = {
 
 ORACLE["events_window_stream"] = ORACLE["events_window"]
 
+# gap-fill: dense hourly spine × observed event types, LEFT JOIN the
+# hourly aggregate, forward-fill the already-rounded sum per type.
+# LAST_VALUE(... IGNORE NULLS) over ROWS UNBOUNDED PRECEDING is the
+# exact dual of Spark's last(col, ignorenulls=True); DuckDB window
+# aggregates over DOUBLE return DECIMAL-free doubles, so the carried
+# value is the identical bit pattern.
+ORACLE["events_gapfill"] = """
+    WITH hourly AS (
+        SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_start,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(hour_start) AS lo, MAX(hour_start) AS hi
+               FROM hourly),
+    spine AS (SELECT unnest(generate_series(lo, hi, 3600)) AS hour_start
+              FROM bounds),
+    grid AS (SELECT s.hour_start, ty.event_type
+             FROM spine s
+             CROSS JOIN (SELECT DISTINCT event_type FROM hourly) ty),
+    filled AS (
+        SELECT g.hour_start, g.event_type, h.n_events, h.sum_value
+        FROM grid g
+        LEFT JOIN hourly h
+          ON g.hour_start = h.hour_start AND g.event_type = h.event_type
+    )
+    SELECT hour_start, event_type,
+           COALESCE(n_events, 0)::BIGINT AS n_events,
+           sum_value IS NULL AS is_gap,
+           COALESCE(LAST_VALUE(sum_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour_start
+               ROWS UNBOUNDED PRECEDING), 0.0) AS sum_value_ff
+    FROM filled
+"""
+
 ORACLE["events_window_sliding"] = """
     WITH hops AS (
         SELECT event_type, value,
@@ -408,6 +507,7 @@ ORACLE["events_session_window"] = f"""
 QUERIES = {
     "events_window": q_events_window,
     "events_window_sliding": q_events_window_sliding,
+    "events_gapfill": q_events_gapfill,
     "events_sessionize": q_events_sessionize,
     "events_session_window": q_events_session_window,
 }

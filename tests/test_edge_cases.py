@@ -190,3 +190,86 @@ def test_ngram_shingles_udf_matches_expression(tables):
     assert len(both) > 0
     for r in both:
         assert list(r.e) == list(r.u)
+
+
+def test_fuzzy_join_blocks_and_distance(spark):
+    # blocking correctness: same-block names pair iff within the edit
+    # ceiling; near-identical names in DIFFERENT blocks never pair
+    # (that is the blocking trade-off, asserted so it stays explicit);
+    # duplicate name rows collapse before pairing
+    from simple_rust_query_engine_spark.operators.relational import (
+        q_fuzzy_join_names,
+    )
+
+    part = spark.createDataFrame(
+        [
+            (1, "red widget"),
+            (2, "red widget"),        # duplicate row: distinct first
+            (3, "bed widget"),        # dist 1, same block
+            (4, "enormous widget"),   # same block, beyond ceiling
+            (5, "red gadget"),        # dist 3 to "red widget" but
+                                      # different block: must not pair
+        ],
+        "p_partkey long, p_name string",
+    )
+    rows = q_fuzzy_join_names({"part": part}).collect()
+    got = {(r.name_a, r.name_b): r.edit_dist for r in rows}
+    assert got == {("bed widget", "red widget"): 1}
+    assert all(r.block == "widget" for r in rows)
+
+
+def test_levenshtein_matches_duckdb_definition(spark):
+    # the fuzzy join's cross-engine contract: Spark and DuckDB agree
+    # on the classic unit-cost edit distance
+    import duckdb
+
+    pairs = [
+        ("red widget", "blue widget"),
+        ("small ring", "small gizmo"),
+        ("", "abc"),
+        ("kitten", "sitting"),
+    ]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = {
+        (r.a, r.b): r.d
+        for r in df.select("a", "b", F.levenshtein("a", "b").alias("d")).collect()
+    }
+    con = duckdb.connect()
+    for a, b in pairs:
+        want = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert got[(a, b)] == want, (a, b)
+
+
+def test_stats_moments_matches_numpy(spark):
+    # exact-sufficient-statistics path vs numpy's float accumulation:
+    # agreement to the 6-dp rounding contract; the n=1 group emits
+    # NULL var/std/corr rather than a divide-by-zero artifact
+    import numpy as np
+
+    from simple_rust_query_engine_spark.operators.profile import (
+        q_stats_moments,
+    )
+
+    rows = [
+        ("A", 5.0, 100.25), ("A", 7.0, 210.50), ("A", 3.0, 55.75),
+        ("A", 9.0, 300.00), ("B", 4.0, 80.00),
+    ]
+    li = spark.createDataFrame(
+        rows, "l_returnflag string, l_quantity double, l_extendedprice double"
+    )
+    got = {r.l_returnflag: r for r in q_stats_moments({"lineitem": li}).collect()}
+
+    q = np.array([r[1] for r in rows if r[0] == "A"])
+    p = np.array([r[2] for r in rows if r[0] == "A"])
+    a = got["A"]
+    assert a.n == 4
+    assert abs(a.mean_qty - q.mean()) < 1e-6
+    assert abs(a.var_qty - q.var(ddof=1)) < 1e-6
+    assert abs(a.std_qty - q.std(ddof=1)) < 1e-6
+    assert abs(a.mean_price - p.mean()) < 1e-6
+    assert abs(a.corr_qty_price - np.corrcoef(q, p)[0, 1]) < 1e-6
+
+    b = got["B"]
+    assert b.n == 1 and b.mean_qty == 4.0
+    assert b.var_qty is None and b.std_qty is None
+    assert b.corr_qty_price is None
