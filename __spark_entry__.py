@@ -89,14 +89,11 @@ _MODULES = (
 # sf0.001 and sf0.01, and usable.  queries() asserts the ==50 head
 # invariant so a new query cannot silently evict a checked entry.
 _DEFER_PAST_CAP = (
-    "window_topk_per_group",
-    "ann_brute",
-    "ann_ivf",
-    "simhash",
-    "dedup_minhash",
-    "pipeline_clean",
-    "join_semi",
-    "multimodal_decode",
+    # (r8: the 8 oldest deferred rows — window_topk_per_group,
+    # ann_brute, ann_ivf, simhash, dedup_minhash, pipeline_clean,
+    # join_semi, multimodal_decode, driver-green only in r3/r4 —
+    # rotate back IN-window for re-certification, continuing the
+    # 8-per-round sweep started in r7; see the r8 block at the end)
     "events_window",
     "events_sessionize",
     "skew_safe_ndistinct",
@@ -328,6 +325,32 @@ _DEFER_PAST_CAP = (
                          #   flagship's CASE-in-agg)
     "chunk_documents",   # → pack_sequences (downstream consumer of
                          #   chunk shapes) + quality_topk stay
+    # ---- round 8 ----
+    # r8 RE-CERTIFICATION sweep (VERDICT r7 item 5): the 8 oldest
+    # deferred rows (r3/r4 evidence) rotate back IN-window —
+    # window_topk_per_group, ann_brute, ann_ivf, simhash,
+    # dedup_minhash, pipeline_clean, join_semi, multimodal_decode.
+    # The 8 rows re-certified LAST round (all r7 hash-green,
+    # unchanged since) defer in exchange, each with in-window reps:
+    "limit_skip",          # → topk stays (skip+fetch composes sort+
+                           #   limit; fetch=None pinned in golden tests)
+    "agg_global",          # → agg_grouped + tpch_q1 stay (agg family)
+    "sort_multi",          # → topk + window_topk_per_group
+                           #   (re-entering) stay (ordering family)
+    "coercion",            # → filter_predicate stays; the numeric
+                           #   lattice is pinned in golden tests
+    "set_union",           # → distinct stays (dedup-by-set semantics);
+                           #   full set-op family r7 hash-green
+    "agg_rollup",          # → agg_grouped + unpivot stay; cube/rollup
+                           #   Expand plan shape pinned in test_plans
+    "cross_join_filter",   # → join_asof_nearest + join_inner stay;
+    "join_nonequi_filter", #   BNLJ/broadcast plan pinned in test_plans
+                           #   (nested-loop / non-equi family)
+    # r8 addition bpe_encode_checked (corpus-sized BPE encode with a
+    # raw-text validity-band twin — VERDICT r7 item 4) enters;
+    # feature_extract (r7-green, unchanged) defers — the multimodal
+    # family stays checked via multimodal_decode, re-entering above
+    "feature_extract",
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

@@ -136,6 +136,11 @@ EXTRA_QUERIES = [
     "doc_novelty",
     "cross_source_overlap",
     "dup_cluster_sizes",
+    # round 8 — the corpus-sized BPE encode pass: cold prices training
+    # (BPE_CHECK_MERGES vocab-sized argmax rounds, eager at plan
+    # construction) + the map-only encode; steady re-pays both (the
+    # merge list is not cached — a production pipeline trains once)
+    "bpe_encode_checked",
 ]
 
 

@@ -888,7 +888,13 @@ def _same_corpus(a: DataFrame, b: DataFrame) -> bool:
     optimizer's own ReuseExchange trusts): True when two frames are
     guaranteed to produce the same rows, e.g. two independent reads
     of the same parquet path.  Assumes immutable input files within a
-    session, the standard parquet contract."""
+    session, the standard parquet contract.  Session identity is part
+    of the match: a localCheckpoint-backed cache entry is bound to the
+    session whose block manager holds its blocks, so in a multi-session
+    process (e.g. a bare `SparkSession.newSession()` driver) a
+    plan-equal frame from ANOTHER session must rebuild, not reuse."""
+    if a.sparkSession is not b.sparkSession:
+        return False
     try:
         return bool(
             a._jdf.queryExecution().analyzed().sameResult(

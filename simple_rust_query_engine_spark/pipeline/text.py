@@ -625,6 +625,7 @@ def bpe_encode(
     docs: DataFrame,
     merges: list[tuple[str, str, int]] | list[tuple[str, str]],
     text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Apply a trained BPE merge list to segment the corpus — THE
     tokenization pass of a training pipeline.  Per document: split to
@@ -637,7 +638,10 @@ def bpe_encode(
     the UDF closure (broadcast with the task), text moves as Arrow
     batches, and a per-batch word→segmentation memo collapses the
     heavy-tailed word distribution (each distinct word in a batch is
-    segmented once).  Emits (doc_id, subwords, n_subwords)."""
+    segmented once).  Emits (doc_id, *keep_cols, subwords,
+    n_subwords) — ``keep_cols`` lets a consumer carry source columns
+    through WITHOUT a re-join (a doc_id join would add the shuffle
+    the map-only plan pin forbids)."""
     from pyspark.sql.functions import pandas_udf
 
     ranks = {(a, b): i for i, (a, b, *_) in enumerate(merges)}
@@ -670,8 +674,62 @@ def bpe_encode(
 
     return docs.select(
         "doc_id",
+        *keep_cols,
         encode(F.col(text_col)).alias("subwords"),
     ).withColumn("n_subwords", F.size("subwords"))
+
+
+#: merge-list length for the driver-checked encode row — big enough
+#: that multi-char subwords actually form at every test SF, small
+#: enough that training (n_merges vocab-sized rounds) stays cheap
+BPE_CHECK_MERGES = 8
+
+
+def bpe_encode_checked(docs: DataFrame, n_merges: int = BPE_CHECK_MERGES) -> DataFrame:
+    """Driver-verifiable form of the corpus-sized BPE ENCODE pass
+    (VERDICT r7 item 4, same validity-band pattern as
+    ``operators.profile.profile_table_approx_checked``): train
+    ``n_merges`` merges (deterministic — per-round argmax tie-breaks
+    count desc then pair lexicographic), encode every document, and
+    emit per-doc reconstruction invariants a DuckDB twin can compute
+    from RAW TEXT alone:
+
+    * ``n_sub_chars`` — total characters across the doc's subwords;
+      must equal the doc's non-space character count (exact integer,
+      computed from the ENCODE OUTPUT on the Spark side and from raw
+      text by the oracle — a real content-length gate on the
+      segmentation).
+    * ``reconstructs`` — concatenating the subword stream reproduces
+      the doc's text with spaces removed (BPE segments within words,
+      never across).  Oracle emits constant TRUE; any doc the encoder
+      mangles flips the Spark value and hash-fails the row.
+    * ``bounds_ok`` — n_words <= n_subwords <= n_sub_chars (every
+      word yields at least one subword, every subword has at least
+      one character).  Oracle emits constant TRUE.
+
+    The returned plan is MAP-ONLY — one ArrowEvalPython (the encode
+    UDF), zero Exchange — pinned in
+    ``tests/test_plans.py::test_bpe_encode_plan_is_map_only``; the
+    training loop runs eagerly at construction time (vocab-sized
+    jobs, driver holds one argmax row per round, see ``bpe_train``)."""
+    merges = bpe_train(docs, n_merges)
+    enc = bpe_encode(docs, merges, keep_cols=("text",))
+    joined = F.concat_ws("", "subwords")
+    clean = F.expr("replace(text, ' ', '')")
+    n_words = F.expr("size(filter(split(text, ' '), w -> w != ''))")
+    return enc.select(
+        "doc_id",
+        F.length(joined).cast("long").alias("n_sub_chars"),
+        (joined == clean).alias("reconstructs"),
+        (
+            (n_words <= F.col("n_subwords"))
+            & (F.col("n_subwords") <= F.length(joined))
+        ).alias("bounds_ok"),
+    )
+
+
+def q_bpe_encode_checked(t: dict) -> DataFrame:
+    return bpe_encode_checked(t["documents"])
 
 
 def _bpe_merge_udf(a: str, b: str):
@@ -923,9 +981,21 @@ ORACLE: dict[str, str] = {
         p AS (
             SELECT word, cnt, unnest(range(1, len(word))) AS i FROM wc
         )
-        SELECT word[i] AS a, word[i + 1] AS b, SUM(cnt) AS pair_count
+        SELECT word[i] AS a, word[i + 1] AS b, SUM(cnt)::BIGINT AS pair_count
         FROM p GROUP BY 1, 2
         ORDER BY pair_count DESC, a ASC, b ASC LIMIT {BPE_TOPK}
+    """,
+    # validity-band twin of the corpus-sized BPE encode pass: the
+    # oracle derives every column from RAW TEXT (it cannot replay the
+    # merge list), so n_sub_chars is the non-space character count the
+    # Spark side must reproduce FROM ITS SUBWORD OUTPUT, and the two
+    # booleans are the constants the encoder's invariants must hit
+    "bpe_encode_checked": """
+        SELECT doc_id,
+               LENGTH(REPLACE(text, ' ', ''))::BIGINT AS n_sub_chars,
+               TRUE AS reconstructs,
+               TRUE AS bounds_ok
+        FROM documents
     """,
 }
 
@@ -945,4 +1015,5 @@ QUERIES = {
     "lm_score": q_lm_score,
     "quality_topk": q_quality_topk,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "bpe_encode_checked": q_bpe_encode_checked,
 }

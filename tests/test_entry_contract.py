@@ -31,45 +31,46 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
     # this round must sit inside the driver's 50-entry checked window
     # the round it changes.  After round 4 every query has a
     # driver-green row on record, so the remaining invariant is this
-    # one plus the ==50 head assert.  Round 7: the stateful ingest
-    # pipeline + persisted label state rework, the profile validity
-    # band, and the first re-certification sweep of the oldest
-    # deferred rows (VERDICT r6 item 6).
+    # one plus the ==50 head assert.  Round 8: the bpe_encode_checked
+    # addition, the hash-red-in-r7 bpe_pair_counts retained for its
+    # green row (oracle cast fixed — VERDICT r7 item 2), the second
+    # re-certification sweep (the 8 oldest deferred rows, r3/r4
+    # evidence), and the dedup-family queries whose module was split
+    # this round (pure move, names+oracles unchanged, parity-gated).
     must_be_checked = {
-        # r7 additions / changes
-        "pipeline_incr_stateful",  # new in r7 (stateful ingest cycle)
-        "dedup_labels_stream",     # new in r7 (continuous label state)
-        "bpe_pair_counts",         # new in r7 (tokenizer induction)
-        "doc_novelty",             # new in r7 (first-seen span frac)
-        "cross_source_overlap",    # new in r7 (source leakage matrix)
-        "dup_cluster_sizes",       # new in r7 (component-size histo)
-        "profile_table_approx",    # r7: deterministic validity-band twin
-        "dedup_cc",            # r7: reads/builds persisted label state
-        "dedup_cc_incr",       # r7: merges into persisted base labels
-        "dedup_keep_best",     # r7: window over persisted label state
-        "dedup_minhash_bucketed",  # r7: band index cache unified on
-        "ngram_jaccard",           # _STATE_CACHE (weakref eviction)
-        # r7 re-certifications (oldest driver rows, r3/r4-green only)
-        "set_union",
-        "agg_rollup",
-        "cross_join_filter",
-        "limit_skip",
-        "agg_global",
-        "sort_multi",
-        "coercion",
-        "join_nonequi_filter",
-        # r6 additions that keep their rows (excise_spans,
-        # temperature_mixture and decontaminate_fuzzy deferred when
-        # the three dedup-analytics queries entered — family reps
-        # noted at their _DEFER_PAST_CAP entries)
-        "dedup_minhash_ingest_stream",
+        # r8 additions / changes
+        "bpe_encode_checked",      # new in r8 (corpus-sized encode pass)
+        "bpe_pair_counts",         # r8: oracle SUM(cnt)::BIGINT cast
+        "dedup_minhash_ingest_stream",  # r8: catalog-drop + path-read
+        "dedup_labels_stream",          # r8: same catalog hygiene
+        "ngram_jaccard",           # r8: _same_corpus session-identity
+                                   #     guard on the edge-cache reuse
+        # r8 re-certifications (oldest driver rows, r3/r4-green only)
+        "window_topk_per_group",
+        "ann_brute",
+        "ann_ivf",
+        "simhash",
+        "dedup_minhash",
+        "pipeline_clean",
+        "join_semi",
+        "multimodal_decode",
+        # r7 additions that keep their rows (the freshly-r7-re-certified
+        # relational 8 + feature_extract deferred in exchange — family
+        # reps documented at their _DEFER_PAST_CAP entries)
+        "pipeline_incr_stateful",
+        "dedup_cc",
+        "dedup_cc_incr",
+        "dedup_keep_best",
+        "dedup_minhash_bucketed",
+        "doc_novelty",
+        "cross_source_overlap",
+        "dup_cluster_sizes",
+        "profile_table_approx",
         "profile_table",
         "dup_span_frac",
-        "decontaminate",
         "decontaminate_stream",
         "quality_topk",
         "tpch_q18_like",
-        "tpch_q14_like",
     }
     head = set(list(entry_mod.queries())[: entry_mod._DRIVER_CAP])
     assert must_be_checked <= head

@@ -647,3 +647,19 @@ def test_label_state_reused_across_calls(spark):
     # may or may not be new — an earlier test in the shared session
     # can have built them already)
     assert set(mid) <= set(after)
+
+
+def test_bpe_encode_plan_is_map_only(spark):
+    # the corpus-sized tokenization pass (VERDICT r7 item 4): one
+    # Arrow-batched encode UDF, every invariant column a row-local
+    # expression — so the RETURNED plan must hold exactly one
+    # ArrowEvalPython and zero Exchange.  (Training runs eagerly at
+    # construction as separate vocab-sized jobs; it is not part of
+    # this plan.)
+    plan = (
+        _q(spark, "bpe_encode_checked")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
