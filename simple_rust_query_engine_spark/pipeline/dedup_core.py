@@ -1,0 +1,240 @@
+"""Shared dedup-pipeline primitives: materialization barriers and
+the session-scoped state cache.
+
+Split out of ``dedup.py`` (r8, VERDICT r7 item 6) — every name here is
+re-exported by the ``dedup`` facade, which remains the import surface.
+
+* ``materialize`` — the hard lineage-truncating barrier every
+  multi-consumer intermediate in the family goes through.
+* ``_STATE_CACHE`` / ``_session_cached`` — one cache for every piece
+  of session-scoped dedup state; ``state:``-tagged entries are
+  persisted parquet tables that survive ``release_barriers``.
+* ``_state_table`` — the build-once persisted-state-table pattern the
+  incremental ingest queries read between batches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+#: durability switch for every hard materialization barrier below.
+#: default (False): ``localCheckpoint`` — fastest; partitions are
+#: recomputed from scratch if an executor dies.  durable (True, or env
+#: SPARK_GRAFT_DURABLE=1): eager RELIABLE ``checkpoint`` — replayable
+#: from stable storage after executor loss, the right setting for
+#: long cluster jobs where losing an executor mid-join is routine.
+DURABLE_MATERIALIZE = os.environ.get("SPARK_GRAFT_DURABLE", "") == "1"
+
+
+def materialize(df: DataFrame, durable: bool | None = None) -> DataFrame:
+    """Hard materialization barrier for a multi-consumer intermediate.
+
+    Catalyst inlines a UDF-bearing subtree into every consumer (the
+    static minhash plan showed 8 ArrowEvalPython nodes, zero reuse);
+    a barrier computes it once.  Both flavors TRUNCATE LINEAGE, which
+    iterative callers (connected components) depend on as hard as
+    they depend on the data barrier: a persist-based "barrier" keeps
+    the full logical plan, so per-round plans nest and Catalyst
+    re-analysis grows exponentially — the 64-chain star-CC test went
+    5 s → 15 s → minutes per round under an earlier persist(DISK_ONLY)
+    implementation while reading every byte from cache.
+
+    * ``durable=False`` — ``localCheckpoint(eager=True)``: blocks are
+      executor-local, lost blocks are lost (recompute = rerun the
+      query).  Fine single-node / short jobs.
+    * ``durable=True`` — reliable ``checkpoint(eager=True)``: files in
+      the checkpoint dir survive executor loss; for 100 TB runs.  On a
+      cluster, point ``setCheckpointDir`` at HDFS/S3 BEFORE the first
+      barrier — a local path would scatter partition files across
+      executor disks where the driver cannot read them back, so an
+      unset dir on a non-local master raises immediately rather than
+      failing deep in a pipeline.  Locally, a fresh per-process tmp
+      dir is installed (mkdtemp — no collision with other users'
+      runs) and removed at interpreter exit; superseded checkpoints
+      within a run are retired by the context cleaner when
+      ``spark.cleaner.referenceTracking.cleanCheckpoints`` is on
+      (set by ``get_spark()``; best-effort — it needs the frame
+      GC'd, so worst-case live disk in an iterative loop is
+      O(rounds), each checkpoint label-table-sized, until exit
+      cleanup).
+    """
+    if durable is None:
+        durable = DURABLE_MATERIALIZE
+    if durable:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            if not sc.master.startswith("local"):
+                raise RuntimeError(
+                    "durable materialize on a cluster needs "
+                    "sparkContext.setCheckpointDir(<HDFS/S3 path>) before "
+                    "the first barrier: a node-local default would write "
+                    "checkpoint partitions to executor disks the driver "
+                    "cannot read back"
+                )
+            sc.setCheckpointDir(_fallback_checkpoint_dir())
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint()
+
+
+_FALLBACK_CK_DIR: str | None = None
+
+
+def _fallback_checkpoint_dir() -> str:
+    """Per-process local checkpoint dir, removed at interpreter exit.
+
+    A fixed shared path (e.g. /tmp/srqe_checkpoints) would be owned by
+    whichever user ran first and break durable mode for everyone else
+    on the machine — and reliable-checkpoint files outlive the
+    SparkContext, so without the atexit hook every run would leak its
+    final checkpoints to disk permanently."""
+    global _FALLBACK_CK_DIR
+    if _FALLBACK_CK_DIR is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _FALLBACK_CK_DIR = tempfile.mkdtemp(prefix="srqe_checkpoints_")
+        atexit.register(shutil.rmtree, _FALLBACK_CK_DIR, True)
+    return _FALLBACK_CK_DIR
+# ------------------------------------------- persisted band index
+#: bucket count for the persisted band index — matches the session's
+#: shuffle partitions so a bucketed scan feeds every core
+BAND_BUCKETS = 32
+
+_STATE_TBL_DIR: str | None = None
+
+
+def _state_table_dir() -> str:
+    """Per-process directory for persisted pipeline-state tables (band
+    indexes, label state, pair state) — mkdtemp so concurrent runs
+    never collide, removed at interpreter exit.  On a cluster this is
+    where a durable warehouse path (HDFS/S3) goes instead."""
+    global _STATE_TBL_DIR
+    if _STATE_TBL_DIR is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _STATE_TBL_DIR = tempfile.mkdtemp(prefix="srqe_state_")
+        atexit.register(shutil.rmtree, _STATE_TBL_DIR, True)
+    return _STATE_TBL_DIR
+
+
+def _state_table(
+    spark,
+    name: str,
+    docs_key: str,
+    build_df,
+    bucket_by: list[str] | None = None,
+    num_buckets: int = BAND_BUCKETS,
+) -> str:
+    """Build-once persisted STATE table per (session, corpus): the
+    incremental-ingest pattern where per-batch queries read state a
+    real pipeline holds between batches instead of recomputing it per
+    call.  The table name is cached in ``_STATE_CACHE`` anchored on
+    the SESSION under a ``state:`` tag, which ``release_barriers``
+    deliberately KEEPS — the files are parquet, not checkpoint
+    blocks, and surviving the block sweep is the point of persisting
+    state.  A reused id() after a session dies cannot resurrect its
+    table name (weakref identity check)."""
+    import hashlib
+
+    def build() -> str:
+        table = f"{name}_" + hashlib.md5(docs_key.encode()).hexdigest()[:12]
+        path = os.path.join(_state_table_dir(), table)
+        df = build_df()
+        if bucket_by:
+            from ..sources.write import write_bucketed
+
+            write_bucketed(df, table, path, bucket_by=bucket_by,
+                           num_buckets=num_buckets)
+        else:
+            df.write.mode("overwrite").option("path", path).saveAsTable(table)
+            spark.catalog.refreshTable(table)
+        return table
+
+    return _session_cached(f"state:{name}:{docs_key}", spark, build)
+
+#: (tag, id(anchor)) → (weakref(anchor), cached value).  One cache for
+#: every piece of session-scoped dedup state (near-dup edge table,
+#: component labels, incremental base labels, band-index table names):
+#: the whole dedup family derives from shared intermediates a pipeline
+#: should pay once per corpus per session.  DataFrame entries are
+#: backed by localCheckpoint blocks, so `session.release_barriers`
+#: clears this cache along with the blocks (registered below) — a
+#: stale hit would raise CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.  The
+#: weakref identity check mirrors __spark_entry__._tables (id-reuse
+#: hazard); the weakref CALLBACK pops the entry when its anchor dies,
+#: so a long-lived session processing many distinct corpora cannot
+#: grow the dict unboundedly or pin dead frames' checkpoint blocks.
+_STATE_CACHE: dict = {}
+
+
+def _session_cached(tag: str, anchor, build):
+    """Memoize ``build()`` per (tag, live anchor object).  A hit
+    requires the stored weakref to resolve to the SAME object — a
+    reused ``id()`` after the anchor died fails the identity check,
+    evicts the stale entry, and rebuilds."""
+    import weakref
+
+    key = (tag, id(anchor))
+    hit = _STATE_CACHE.get(key)
+    if hit is not None:
+        wref, val = hit
+        if wref() is anchor:
+            return val
+        del _STATE_CACHE[key]
+    val = build()
+
+    def _evict(_, _key=key):
+        # module globals may already be torn down at interpreter exit
+        cache = globals().get("_STATE_CACHE")
+        if cache is not None:
+            cache.pop(_key, None)
+
+    _STATE_CACHE[key] = (weakref.ref(anchor, _evict), val)
+    return val
+
+
+def _same_corpus(a: DataFrame, b: DataFrame) -> bool:
+    """Catalyst plan equivalence (``sameResult`` — the relation the
+    optimizer's own ReuseExchange trusts): True when two frames are
+    guaranteed to produce the same rows, e.g. two independent reads
+    of the same parquet path.  Assumes immutable input files within a
+    session, the standard parquet contract.  Session identity is part
+    of the match: a localCheckpoint-backed cache entry is bound to the
+    session whose block manager holds its blocks, so in a multi-session
+    process (e.g. a bare `SparkSession.newSession()` driver) a
+    plan-equal frame from ANOTHER session must rebuild, not reuse."""
+    if a.sparkSession is not b.sparkSession:
+        return False
+    try:
+        return bool(
+            a._jdf.queryExecution().analyzed().sameResult(
+                b._jdf.queryExecution().analyzed()
+            )
+        )
+    except Exception:
+        return False
+
+
+from ..session import register_barrier_cache as _register_barrier_cache
+
+
+def _clear_barrier_backed_state() -> None:
+    """`release_barriers` hook: drop every checkpoint-BACKED cache
+    entry (edge frames, label frames — their blocks are about to be
+    unpersisted, a stale hit would raise
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND) but KEEP ``state:`` entries
+    (band indexes, persisted label/pair state): those are registered
+    parquet tables whose files survive the block sweep, and
+    rebuilding them per release would re-pay the one-time layout cost
+    the persisted-state design exists to amortize."""
+    for key in list(_STATE_CACHE):
+        if not key[0].startswith("state:"):
+            _STATE_CACHE.pop(key, None)
+
+
+_register_barrier_cache(_clear_barrier_backed_state)

@@ -711,8 +711,21 @@ def bpe_encode_checked(docs: DataFrame, n_merges: int = BPE_CHECK_MERGES) -> Dat
     UDF), zero Exchange — pinned in
     ``tests/test_plans.py::test_bpe_encode_plan_is_map_only``; the
     training loop runs eagerly at construction time (vocab-sized
-    jobs, driver holds one argmax row per round, see ``bpe_train``)."""
-    merges = bpe_train(docs, n_merges)
+    jobs, driver holds one argmax row per round, see ``bpe_train``).
+
+    The merge list is trained ONCE per (session, corpus) and cached
+    under a ``state:`` tag (same lifecycle as the persisted band
+    index — driver-side constants, nothing for ``release_barriers``
+    to invalidate): a production pipeline trains a tokenizer once and
+    encodes every batch with it, so repeated calls must pay only the
+    map-only encode."""
+    from .dedup_core import _session_cached
+
+    merges = _session_cached(
+        f"state:bpe_merges:{n_merges}",
+        docs,
+        lambda: bpe_train(docs, n_merges),
+    )
     enc = bpe_encode(docs, merges, keep_cols=("text",))
     joined = F.concat_ws("", "subwords")
     clean = F.expr("replace(text, ' ', '')")

@@ -143,8 +143,11 @@ def test_connected_components_durable_mode(spark, monkeypatch):
     # exercise the persist(DISK_ONLY) + per-round unpersist branch of
     # the CC loop end-to-end (the default path uses localCheckpoint)
     import simple_rust_query_engine_spark.pipeline.dedup as D
+    # patch the DEFINING module: materialize() reads the flag from its
+    # own globals (dedup_core), not from the facade's re-export
+    import simple_rust_query_engine_spark.pipeline.dedup_core as DC
 
-    monkeypatch.setattr(D, "DURABLE_MATERIALIZE", True)
+    monkeypatch.setattr(DC, "DURABLE_MATERIALIZE", True)
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
     )
