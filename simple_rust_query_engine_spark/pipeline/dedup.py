@@ -117,6 +117,7 @@ from .dedup_state import (  # noqa: F401
     _small_star,
     connected_components,
     connected_components_star,
+    cross_source_overlap,
     merge_labels,
     near_dup_edges,
     q_cross_source_overlap,
@@ -184,7 +185,6 @@ QUERIES = {
     "dup_spans": q_dup_spans,
     "dup_span_frac": q_dup_span_frac,
     "doc_novelty": q_doc_novelty,
-    "cross_source_overlap": q_cross_source_overlap,
     "excise_spans": q_excise_spans,
     "decontaminate": q_decontaminate,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
@@ -194,6 +194,10 @@ QUERIES = {
 QUERIES_SPARK = {
     "dedup_minhash_bucketed": q_dedup_minhash_bucketed,
     "dedup_cc": q_dedup_cc,
+    # r8: the leakage audit reads the persisted pair state (recurring
+    # read of held state in production) — moved from QUERIES so the
+    # entry can reach the state tables; same name, same oracle
+    "cross_source_overlap": q_cross_source_overlap,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "dedup_cc_incr": q_dedup_cc_incr,
     "dedup_keep_best": q_dedup_keep_best,

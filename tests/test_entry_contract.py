@@ -45,6 +45,9 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
         "dedup_labels_stream",          # r8: same catalog hygiene
         "ngram_jaccard",           # r8: _same_corpus session-identity
                                    #     guard on the edge-cache reuse
+        # (cross_source_overlap, listed below, also changed in r8: it
+        # now reads the persisted pair state instead of rebuilding the
+        # session edge cache per call — same name, same oracle)
         # r8 re-certifications (oldest driver rows, r3/r4-green only)
         "window_topk_per_group",
         "ann_brute",

@@ -963,7 +963,8 @@ def test_cross_source_overlap_matrix(spark):
     # two A-B pairs, all at jaccard 1.0; the unrelated doc joins no
     # pair and contributes no row
     from simple_rust_query_engine_spark.pipeline.dedup import (
-        q_cross_source_overlap,
+        cross_source_overlap,
+        near_dup_edges,
     )
 
     docs = spark.createDataFrame(
@@ -977,7 +978,7 @@ def test_cross_source_overlap_matrix(spark):
     )
     got = {
         (r.source_a, r.source_b): (r.n_pairs, r.max_jaccard)
-        for r in q_cross_source_overlap({"documents": docs}).collect()
+        for r in cross_source_overlap(docs, near_dup_edges(docs)).collect()
     }
     assert got == {
         ("srcA", "srcA"): (1, 1.0),

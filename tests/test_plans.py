@@ -663,3 +663,20 @@ def test_bpe_encode_plan_is_map_only(spark):
     assert plan.count("ArrowEvalPython") == 1, plan
     assert "BatchEvalPython" not in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_bpe_merges_trained_once_per_session_corpus(spark):
+    # the merge list is tokenizer STATE (train once, encode many
+    # batches): a second construction against the same corpus must
+    # reuse the cached list, not re-run the n_merges argmax rounds.
+    # TUPLE IDENTITY, not value equality — a broken cache retraining
+    # per call would still produce an equal merge list.
+    from simple_rust_query_engine_spark.pipeline import dedup_core as DC
+
+    _q(spark, "bpe_encode_checked").count()
+    keys = [k for k in DC._STATE_CACHE if k[0].startswith("state:bpe_merges")]
+    assert keys
+    before = {k: DC._STATE_CACHE[k] for k in keys}
+    _q(spark, "bpe_encode_checked").count()
+    for k, v in before.items():
+        assert DC._STATE_CACHE[k] is v, k
