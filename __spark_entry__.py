@@ -351,6 +351,12 @@ _DEFER_PAST_CAP = (
     # feature_extract (r7-green, unchanged) defers — the multimodal
     # family stays checked via multimodal_decode, re-entering above
     "feature_extract",
+    # r8 addition knn_join (exact k-NN self-join — per-row ranked
+    # neighbors via a broadcast index and a map-only left-fold
+    # kernel) enters; tpch_q5_like (r7-green, unchanged) defers — the
+    # composite family stays checked via flagship, tpch_q1 and
+    # tpch_q18_like
+    "tpch_q5_like",
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

@@ -141,6 +141,8 @@ EXTRA_QUERIES = [
     # construction) + the map-only encode; steady re-pays both (the
     # merge list is not cached — a production pipeline trains once)
     "bpe_encode_checked",
+    # r8: exact k-NN self-join — broadcast index, map-only kernel
+    "knn_join",
 ]
 
 

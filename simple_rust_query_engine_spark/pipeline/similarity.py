@@ -604,6 +604,96 @@ def q_semantic_search(t: dict) -> DataFrame:
     return semantic_search(t["embeddings"], t["documents"])
 
 
+#: neighbors returned per vector by the k-NN self-join
+KNN_K = 5
+
+
+def knn_join(emb: DataFrame, k: int = KNN_K, chunk: int = 512) -> DataFrame:
+    """EXACT k-nearest-neighbor self-join: for every vector, its ``k``
+    most-cosine-similar neighbors with a dense rank — the
+    retrieval-augmentation / semantic-clustering primitive
+    (``ann_brute`` answers one query; ``embedding_neardup`` emits
+    thresholded pairs; this ranks neighbors for EVERY row).
+
+    Plan: MAP-ONLY.  The (vec_id, embedding, norm) index — sorted by
+    vec_id so candidate order is engine-identical — ships as one task
+    broadcast, and each partition's rows compute their exact top-k
+    against it in a single Arrow/numpy pass: dot products accumulate
+    DIMENSION-BY-DIMENSION left-to-right (bit-identical to the DuckDB
+    ``list_reduce`` fold and to ``F.aggregate`` — numpy's pairwise-sum
+    ``A @ B`` is NOT), division order dot/|a|/|b| mirrors the oracle,
+    self is masked, and ties break toward the lower neighbor id
+    (``np.lexsort`` — secondary key vec_id ascending).  Only n·k rows
+    leave the UDF; zero Exchange (pinned in
+    ``tests/test_plans.py::test_knn_join_plan_is_map_only``).
+
+    Scale: the broadcast side must fit executor memory — at 10⁹+
+    vectors broadcast the PRUNED candidate set per partition instead
+    (IVF cell / LSH bucket union, see ``ann_ivf``/``ann_lsh``) or
+    fall back to the two-phase exact merge (per-tile top-(k+ties),
+    then a groupBy merge).  Row-side memory is bounded by ``chunk``
+    (the scoring tile is chunk × index, accumulated per dimension)."""
+    rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )  # broadcast model state (like the IVF centroids), not a data path
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    B = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    dim = B.shape[1]
+    nrm2 = np.zeros(len(ids))
+    for d in range(dim):  # left-to-right fold, same as the oracle
+        nrm2 = nrm2 + B[:, d] * B[:, d]
+    bnrm = np.sqrt(nrm2)
+    bc = emb.sparkSession.sparkContext.broadcast((ids, B, bnrm))
+
+    def score(batches):
+        ids_b, Bm, nb = bc.value
+        n = len(ids_b)
+        kk = min(k, n - 1)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            qids = pdf["vec_id"].to_numpy().astype(np.int64)
+            out = []
+            for lo in range(0, len(qids), chunk):
+                hi = min(lo + chunk, len(qids))
+                Qc, qid = Q[lo:hi], qids[lo:hi]
+                qn2 = np.zeros(hi - lo)
+                for d in range(dim):
+                    qn2 = qn2 + Qc[:, d] * Qc[:, d]
+                dot = np.zeros((hi - lo, n))
+                for d in range(dim):
+                    dot = dot + np.outer(Qc[:, d], Bm[:, d])
+                cos = dot / np.sqrt(qn2)[:, None] / nb[None, :]
+                cos[qid[:, None] == ids_b[None, :]] = -np.inf  # mask self
+                for r in range(hi - lo):
+                    top = np.lexsort((ids_b, -cos[r]))[:kk]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "vec_id": qid[r],
+                                "nbr_id": ids_b[top],
+                                "cos_sim": cos[r][top],
+                                "rank": np.arange(1, len(top) + 1),
+                            }
+                        )
+                    )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        score, "vec_id long, nbr_id long, cos_sim double, rank long"
+    )
+
+
+def q_knn_join(t: dict) -> DataFrame:
+    return knn_join(t["embeddings"])
+
+
 def q_embedding_neardup(t: dict) -> DataFrame:
     """Driver entry: 2-band, 4-plane OR-of-ANDs blocking (threshold
     0.40 calibrated to the driver corpus — max pairwise cosine ≈ 0.51,
@@ -775,6 +865,26 @@ ORACLE: dict[str, str] = {
         CROSS JOIN (SELECT unnest(range(1, 65)) AS i) AS dims
         GROUP BY label, i
     """,
+    # exact all-pairs + window rank IS the semantic contract the
+    # map-only broadcast kernel must reproduce; ties break toward the
+    # lower neighbor id on both sides, cos_sim is the same left-fold
+    "knn_join": f"""
+        WITH pairs AS (
+            SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+                   {_sql_cos("a.embedding", "b.embedding")} AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+            SELECT vec_id, nbr_id, cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY cos_sim DESC, nbr_id ASC
+                   ) AS rank
+            FROM pairs
+        )
+        SELECT vec_id, nbr_id, cos_sim, rank
+        FROM ranked WHERE rank <= {KNN_K}
+    """,
 }
 
 QUERIES = {
@@ -786,4 +896,5 @@ QUERIES = {
     "emb_centroid": q_emb_centroid,
     "semantic_search": q_semantic_search,
     "semantic_dedup": q_semantic_dedup,
+    "knn_join": q_knn_join,
 }

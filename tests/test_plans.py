@@ -680,3 +680,14 @@ def test_bpe_merges_trained_once_per_session_corpus(spark):
     _q(spark, "bpe_encode_checked").count()
     for k, v in before.items():
         assert DC._STATE_CACHE[k] is v, k
+
+
+def test_knn_join_plan_is_map_only(spark):
+    # the k-NN self-join ships the index as a task broadcast and emits
+    # n·k rows straight from the kernel: one ArrowEvalPython-family
+    # node (mapInPandas), zero Exchange in the returned plan
+    plan = (
+        _q(spark, "knn_join")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in plan, plan
+    assert "Exchange" not in plan, plan
