@@ -357,6 +357,12 @@ _DEFER_PAST_CAP = (
     # composite family stays checked via flagship, tpch_q1 and
     # tpch_q18_like
     "tpch_q5_like",
+    # r8 addition knn_label_spread (majority-vote label propagation
+    # over the ranked-neighbor table — weak supervision / label-noise
+    # audit) enters; join_anti (r7-green, unchanged) defers —
+    # join_semi (re-entering above) and join_inner stay as the
+    # semi/anti join family representatives
+    "join_anti",
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

@@ -141,8 +141,10 @@ EXTRA_QUERIES = [
     # construction) + the map-only encode; steady re-pays both (the
     # merge list is not cached — a production pipeline trains once)
     "bpe_encode_checked",
-    # r8: exact k-NN self-join — broadcast index, map-only kernel
+    # r8: exact k-NN self-join — broadcast index, map-only kernel —
+    # and the majority-vote label spread composed on top of it
     "knn_join",
+    "knn_label_spread",
 ]
 
 

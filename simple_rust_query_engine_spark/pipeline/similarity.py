@@ -694,6 +694,65 @@ def q_knn_join(t: dict) -> DataFrame:
     return knn_join(t["embeddings"])
 
 
+def knn_label_spread(emb: DataFrame, k: int = KNN_K) -> DataFrame:
+    """k-NN LABEL SPREAD — majority vote of each vector's k nearest
+    neighbors vs its own label: the weak-supervision primitive (spread
+    a small labeled seed set over an unlabeled corpus; audit label
+    noise by flagging rows whose neighborhood disagrees).
+
+    Plan: the ranked-neighbor table comes out of the map-only
+    ``knn_join`` kernel (n·k rows); neighbor labels attach via a
+    BROADCAST join (the label table is dimension-sized); votes count
+    in one uniform-key groupBy; the per-vector argmax is a struct-MAX
+    over (n_votes, -label) in a second partial-aggregated groupBy —
+    deterministic ties toward the smaller label, and NO window (a
+    row_number window would re-sort every group; max is mergeable
+    map-side).  Two hash exchanges over n·k rows total, both on
+    near-uniform keys — scales."""
+    nn = knn_join(emb, k)
+    lab = emb.select("vec_id", "label")
+    votes = (
+        nn.join(
+            F.broadcast(
+                lab.select(
+                    F.col("vec_id").alias("nbr_id"),
+                    F.col("label").alias("nbr_label"),
+                )
+            ),
+            "nbr_id",
+        )
+        .groupBy("vec_id", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    best = (
+        votes.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_votes").alias("v"),
+                    (-F.col("nbr_label")).alias("neg_label"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            (-F.col("m.neg_label")).cast("int").alias("pred_label"),
+            F.col("m.v").alias("n_votes"),
+        )
+    )
+    return best.join(F.broadcast(lab), "vec_id").select(
+        "vec_id",
+        "label",
+        "pred_label",
+        "n_votes",
+        (F.col("pred_label") == F.col("label")).alias("agree"),
+    )
+
+
+def q_knn_label_spread(t: dict) -> DataFrame:
+    return knn_label_spread(t["embeddings"])
+
+
 def q_embedding_neardup(t: dict) -> DataFrame:
     """Driver entry: 2-band, 4-plane OR-of-ANDs blocking (threshold
     0.40 calibrated to the driver corpus — max pairwise cosine ≈ 0.51,
@@ -721,6 +780,23 @@ def _sql_cos(a: str, b: str) -> str:
 
 
 _SQL_COS = _sql_cos("a_emb", "b_emb")
+
+#: shared exact-kNN definition — one spelling of all-pairs cosine +
+#: per-vector rank, reused by the knn_join and knn_label_spread
+#: oracles so the two can never desynchronize
+_KNN_RANKED_CTES = f"""pairs AS (
+            SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+                   {_sql_cos("a.embedding", "b.embedding")} AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+            SELECT vec_id, nbr_id, cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY cos_sim DESC, nbr_id ASC
+                   ) AS rank
+            FROM pairs
+        )"""
 
 
 def _sql_sign(emb: str, j: int) -> str:
@@ -869,21 +945,33 @@ ORACLE: dict[str, str] = {
     # map-only broadcast kernel must reproduce; ties break toward the
     # lower neighbor id on both sides, cos_sim is the same left-fold
     "knn_join": f"""
-        WITH pairs AS (
-            SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
-                   {_sql_cos("a.embedding", "b.embedding")} AS cos_sim
-            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-        ),
-        ranked AS (
-            SELECT vec_id, nbr_id, cos_sim,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY vec_id
-                       ORDER BY cos_sim DESC, nbr_id ASC
-                   ) AS rank
-            FROM pairs
-        )
+        WITH {_KNN_RANKED_CTES}
         SELECT vec_id, nbr_id, cos_sim, rank
         FROM ranked WHERE rank <= {KNN_K}
+    """,
+    # same ranked-neighbor definition; majority vote with ties toward
+    # the smaller label (mirrors the Spark struct-max over
+    # (n_votes, -label))
+    "knn_label_spread": f"""
+        WITH {_KNN_RANKED_CTES},
+        votes AS (
+            SELECT r.vec_id, e.label AS nbr_label, COUNT(*) AS n_votes
+            FROM ranked r JOIN embeddings e ON r.nbr_id = e.vec_id
+            WHERE r.rank <= {KNN_K}
+            GROUP BY 1, 2
+        ),
+        pred AS (
+            SELECT vec_id, nbr_label AS pred_label, n_votes,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY n_votes DESC, nbr_label ASC
+                   ) AS rn
+            FROM votes
+        )
+        SELECT p.vec_id AS vec_id, e.label AS label, p.pred_label,
+               p.n_votes, (p.pred_label = e.label) AS agree
+        FROM pred p JOIN embeddings e ON p.vec_id = e.vec_id
+        WHERE p.rn = 1
     """,
 }
 
@@ -897,4 +985,5 @@ QUERIES = {
     "semantic_search": q_semantic_search,
     "semantic_dedup": q_semantic_dedup,
     "knn_join": q_knn_join,
+    "knn_label_spread": q_knn_label_spread,
 }
