@@ -363,6 +363,13 @@ _DEFER_PAST_CAP = (
     # join_semi (re-entering above) and join_inner stay as the
     # semi/anti join family representatives
     "join_anti",
+    # r8 addition knn_join_stream (stream-static k-NN scoring against
+    # the held index through the shared broadcast kernel, oracle
+    # shared with batch knn_join) enters; pipeline_clean_incr
+    # (r7-green, unchanged) defers — pipeline_clean (re-entering
+    # above) and pipeline_incr_stateful stay as the incremental-
+    # composition family representatives
+    "pipeline_clean_incr",
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

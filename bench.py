@@ -145,6 +145,7 @@ EXTRA_QUERIES = [
     # and the majority-vote label spread composed on top of it
     "knn_join",
     "knn_label_spread",
+    "knn_join_stream",
 ]
 
 

@@ -633,23 +633,38 @@ def knn_join(emb: DataFrame, k: int = KNN_K, chunk: int = 512) -> DataFrame:
     fall back to the two-phase exact merge (per-tile top-(k+ties),
     then a groupBy merge).  Row-side memory is bounded by ``chunk``
     (the scoring tile is chunk × index, accumulated per dimension)."""
-    rows = (
-        emb.select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .collect()
-    )  # broadcast model state (like the IVF centroids), not a data path
+    bc = knn_index(emb)
+    return emb.select("vec_id", "embedding").mapInPandas(
+        knn_score_fn(bc, k, chunk), KNN_SCHEMA
+    )
+
+
+KNN_SCHEMA = "vec_id long, nbr_id long, cos_sim double, rank long"
+
+
+def knn_index(emb: DataFrame):
+    """Collect + task-broadcast the (ids, matrix, norms) index, sorted
+    by vec_id so candidate order is engine-identical.  Broadcast model
+    state (like the IVF centroids), not a data path; the streaming
+    scorer builds it from a BATCH read of the held index table."""
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
     B = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
-    dim = B.shape[1]
     nrm2 = np.zeros(len(ids))
-    for d in range(dim):  # left-to-right fold, same as the oracle
+    for d in range(B.shape[1]):  # left-to-right fold, same as the oracle
         nrm2 = nrm2 + B[:, d] * B[:, d]
-    bnrm = np.sqrt(nrm2)
-    bc = emb.sparkSession.sparkContext.broadcast((ids, B, bnrm))
+    return emb.sparkSession.sparkContext.broadcast((ids, B, np.sqrt(nrm2)))
+
+
+def knn_score_fn(bc, k: int = KNN_K, chunk: int = 512):
+    """mapInPandas kernel scoring each arriving row's exact top-k
+    against the broadcast index (shared by the batch self-join and the
+    streaming scorer — one definition of the fold arithmetic)."""
 
     def score(batches):
         ids_b, Bm, nb = bc.value
         n = len(ids_b)
+        dim = Bm.shape[1]
         kk = min(k, n - 1)
         for pdf in batches:
             if pdf.empty:
@@ -685,9 +700,7 @@ def knn_join(emb: DataFrame, k: int = KNN_K, chunk: int = 512) -> DataFrame:
             if out:
                 yield pd.concat(out, ignore_index=True)
 
-    return emb.select("vec_id", "embedding").mapInPandas(
-        score, "vec_id long, nbr_id long, cos_sim double, rank long"
-    )
+    return score
 
 
 def q_knn_join(t: dict) -> DataFrame:

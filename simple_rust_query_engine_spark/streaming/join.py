@@ -161,7 +161,60 @@ def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_knn_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC k-NN join: every ARRIVING embedding is scored
+    against the HELD index — a batch read of the embeddings table,
+    standing in for the persisted index a production pipeline
+    maintains — through the SAME broadcast kernel as the batch
+    self-join (``pipeline.similarity.knn_score_fn``), so the full
+    corpus streamed in must reproduce batch ``knn_join`` exactly (one
+    shared oracle definition).
+
+    Map-only per micro-batch: the index ships as broadcast model
+    state inside the kernel (same posture as
+    ``decontaminate_stream``'s eval-set), so there is ZERO streaming
+    state store and no watermark — a stream-static join formulation
+    would re-shuffle the static side per batch for strictly worse
+    semantics.  At scale the arriving batch pays O(batch × index)
+    scoring, the steady-state cost of online retrieval against a
+    pinned index snapshot."""
+    import os
+
+    from ..pipeline.similarity import KNN_SCHEMA, knn_index, knn_score_fn
+    from .source import file_stream
+
+    idx = knn_index(
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    )
+    _RUN[0] += 1
+    name = f"knn_join_stream_{_RUN[0]}"
+    scored = (
+        file_stream(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .mapInPandas(knn_score_fn(idx), KNN_SCHEMA)
+    )
+    q = (
+        scored.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+def _knn_stream_oracle() -> str:
+    # the streamed corpus scored against the held full-corpus index IS
+    # the batch k-NN self-join — one oracle definition for both
+    from ..pipeline.similarity import ORACLE as _sim_oracle
+
+    return _sim_oracle["knn_join"]
+
+
 ORACLE: dict[str, str] = {
+    "knn_join_stream": _knn_stream_oracle(),
     "events_stream_join": f"""
         SELECT p.event_id AS purchase_id, c.event_id AS click_id,
                p.user_id,
@@ -176,4 +229,5 @@ ORACLE: dict[str, str] = {
 
 QUERIES_SPARK = {
     "events_stream_join": q_events_stream_join,
+    "knn_join_stream": q_knn_join_stream,
 }

@@ -42,6 +42,7 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
         "bpe_encode_checked",      # new in r8 (corpus-sized encode pass)
         "knn_join",                # new in r8 (exact k-NN self-join)
         "knn_label_spread",        # new in r8 (k-NN majority vote)
+        "knn_join_stream",         # new in r8 (stream-static scoring)
         "bpe_pair_counts",         # r8: oracle SUM(cnt)::BIGINT cast
         "dedup_minhash_ingest_stream",  # r8: catalog-drop + path-read
         "dedup_labels_stream",          # r8: same catalog hygiene
