@@ -370,6 +370,13 @@ _DEFER_PAST_CAP = (
     # above) and pipeline_incr_stateful stay as the incremental-
     # composition family representatives
     "pipeline_clean_incr",
+    # r8 addition multimodal_resize (the resize step of the image
+    # pipeline — aspect-fit geometry in integer floor division + a
+    # nearest-neighbor byte resample, real-PIL path behind the same
+    # codec probe as decode) enters; dup_span_frac (r7-green,
+    # unchanged) defers — doc_novelty (same SPAN_W window-hash
+    # machinery) and decontaminate_stream stay as span-family reps
+    "dup_span_frac",
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

@@ -146,6 +146,8 @@ EXTRA_QUERIES = [
     "knn_join",
     "knn_label_spread",
     "knn_join_stream",
+    # r8: the resize step of the image pipeline (map-only mapInPandas)
+    "multimodal_resize",
 ]
 
 

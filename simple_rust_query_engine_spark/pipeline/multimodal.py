@@ -177,6 +177,140 @@ def frame_sample(payloads: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     ).withColumn("byte_offset", F.col("frame_no") * F.lit(every_n_bytes))
 
 
+#: resize output schema — source geometry, aspect-fit target geometry,
+#: and a checksum of the resampled content
+RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, out_w int, out_h int, "
+    "n_sampled int, mean_sampled double"
+)
+
+#: aspect-fit bound for the resize target (the standard vision-model
+#: input side)
+RESIZE_MAX_SIDE = 224
+
+
+def _fit_geometry(width: int, height: int, max_side: int) -> tuple:
+    """Aspect-preserving fit into a max_side square, INTEGER-ONLY
+    (floor division — identical in Python and DuckDB, no float scale
+    that could round differently across engines); never upscales."""
+    if width <= max_side and height <= max_side:
+        return width, height
+    if width >= height:
+        return max_side, max(1, (height * max_side) // width)
+    return max(1, (width * max_side) // height), max_side
+
+
+def resize_images(
+    payloads: DataFrame,
+    max_side: int = RESIZE_MAX_SIDE,
+    codec: str = "fake",
+) -> DataFrame:
+    """The RESIZE step of an image-ingest pipeline (decode →
+    **resize** → feature-extract), Arrow-batched over ``mapInPandas``
+    — same codec contract as ``decode_images``:
+
+    * ``"fake"`` — deterministic stand-in (no codec in the build
+      container): geometry comes from the fake decode, and the
+      "resampled content" is a nearest-neighbor byte sample of the
+      payload — out[i] = payload[(i*n)//T] for T = min(n, 16) sample
+      positions, mean emitted as one double division.  Pure integer
+      indexing → exact DuckDB twin.
+    * ``"real"`` — ``PIL.Image.thumbnail`` (aspect-preserving, never
+      upscales — the same contract as ``_fit_geometry``), emitting the
+      resized geometry and resized-grayscale mean; raises without PIL.
+    * ``"auto"`` — real when the payload decodes, per-payload fake
+      fallback (decode-shaped errors only, same policy as
+      ``decode_images``).
+
+    Map-only at any scale: bytes move as Arrow batches, geometry and
+    resampling are per-row arithmetic, no shuffle."""
+    if codec not in ("fake", "real", "auto"):
+        raise ValueError(f"codec must be fake|real|auto, got {codec!r}")
+
+    def fake_one(doc_id, payload: bytes) -> tuple:
+        n, _, width, height, _, _ = _fake_decode(payload)
+        out_w, out_h = _fit_geometry(width, height, max_side)
+        t = min(n, 16)
+        if t:
+            sampled = [payload[(i * n) // t] for i in range(t)]
+            mean = sum(sampled) / t  # one double division
+        else:
+            mean = 0.0
+        return (doc_id, width, height, out_w, out_h, t, mean)
+
+    def real_one(doc_id, payload: bytes) -> tuple:
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as im:
+            width, height = im.size
+            im2 = im.convert("L")
+            im2.thumbnail((max_side, max_side))
+            out_w, out_h = im2.size
+            arr = np.asarray(im2, dtype=np.float64)
+            mean = float(arr.mean()) if arr.size else 0.0
+            return (doc_id, width, height, out_w, out_h, arr.size, mean)
+
+    def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        use_real = False
+        if codec != "fake":
+            try:
+                import PIL  # noqa: F401 — probe the executor env
+
+                use_real = True
+            except ImportError:
+                if codec == "real":
+                    raise
+        if use_real:
+            import struct
+
+            from PIL import Image as _PILImage
+            from PIL import UnidentifiedImageError
+
+            decode_errors = (
+                UnidentifiedImageError,
+                _PILImage.DecompressionBombError,
+                OSError,
+                ValueError,
+                SyntaxError,
+                EOFError,
+                struct.error,
+            )
+
+        def one(doc_id, payload: bytes) -> tuple:
+            if use_real:
+                try:
+                    return real_one(doc_id, payload)
+                except decode_errors:
+                    if codec == "real":
+                        raise
+            return fake_one(doc_id, payload)
+
+        cols = [
+            "doc_id", "width", "height", "out_w", "out_h",
+            "n_sampled", "mean_sampled",
+        ]
+        for pdf in batches:
+            yield pd.DataFrame(
+                [one(d, p) for d, p in zip(pdf["doc_id"], pdf["payload"])],
+                columns=cols,
+            )
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        resize_batch, schema=RESIZE_SCHEMA
+    )
+
+
+def q_multimodal_resize(t: dict) -> DataFrame:
+    """Driver entry for the resize step, pinned to ``codec="fake"``
+    (same reasoning as ``q_multimodal_decode`` — the corpus is text
+    standing in for images, and only the arithmetic stub has an exact
+    cross-engine twin)."""
+    return resize_images(with_binary_payload(t["documents"]))
+
+
 FEAT_SCHEMA = (
     "doc_id long, n_bytes int, min_byte int, max_byte int, "
     "mean_byte double, dominant_bin int"
@@ -304,6 +438,37 @@ ORACLE: dict[str, str] = {
                    AS dominant_bin
         FROM hist
     """,
+    # fake-kernel twin: geometry from the fake decode, aspect-fit in
+    # INTEGER floor division (identical semantics both engines), and
+    # the nearest-neighbor byte resample at positions (i*n)//t — text
+    # is ASCII so byte == codepoint, 1-based text[] vs 0-based payload
+    "multimodal_resize": f"""
+        WITH g AS (
+            SELECT doc_id, text,
+                   octet_length(encode(text)) AS n,
+                   (octet_length(encode(text)) % 640 + 1) AS w,
+                   (octet_length(encode(text)) * 7 % 480 + 1) AS h
+            FROM documents
+        ), fit AS (
+            SELECT doc_id, text, n, w, h,
+                   CASE WHEN w <= {RESIZE_MAX_SIDE} AND h <= {RESIZE_MAX_SIDE} THEN w
+                        WHEN w >= h THEN {RESIZE_MAX_SIDE}
+                        ELSE greatest(1, (w * {RESIZE_MAX_SIDE}) // h) END AS out_w,
+                   CASE WHEN w <= {RESIZE_MAX_SIDE} AND h <= {RESIZE_MAX_SIDE} THEN h
+                        WHEN w >= h THEN greatest(1, (h * {RESIZE_MAX_SIDE}) // w)
+                        ELSE {RESIZE_MAX_SIDE} END AS out_h,
+                   least(n, 16) AS t
+            FROM g
+        )
+        SELECT doc_id, w::INT AS width, h::INT AS height,
+               out_w::INT AS out_w, out_h::INT AS out_h,
+               t::INT AS n_sampled,
+               CASE WHEN t = 0 THEN 0.0
+                    ELSE list_sum(list_transform(range(0, t),
+                         i -> ascii(text[(i * n) // t + 1])))::DOUBLE / t
+               END AS mean_sampled
+        FROM fit
+    """,
     "frame_sample": """
         WITH f AS (
             SELECT doc_id,
@@ -325,6 +490,7 @@ ORACLE: dict[str, str] = {
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_resize": q_multimodal_resize,
     "feature_extract": q_feature_extract,
     "frame_sample": q_frame_sample,
 }

@@ -43,6 +43,7 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
         "knn_join",                # new in r8 (exact k-NN self-join)
         "knn_label_spread",        # new in r8 (k-NN majority vote)
         "knn_join_stream",         # new in r8 (stream-static scoring)
+        "multimodal_resize",       # new in r8 (resize step, fake kernel)
         "bpe_pair_counts",         # r8: oracle SUM(cnt)::BIGINT cast
         "dedup_minhash_ingest_stream",  # r8: catalog-drop + path-read
         "dedup_labels_stream",          # r8: same catalog hygiene
@@ -73,7 +74,8 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
         "dup_cluster_sizes",
         "profile_table_approx",
         "profile_table",
-        "dup_span_frac",
+        # (dup_span_frac deferred late-r8 when multimodal_resize
+        # entered — doc_novelty + decontaminate_stream are the span reps)
         "decontaminate_stream",
         "quality_topk",
         "tpch_q18_like",

@@ -59,6 +59,54 @@ def test_decode_images_rejects_unknown_codec(tables):
         decode_images(with_binary_payload(tables["documents"]), codec="webp")
 
 
+def test_resize_images_fake_kernel(spark):
+    # geometry: aspect-fit in integer floor division, never upscales;
+    # resample: nearest-neighbor byte positions (i*n)//t; empty
+    # payload emits zero samples and mean 0.0
+    from simple_rust_query_engine_spark.pipeline.multimodal import (
+        _fit_geometry,
+        resize_images,
+    )
+
+    assert _fit_geometry(100, 50, 224) == (100, 50)      # no upscale
+    assert _fit_geometry(640, 480, 224) == (224, 168)    # landscape
+    assert _fit_geometry(480, 640, 224) == (168, 224)    # portrait
+    assert _fit_geometry(10000, 1, 224) == (224, 1)      # clamp to 1
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abcd")), (2, bytearray(b""))],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in resize_images(df).collect()}
+    r1 = got[1]
+    assert (r1.width, r1.height) == (4 % 640 + 1, 4 * 7 % 480 + 1)
+    assert r1.n_sampled == 4
+    assert r1.mean_sampled == sum(b"abcd") / 4
+    r2 = got[2]
+    assert (r2.n_sampled, r2.mean_sampled) == (0, 0.0)
+
+
+def test_resize_images_real_codec(spark):
+    import io
+
+    import pytest
+
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from simple_rust_query_engine_spark.pipeline.multimodal import (
+        resize_images,
+    )
+
+    buf = io.BytesIO()
+    Image.new("RGB", (448, 224), (0, 255, 0)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+    )
+    r = resize_images(df, codec="real").collect()[0]
+    assert (r.width, r.height) == (448, 224)
+    assert (r.out_w, r.out_h) == (224, 112)  # thumbnail aspect-fit
+
+
 def test_frame_sample_explode(tables):
     b = with_binary_payload(tables["documents"])
     fs = frame_sample(b, every_n_bytes=64)
