@@ -138,8 +138,10 @@ EXTRA_QUERIES = [
     "dup_cluster_sizes",
     # round 8 — the corpus-sized BPE encode pass: cold prices training
     # (BPE_CHECK_MERGES vocab-sized argmax rounds, eager at plan
-    # construction) + the map-only encode; steady re-pays both (the
-    # merge list is not cached — a production pipeline trains once)
+    # construction) + the map-only encode; the merge list is cached
+    # per (session, corpus) under a state: tag surviving
+    # release_barriers, so STEADY measures the encode pass alone —
+    # the production shape (train once, encode every batch)
     "bpe_encode_checked",
     # r8: exact k-NN self-join — broadcast index, map-only kernel —
     # and the majority-vote label spread composed on top of it

@@ -77,6 +77,45 @@ def _real_decode(payload: bytes) -> tuple:
     return len(payload), fmt, width, height, n_channels, mean_luma
 
 
+def _codec_probe(codec: str):
+    """Shared per-executor codec resolution for decode/resize: returns
+    (use_real, decode_errors) — the decode-shaped (PAYLOAD-failure)
+    error set that may fall back to the fake kernel in auto mode.
+    UnidentifiedImageError/OSError = not a decodable image;
+    ValueError/SyntaxError/EOFError/struct.error = truncated or
+    corrupt payload paths inside PIL's format plugins;
+    DecompressionBombError = a valid but hostile payload (it
+    subclasses Exception directly, not OSError/ValueError).  ONLY
+    these fall back — an environment failure (broken numpy,
+    MemoryError, PIL misconfig) must PROPAGATE, not silently degrade
+    every payload to fake metadata with no signal."""
+    use_real = False
+    if codec != "fake":
+        try:
+            import PIL  # noqa: F401 — probe the executor env
+
+            use_real = True
+        except ImportError:
+            if codec == "real":
+                raise
+    if not use_real:
+        return False, ()
+    import struct
+
+    from PIL import Image as _PILImage
+    from PIL import UnidentifiedImageError
+
+    return True, (
+        UnidentifiedImageError,
+        _PILImage.DecompressionBombError,
+        OSError,
+        ValueError,
+        SyntaxError,
+        EOFError,
+        struct.error,
+    )
+
+
 def decode_images(payloads: DataFrame, codec: str = "auto") -> DataFrame:
     """Arrow-batched decode over mapInPandas. Each batch is a pandas
     DataFrame of (doc_id, payload); output rows follow DECODE_SCHEMA.
@@ -99,41 +138,7 @@ def decode_images(payloads: DataFrame, codec: str = "auto") -> DataFrame:
         raise ValueError(f"codec must be fake|real|auto, got {codec!r}")
 
     def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        use_real = False
-        if codec != "fake":
-            try:
-                import PIL  # noqa: F401 — probe the executor env
-
-                use_real = True
-            except ImportError:
-                if codec == "real":
-                    raise
-
-        if use_real:
-            # resolve the decode-shaped (PAYLOAD-failure) error set
-            # once per batch fn: UnidentifiedImageError/OSError = not
-            # a decodable image; ValueError/SyntaxError/EOFError/
-            # struct.error = truncated or corrupt payload paths inside
-            # PIL's format plugins; DecompressionBombError = a valid
-            # but hostile payload (it subclasses Exception directly,
-            # not OSError/ValueError).  ONLY these fall back in auto
-            # mode — an environment failure (broken numpy,
-            # MemoryError, PIL misconfig) must PROPAGATE, not silently
-            # degrade every payload to fake metadata with no signal.
-            import struct
-
-            from PIL import Image as _PILImage
-            from PIL import UnidentifiedImageError
-
-            _decode_errors = (
-                UnidentifiedImageError,
-                _PILImage.DecompressionBombError,
-                OSError,
-                ValueError,
-                SyntaxError,
-                EOFError,
-                struct.error,
-            )
+        use_real, _decode_errors = _codec_probe(codec)
 
         def one(payload: bytes) -> tuple:
             if use_real:
@@ -203,7 +208,7 @@ def _fit_geometry(width: int, height: int, max_side: int) -> tuple:
 def resize_images(
     payloads: DataFrame,
     max_side: int = RESIZE_MAX_SIDE,
-    codec: str = "fake",
+    codec: str = "auto",
 ) -> DataFrame:
     """The RESIZE step of an image-ingest pipeline (decode →
     **resize** → feature-extract), Arrow-batched over ``mapInPandas``
@@ -254,30 +259,7 @@ def resize_images(
             return (doc_id, width, height, out_w, out_h, arr.size, mean)
 
     def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        use_real = False
-        if codec != "fake":
-            try:
-                import PIL  # noqa: F401 — probe the executor env
-
-                use_real = True
-            except ImportError:
-                if codec == "real":
-                    raise
-        if use_real:
-            import struct
-
-            from PIL import Image as _PILImage
-            from PIL import UnidentifiedImageError
-
-            decode_errors = (
-                UnidentifiedImageError,
-                _PILImage.DecompressionBombError,
-                OSError,
-                ValueError,
-                SyntaxError,
-                EOFError,
-                struct.error,
-            )
+        use_real, decode_errors = _codec_probe(codec)
 
         def one(doc_id, payload: bytes) -> tuple:
             if use_real:
@@ -308,7 +290,7 @@ def q_multimodal_resize(t: dict) -> DataFrame:
     (same reasoning as ``q_multimodal_decode`` — the corpus is text
     standing in for images, and only the arithmetic stub has an exact
     cross-engine twin)."""
-    return resize_images(with_binary_payload(t["documents"]))
+    return resize_images(with_binary_payload(t["documents"]), codec="fake")
 
 
 FEAT_SCHEMA = (

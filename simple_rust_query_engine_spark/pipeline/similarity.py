@@ -642,18 +642,41 @@ def knn_join(emb: DataFrame, k: int = KNN_K, chunk: int = 512) -> DataFrame:
 KNN_SCHEMA = "vec_id long, nbr_id long, cos_sim double, rank long"
 
 
-def knn_index(emb: DataFrame):
+def knn_index(emb: DataFrame, cache_key: str | None = None):
     """Collect + task-broadcast the (ids, matrix, norms) index, sorted
     by vec_id so candidate order is engine-identical.  Broadcast model
     state (like the IVF centroids), not a data path; the streaming
-    scorer builds it from a BATCH read of the held index table."""
-    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    B = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
-    nrm2 = np.zeros(len(ids))
-    for d in range(B.shape[1]):  # left-to-right fold, same as the oracle
-        nrm2 = nrm2 + B[:, d] * B[:, d]
-    return emb.sparkSession.sparkContext.broadcast((ids, B, np.sqrt(nrm2)))
+    scorer builds it from a BATCH read of the held index table.
+
+    Built ONCE per (session, corpus) and cached under a ``state:``
+    tag (same lifecycle as the BPE merge list — broadcast variables
+    are not checkpoint blocks, so ``release_barriers`` rightly keeps
+    the entry): a bench/driver session invoking knn_join,
+    knn_label_spread and the streaming scorer would otherwise pay a
+    full-corpus collect + broadcast PER CALL.  Anchored on the frame
+    object by default (the driver's table dict reuses frames); pass
+    ``cache_key`` (e.g. the corpus path) to anchor on the session
+    when each call constructs a fresh read of the same files."""
+    from .dedup_core import _session_cached
+
+    def build():
+        rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+        ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+        B = np.stack(
+            [np.asarray(r.embedding, dtype=np.float64) for r in rows]
+        )
+        nrm2 = np.zeros(len(ids))
+        for d in range(B.shape[1]):  # left-to-right fold, like the oracle
+            nrm2 = nrm2 + B[:, d] * B[:, d]
+        return emb.sparkSession.sparkContext.broadcast(
+            (ids, B, np.sqrt(nrm2))
+        )
+
+    if cache_key is not None:
+        return _session_cached(
+            f"state:knn_index:{cache_key}", emb.sparkSession, build
+        )
+    return _session_cached("state:knn_index", emb, build)
 
 
 def knn_score_fn(bc, k: int = KNN_K, chunk: int = 512):

@@ -34,6 +34,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .sink import drain_memory_sink
+
 
 def _documents_stream(spark: SparkSession, sf_dir: str):
     from .source import file_stream
@@ -247,7 +249,7 @@ def q_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stream_decontaminate(spark, sf_dir, query_name=name)
     q.processAllAvailable()
     q.stop()
-    return spark.table(name)
+    return drain_memory_sink(spark, name)
 
 
 def stream_minhash_ingest(

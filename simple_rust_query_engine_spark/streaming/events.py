@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .sink import drain_memory_sink
+
 SESSION_GAP_MIN = 30
 
 
@@ -248,7 +250,7 @@ def q_events_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stream_events_hourly(spark, sf_dir, query_name=name, output_mode="complete")
     q.processAllAvailable()
     q.stop()
-    return spark.table(name)
+    return drain_memory_sink(spark, name)
 
 
 def stream_sessionize_stateful(

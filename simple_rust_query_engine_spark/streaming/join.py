@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .sink import drain_memory_sink
+
 JOIN_WINDOW_MS = 2 * 3600 * 1000  # purchases look back 2h for clicks
 
 #: the two joined event types (driver `events` carries signup/click/
@@ -158,7 +160,7 @@ def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stream_interval_join(spark, sf_dir, query_name=name)
     q.processAllAvailable()
     q.stop()
-    return spark.table(name)
+    return drain_memory_sink(spark, name)
 
 
 def q_knn_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,8 +185,11 @@ def q_knn_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.similarity import KNN_SCHEMA, knn_index, knn_score_fn
     from .source import file_stream
 
+    # each call constructs a fresh read of the same files, so the
+    # index cache anchors on (session, corpus path), not the frame
     idx = knn_index(
-        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")),
+        cache_key=os.path.abspath(sf_dir),
     )
     _RUN[0] += 1
     name = f"knn_join_stream_{_RUN[0]}"
@@ -202,7 +207,7 @@ def q_knn_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.processAllAvailable()
     q.stop()
-    return spark.table(name)
+    return drain_memory_sink(spark, name)
 
 
 def _knn_stream_oracle() -> str:

@@ -22,6 +22,23 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 
 
+def drain_memory_sink(spark, name: str) -> DataFrame:
+    """Read a drained memory-sink table ONCE and drop its temp view,
+    so repeated driver/bench invocations don't accumulate one
+    full-result in-memory table per call for the session lifetime
+    (the same per-run catalog hygiene the parquet-backed streaming
+    entries apply by dropping their uuid-named tables).
+
+    The returned frame is localCheckpoint-backed — lineage off the
+    dropped view is truncated, blocks live until the caller's next
+    ``release_barriers`` sweep, and the result must be consumed
+    before that sweep (the standing contract for every
+    checkpoint-backed frame in this repo)."""
+    out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    return out
+
+
 def stream_to_parquet(
     df: DataFrame,
     path: str,
