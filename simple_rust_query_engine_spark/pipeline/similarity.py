@@ -690,7 +690,7 @@ def knn_score_fn(bc, k: int = KNN_K, chunk: int = 512):
         dim = Bm.shape[1]
         kk = min(k, n - 1)
         for pdf in batches:
-            if pdf.empty:
+            if pdf.empty or kk <= 0:
                 continue
             Q = np.stack(
                 [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
@@ -700,26 +700,36 @@ def knn_score_fn(bc, k: int = KNN_K, chunk: int = 512):
             for lo in range(0, len(qids), chunk):
                 hi = min(lo + chunk, len(qids))
                 Qc, qid = Q[lo:hi], qids[lo:hi]
-                qn2 = np.zeros(hi - lo)
+                m = hi - lo
+                qn2 = np.zeros(m)
+                dot = np.zeros((m, n))
                 for d in range(dim):
-                    qn2 = qn2 + Qc[:, d] * Qc[:, d]
-                dot = np.zeros((hi - lo, n))
-                for d in range(dim):
-                    dot = dot + np.outer(Qc[:, d], Bm[:, d])
+                    # in-place adds keep the left-to-right fold order
+                    # (bit-identical) without a tile-sized temporary
+                    # per dimension
+                    qn2 += Qc[:, d] * Qc[:, d]
+                    dot += np.outer(Qc[:, d], Bm[:, d])
                 cos = dot / np.sqrt(qn2)[:, None] / nb[None, :]
                 cos[qid[:, None] == ids_b[None, :]] = -np.inf  # mask self
-                for r in range(hi - lo):
-                    top = np.lexsort((ids_b, -cos[r]))[:kk]
-                    out.append(
-                        pd.DataFrame(
-                            {
-                                "vec_id": qid[r],
-                                "nbr_id": ids_b[top],
-                                "cos_sim": cos[r][top],
-                                "rank": np.arange(1, len(top) + 1),
-                            }
-                        )
+                # per-row (-cos, nbr_id) order; the masked self sorts
+                # LAST (-(-inf) = +inf), so top-kk never includes it.
+                # One vectorized emit per tile — a per-row DataFrame
+                # was the kernel's dominant cost (measured 3x).
+                top = np.stack(
+                    [np.lexsort((ids_b, -cos[r]))[:kk] for r in range(m)]
+                )
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": np.repeat(qid, kk),
+                            "nbr_id": ids_b[top].ravel(),
+                            "cos_sim": np.take_along_axis(
+                                cos, top, axis=1
+                            ).ravel(),
+                            "rank": np.tile(np.arange(1, kk + 1), m),
+                        }
                     )
+                )
             if out:
                 yield pd.concat(out, ignore_index=True)
 
