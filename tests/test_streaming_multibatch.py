@@ -449,3 +449,59 @@ def test_stream_label_maintenance_matches_from_scratch(
     finally:
         for tbl in ("t_lbl_idx", "t_lbl_pairs", "t_lbl_state"):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_knn_stream_scoring_invariant_under_batch_split(
+    spark, tmp_path_factory
+):
+    # the stream-static k-NN scorer is stateless vs the HELD index, so
+    # ANY micro-batch split of the arriving embeddings must accumulate
+    # to exactly the batch self-join — pinned here with 3 files at
+    # maxFilesPerTrigger=1 (the driver entry drains in one batch)
+    import pyarrow.parquet as _pq
+
+    from simple_rust_query_engine_spark.pipeline.similarity import (
+        KNN_SCHEMA,
+        knn_index,
+        knn_join,
+        knn_score_fn,
+    )
+    from simple_rust_query_engine_spark.streaming.source import file_stream
+
+    t = _pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    out = tmp_path_factory.mktemp("emb_split")
+    n = t.num_rows
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        path = str(out / f"emb-{i}.parquet")
+        _pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]), path)
+        stamp = 1_700_000_000 + i * 60
+        os.utime(path, (stamp, stamp))
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = knn_index(emb, cache_key=f"test_split:{SF_DIR}")
+    scored = (
+        file_stream(
+            spark,
+            str(out),
+            "embeddings",
+            glob="emb-*.parquet",
+            max_files_per_trigger=1,
+        )
+        .select("vec_id", "embedding")
+        .mapInPandas(knn_score_fn(idx), KNN_SCHEMA)
+    )
+    q = (
+        scored.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_knn_multibatch")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert len(_batches_with_input(q)) >= 3  # genuinely multi-batch
+    got = {tuple(r) for r in spark.table("t_knn_multibatch").collect()}
+    exp = {tuple(r) for r in knn_join(emb).collect()}
+    assert got == exp
+    spark.catalog.dropTempView("t_knn_multibatch")
