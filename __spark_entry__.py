@@ -377,6 +377,13 @@ _DEFER_PAST_CAP = (
     # unchanged) defers — doc_novelty (same SPAN_W window-hash
     # machinery) and decontaminate_stream stay as span-family reps
     "dup_span_frac",
+    # r8 addition cms_heavy_hitters (count-min-sketch heavy hitters —
+    # fixed-size mergeable counter state, candidates verified exactly,
+    # the whole sketch hash-checked since its arithmetic is
+    # deterministic) enters; profile_table (r7-green, unchanged)
+    # defers — profile_table_approx (the checked validity-band dial)
+    # and stats_moments stay as the profiling/stats family reps
+    "profile_table",
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

@@ -150,6 +150,9 @@ EXTRA_QUERIES = [
     "knn_join_stream",
     # r8: the resize step of the image pipeline (map-only mapInPandas)
     "multimodal_resize",
+    # r8: count-min-sketch heavy hitters (map-side fixed-size counter
+    # merge + exact candidate verify)
+    "cms_heavy_hitters",
 ]
 
 

@@ -33,6 +33,8 @@ engines); production swaps ``xxhash64`` when no oracle is needed.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -97,11 +99,178 @@ def kmv_ndistinct(
     )
 
 
+
+
+# --------------------------------------------- count-min heavy hitters
+#: CMS geometry: D independent affine hash rows over W buckets each —
+#: D*W integers of TOTAL state regardless of corpus size, the property
+#: that makes the sketch the 100 TB shape for vocabulary-scale
+#: counting (the exact alternative shuffles the whole token dict)
+CMS_W = 256
+CMS_D = 4
+CMS_P = 1000003
+#: per-depth affine parameters (a*wh + b) % P % W — fixed constants so
+#: the sketch is deterministic and the DuckDB twin computes the SAME
+#: counters; every intermediate stays far below 2^53
+CMS_A = (31, 131, 313, 797)
+CMS_B = (7, 77, 777, 7777)
+HH_K = 20
+#: heavy-hitter threshold: exact-integer ceil(total / HH_PHI_DENOM)
+HH_PHI_DENOM = 100
+
+
+def _cms_bucket_py(whs: "np.ndarray", depth: int, w: int) -> "np.ndarray":
+    return ((CMS_A[depth] * whs + CMS_B[depth]) % CMS_P) % w
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = HH_K,
+    w: int = CMS_W,
+    d: int = CMS_D,
+    phi_denom: int = HH_PHI_DENOM,
+) -> DataFrame:
+    """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005 —
+    public): tokens whose frequency reaches total/``phi_denom``, found
+    WITHOUT shuffling the token stream.
+
+    Three passes, each the shape that survives 100 TB:
+
+    1. **Sketch** — map-only Arrow pass folds each partition's tokens
+       into a local d×w counter array (``np.add.at``); the only
+       shuffle is the element-wise merge of d·w counter CELLS (a
+       groupBy over at most d·w uniform keys), never of tokens.  The
+       merged sketch (d·w ints) is driver-held model state, like the
+       IVF centroids.
+    2. **Candidates** — the distinct-token dictionary (vocab-sized,
+       not corpus-sized) gets its CMS estimate map-only (broadcast
+       sketch in the UDF closure, numpy gather); tokens with
+       estimate ≥ ceil(total/phi_denom) survive.  CMS never
+       underestimates, so this admits every true heavy hitter
+       (one-sided error — false candidates only).
+    3. **Verify** — exact counts for the candidate set only: a
+       broadcast semi-join filters the token stream map-side, so the
+       final groupBy shuffles candidate tokens alone.
+
+    Determinism: the word hash is the package-wide affine kernel
+    (``text.py_word_hash`` ↔ the oracles' ``_SQL_WH``) and the bucket
+    hashes are fixed affine maps, so the ENTIRE sketch — counters,
+    estimates, candidate set — is bit-reproducible and the DuckDB
+    twin recomputes it exactly: a hash-checked sketch, not a validity
+    band.  Production swaps ``xxhash64`` when no oracle is needed.
+    Emits (token, exact_count, est_count, overestimate_ok) for the
+    top-``k`` by exact count (ties toward the lower token)."""
+    from ..pipeline.text import py_word_hash
+
+    spark = docs.sparkSession
+    tokens = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+
+    def cms_batches(batches):
+        for pdf in batches:
+            whs = np.array(
+                [py_word_hash(x) for x in pdf["w"]], dtype=np.int64
+            )
+            flat = np.zeros(d * w, dtype=np.int64)
+            for i in range(d):
+                np.add.at(flat, i * w + _cms_bucket_py(whs, i, w), 1)
+            yield pd.DataFrame(
+                {"pos": np.arange(d * w, dtype=np.int64), "cnt": flat}
+            )
+
+    merged = (
+        tokens.mapInPandas(cms_batches, "pos long, cnt long")
+        .groupBy("pos")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )  # d·w scalars of sketch state — model state, not a data path
+    cms = np.zeros(d * w, dtype=np.int64)
+    for r in merged:
+        cms[r.pos] = r.cnt
+    total = int(cms[:w].sum())  # every depth row sums to the total
+    thr = (total + phi_denom - 1) // phi_denom
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def est_udf(ws: pd.Series) -> pd.Series:
+        whs = np.array([py_word_hash(x) for x in ws], dtype=np.int64)
+        est = np.full(len(whs), np.iinfo(np.int64).max)
+        for i in range(d):
+            est = np.minimum(est, cms[i * w + _cms_bucket_py(whs, i, w)])
+        return pd.Series(est)
+
+    cand = (
+        tokens.distinct()
+        .withColumn("est_count", est_udf("w"))
+        .filter(F.col("est_count") >= F.lit(thr))
+    )
+    exact = (
+        tokens.join(F.broadcast(cand.select("w")), "w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return (
+        exact.join(F.broadcast(cand), "w")
+        .select(
+            F.col("w").alias("token"),
+            "exact_count",
+            "est_count",
+            (F.col("est_count") >= F.col("exact_count")).alias(
+                "overestimate_ok"
+            ),
+        )
+        .orderBy(F.col("exact_count").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def q_cms_heavy_hitters(t: dict) -> DataFrame:
+    return cms_heavy_hitters(t["documents"])
+
+
 # ------------------------------------------------------------ driver
 def q_kmv_ndistinct(t: dict) -> DataFrame:
     """Estimated distinct documents per language — enough cardinality
     (hundreds-thousands per lang) that the sketch path actually runs."""
     return kmv_ndistinct(t["documents"], "lang", "doc_id")
+
+
+
+def _cms_hh_oracle() -> str:
+    from ..pipeline.dedup import _SQL_WH
+
+    depth_ctes = ",\n        ".join(
+        f"b{i} AS (SELECT (({CMS_A_i} * h + {CMS_B_i}) % {{P}}) % {{W}} AS b, "
+        f"SUM(cnt)::BIGINT AS bc FROM wh GROUP BY 1)"
+        for i, (CMS_A_i, CMS_B_i) in enumerate(zip(CMS_A, CMS_B))
+    ).format(P=CMS_P, W=CMS_W)
+    joins = " ".join(
+        f"JOIN b{i} ON (({CMS_A[i]} * wh.h + {CMS_B[i]}) % {CMS_P}) % {CMS_W} = b{i}.b"
+        for i in range(CMS_D)
+    )
+    least = ", ".join(f"b{i}.bc" for i in range(CMS_D))
+    return f"""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        tc AS (
+            SELECT w, COUNT(*)::BIGINT AS cnt FROM tok
+            WHERE w <> '' GROUP BY w
+        ),
+        n AS (SELECT COALESCE(SUM(cnt), 0)::BIGINT AS total FROM tc),
+        wh AS (SELECT w, cnt, {_SQL_WH} AS h FROM tc),
+        {depth_ctes}
+        SELECT wh.w AS token, wh.cnt AS exact_count,
+               LEAST({least}) AS est_count,
+               (LEAST({least}) >= wh.cnt) AS overestimate_ok
+        FROM wh {joins}, n
+        WHERE LEAST({least}) >= (n.total + {HH_PHI_DENOM - 1}) // {HH_PHI_DENOM}
+        ORDER BY exact_count DESC, token ASC LIMIT {HH_K}
+    """
 
 
 ORACLE: dict[str, str] = {
@@ -126,6 +295,9 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+ORACLE["cms_heavy_hitters"] = _cms_hh_oracle()
+
 QUERIES = {
     "kmv_ndistinct": q_kmv_ndistinct,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
 }

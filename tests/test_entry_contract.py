@@ -44,6 +44,7 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
         "knn_label_spread",        # new in r8 (k-NN majority vote)
         "knn_join_stream",         # new in r8 (stream-static scoring)
         "multimodal_resize",       # new in r8 (resize step, fake kernel)
+        "cms_heavy_hitters",       # new in r8 (hash-checked CMS)
         "bpe_pair_counts",         # r8: oracle SUM(cnt)::BIGINT cast
         "dedup_minhash_ingest_stream",  # r8: catalog-drop + path-read
         "dedup_labels_stream",          # r8: same catalog hygiene
@@ -73,7 +74,8 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
         "cross_source_overlap",
         "dup_cluster_sizes",
         "profile_table_approx",
-        "profile_table",
+        # (profile_table deferred late-r8 when cms_heavy_hitters
+        # entered — profile_table_approx + stats_moments are the reps)
         # (dup_span_frac deferred late-r8 when multimodal_resize
         # entered — doc_novelty + decontaminate_stream are the span reps)
         "decontaminate_stream",
