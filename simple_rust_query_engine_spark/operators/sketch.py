@@ -105,8 +105,12 @@ def kmv_ndistinct(
 #: CMS geometry: D independent affine hash rows over W buckets each —
 #: D*W integers of TOTAL state regardless of corpus size, the property
 #: that makes the sketch the 100 TB shape for vocabulary-scale
-#: counting (the exact alternative shuffles the whole token dict)
-CMS_W = 256
+#: counting (the exact alternative shuffles the whole token dict).
+#: W=1024 clears the classical e/phi bucket bound (~272 at phi=1/100)
+#: with headroom for the deliberately-weak oracle word hash, whose
+#: few-thousand-value spread is what actually limits pruning quality
+#: here — production swaps xxhash64 and the bound alone sizes W
+CMS_W = 1024
 CMS_D = 4
 CMS_P = 1000003
 #: per-depth affine parameters (a*wh + b) % P % W — fixed constants so
@@ -203,7 +207,12 @@ def cms_heavy_hitters(
             est = np.minimum(est, cms[i * w + _cms_bucket_py(whs, i, w)])
         return pd.Series(est)
 
-    cand = (
+    from ..pipeline.dedup_core import materialize
+
+    # materialized: both the verify semi-join and the final hydration
+    # broadcast projections of this frame — without the barrier the
+    # vocab-sized distinct + estimate UDF pass would execute twice
+    cand = materialize(
         tokens.distinct()
         .withColumn("est_count", est_udf("w"))
         .filter(F.col("est_count") >= F.lit(thr))

@@ -656,7 +656,11 @@ def knn_index(emb: DataFrame, cache_key: str | None = None):
     full-corpus collect + broadcast PER CALL.  Anchored on the frame
     object by default (the driver's table dict reuses frames); pass
     ``cache_key`` (e.g. the corpus path) to anchor on the session
-    when each call constructs a fresh read of the same files."""
+    when each call constructs a fresh read of the same files.  Both
+    anchors assume immutable input files within a session — the
+    standing parquet contract every ``state:`` table in this repo
+    shares (see ``dedup_core._state_table`` / ``_same_corpus``); an
+    in-session rewrite of the corpus requires a new session or key."""
     from .dedup_core import _session_cached
 
     def build():

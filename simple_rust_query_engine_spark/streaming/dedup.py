@@ -77,6 +77,9 @@ def q_dedup_exact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stream_dedup_exact(spark, sf_dir, query_name=name)
     q.processAllAvailable()
     q.stop()
+    # returns the live sink view (accumulates one per invocation);
+    # migrates to sink.drain_memory_sink when this deferred entry's
+    # rotation re-enters the driver window (changed-operators rule)
     return spark.table(name)
 
 
@@ -156,7 +159,9 @@ def q_minhash_sig_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.stop()
     # the sink keeps the real array<long> signature; the contract row
     # ships it comma-joined — a flat string survives result
-    # canonicalization/hashing that raw arrays break
+    # canonicalization/hashing that raw arrays break.  (Live sink view
+    # retained per invocation; migrates to sink.drain_memory_sink when
+    # this deferred entry's rotation re-enters the driver window.)
     return spark.table(name).select(
         "doc_id",
         F.array_join(

@@ -76,7 +76,7 @@ def test_resize_images_fake_kernel(spark):
         [(1, bytearray(b"abcd")), (2, bytearray(b""))],
         "doc_id long, payload binary",
     )
-    got = {r.doc_id: r for r in resize_images(df).collect()}
+    got = {r.doc_id: r for r in resize_images(df, codec="fake").collect()}
     r1 = got[1]
     assert (r1.width, r1.height) == (4 % 640 + 1, 4 * 7 % 480 + 1)
     assert r1.n_sampled == 4

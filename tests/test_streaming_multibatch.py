@@ -501,7 +501,9 @@ def test_knn_stream_scoring_invariant_under_batch_split(
     q.processAllAvailable()
     q.stop()
     assert len(_batches_with_input(q)) >= 3  # genuinely multi-batch
-    got = {tuple(r) for r in spark.table("t_knn_multibatch").collect()}
-    exp = {tuple(r) for r in knn_join(emb).collect()}
+    # sorted LISTS, not sets — a regression double-emitting rows
+    # (e.g. a file replayed across triggers) must fail, not dedup away
+    got = sorted(tuple(r) for r in spark.table("t_knn_multibatch").collect())
+    exp = sorted(tuple(r) for r in knn_join(emb).collect())
     assert got == exp
     spark.catalog.dropTempView("t_knn_multibatch")
