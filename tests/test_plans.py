@@ -691,3 +691,35 @@ def test_knn_join_plan_is_map_only(spark):
     )
     assert "MapInPandas" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_cms_verify_plan_shuffles_candidates_only(spark):
+    # the RETURNED plan is the verify stage (the sketch pass ran
+    # eagerly at construction, merging d*w counter cells): the single
+    # hash exchange is the candidate-token groupBy, both the semi-join
+    # filter and the final hydration broadcast the (small by design)
+    # candidate frame, and the top-k plans as TakeOrdered — never a
+    # Window over the token dictionary
+    plan = (
+        _q(spark, "cms_heavy_hitters")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("BroadcastExchange") == 2, plan
+    assert "TakeOrdered" in plan, plan
+    assert "Window" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_knn_label_spread_plan_two_uniform_exchanges(spark):
+    # vote count + struct-max argmax: two partial-aggregated hash
+    # exchanges over n*k rows, labels attached by broadcast, the
+    # scoring itself one MapInPandas — and NO window (a row_number
+    # formulation would re-sort every group)
+    plan = (
+        _q(spark, "knn_label_spread")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("BroadcastExchange") == 2, plan
+    assert plan.count("MapInPandas") == 1, plan
+    assert "Window" not in plan and "rangepartitioning" not in plan, plan
