@@ -77,10 +77,10 @@ def q_dedup_exact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stream_dedup_exact(spark, sf_dir, query_name=name)
     q.processAllAvailable()
     q.stop()
-    # returns the live sink view (accumulates one per invocation);
-    # migrates to sink.drain_memory_sink when this deferred entry's
-    # rotation re-enters the driver window (changed-operators rule)
-    return spark.table(name)
+    # drained + dropped: repeated driver/bench invocations must not
+    # accumulate one full-result in-memory table per call (r9 — the
+    # same hygiene every other memory-sink entry got in r8)
+    return drain_memory_sink(spark, name)
 
 
 def stream_dedup_within_watermark(
@@ -159,10 +159,10 @@ def q_minhash_sig_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.stop()
     # the sink keeps the real array<long> signature; the contract row
     # ships it comma-joined — a flat string survives result
-    # canonicalization/hashing that raw arrays break.  (Live sink view
-    # retained per invocation; migrates to sink.drain_memory_sink when
-    # this deferred entry's rotation re-enters the driver window.)
-    return spark.table(name).select(
+    # canonicalization/hashing that raw arrays break.  The sink view
+    # is drained + dropped first (r9 catalog hygiene); the select runs
+    # on the drained checkpoint-backed frame.
+    return drain_memory_sink(spark, name).select(
         "doc_id",
         F.array_join(
             F.transform(F.col("sig"), lambda x: x.cast("string")), ","
