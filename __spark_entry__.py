@@ -92,24 +92,16 @@ _DEFER_PAST_CAP = (
     # (r8: the 8 oldest deferred rows — window_topk_per_group,
     # ann_brute, ann_ivf, simhash, dedup_minhash, pipeline_clean,
     # join_semi, multimodal_decode, driver-green only in r3/r4 —
-    # rotate back IN-window for re-certification, continuing the
+    # rotated back IN-window for re-certification, continuing the
     # 8-per-round sweep started in r7; see the r8 block at the end)
-    "events_window",
-    "events_sessionize",
-    "skew_safe_ndistinct",
-    "join_asof",
-    "pivot",
-    "dedup_exact",
-    # round-4 addition events_stream_join enters the window per the
-    # place-new-operators-inside-the-window rule; minhash_sig_stream
-    # (r3-green) defers — streaming-execution-vs-batch-oracle stays
-    # checked by dedup_exact_stream, events_window_stream, and the
-    # new stream join
-    "minhash_sig_stream",
-    # round-4 additions tpch_q5_like, events_funnel, shuffle_shards,
-    # train_test_split, emb_centroid, text_normalize enter the window
-    # (same rule); six more r3-green redundant siblings defer:
-    "token_count",     # → quality_score, lang_id, text_normalize stay
+    # (r9: the 8 oldest deferred rows — events_window,
+    # events_sessionize, skew_safe_ndistinct, join_asof, pivot,
+    # dedup_exact, minhash_sig_stream, token_count, r4 evidence —
+    # rotate back IN-window, plus dedup_exact_stream which CHANGED
+    # this round (drain_memory_sink migration, as did
+    # minhash_sig_stream); see the r9 block at the end)
+    # (r9: token_count, deferred here since r4, re-enters — see the
+    # r9 block at the end)
     "fingerprint",     # → same text family
     # round-4 addition semantic_search (ANN topk → broadcast-hydrate
     # documents) enters; frame_sample defers — multimodal family stays
@@ -292,7 +284,8 @@ _DEFER_PAST_CAP = (
     # oracle stays checked via events_window_stream,
     # decontaminate_stream, events_stream_join,
     # dedup_minhash_ingest_stream and the new labels stream itself
-    "dedup_exact_stream",
+    # (r9: dedup_exact_stream re-enters — it CHANGED this round,
+    # drain_memory_sink migration; see the r9 block at the end)
     # r7 addition bpe_pair_counts (tokenizer-induction kernel: adjacent
     # char pairs weighted by word frequency off the vocab-sized word
     # dict, deterministic top-k) enters; lm_score (r6-green, unchanged)
@@ -384,6 +377,54 @@ _DEFER_PAST_CAP = (
     # defers — profile_table_approx (the checked validity-band dial)
     # and stats_moments stay as the profiling/stats family reps
     "profile_table",
+    # ---- round 9 ----
+    # THIRTEEN entries enter the window this round: the r9
+    # RE-CERTIFICATION sweep (the 8 oldest deferred rows, r4
+    # evidence: events_window, events_sessionize, skew_safe_ndistinct,
+    # join_asof, pivot, dedup_exact, minhash_sig_stream, token_count),
+    # dedup_exact_stream (changed: drain_memory_sink migration, like
+    # minhash_sig_stream in the sweep), and the four r9 additions —
+    # knn_join_twophase (exact k-NN without a full-corpus broadcast),
+    # kmeans_train (distributed Lloyd's, unrolled-CTE oracle),
+    # ann_ivf_trained (IVF search over the trained cells — train +
+    # assign + probe under ONE oracle) and cms_merge_heavy_hitters
+    # (per-source sketches merged cell-wise).  Thirteen r8-hash-green
+    # unchanged siblings defer in exchange, each with in-window
+    # family representatives:
+    "window_topk_per_group",  # → topk + token_budget_mixture stay
+                              #   (ordering/window family); re-certified
+                              #   r8, unchanged since
+    "ann_brute",           # → ann_ivf stays (it CHANGED r9 — optional
+                           #   trained-centroid source — so it keeps
+                           #   its row; ANN family also covered by
+                           #   semantic_dedup)
+    "simhash",             # → dedup_minhash_bucketed + the ingest
+                           #   stream stay (sketch-dedup family)
+    "dedup_minhash",       # → dedup_minhash_bucketed (same oracle
+                           #   machinery) + dedup_minhash_ingest_stream
+                           #   stay; r9 A/B cleared its cold-time move
+    "pipeline_clean",      # → pipeline_incr_stateful stays
+                           #   (composition family)
+    "join_semi",           # → join_inner stays (join family; anti
+                           #   pinned in golden tests)
+    "multimodal_decode",   # → multimodal_resize stays (it CHANGED r9
+                           #   — used_real kernel flag — so it keeps
+                           #   its row); fake-decode arithmetic shared
+    "tpch_q18_like",       # → tpch_q1 + flagship stay (composites)
+    "fuzzy_join_names",    # → join_inner stays; blocked-Levenshtein
+                           #   plan pinned in test_plans
+    "unpivot",             # → pivot re-enters this round (the same
+                           #   long↔wide family, opposite direction)
+    "stats_moments",       # → profile_table_approx stays
+                           #   (profiling/stats family)
+    "join_asof_nearest",   # → join_asof re-enters this round (same
+                           #   _asof_union machinery); events_gapfill
+                           #   defers below with events_window and
+                           #   events_sessionize re-entering as the
+                           #   time-series reps
+    "events_gapfill",      # → events_window + events_sessionize
+                           #   re-enter (temporal/events family);
+                           #   gap-fill plan pinned in test_temporal
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

@@ -153,6 +153,18 @@ EXTRA_QUERIES = [
     # r8: count-min-sketch heavy hitters (map-side fixed-size counter
     # merge + exact candidate verify)
     "cms_heavy_hitters",
+    # round 9 — exact k-NN without a full-corpus broadcast (per-tile
+    # indexes + one vec_id merge exchange); distributed KMeans (cold
+    # prices the Lloyd's iterations, the trained matrix is cached
+    # state so steady is the map-only assignment pass); the merged
+    # per-source CMS (cell-wise sketch merge, tokens never shuffle)
+    "knn_join_twophase",
+    "kmeans_train",
+    # order matters: kmeans_train (above) is the centroid-state
+    # BUILDER — ann_ivf_trained then prices the steady search against
+    # held model state
+    "ann_ivf_trained",
+    "cms_merge_heavy_hitters",
 ]
 
 

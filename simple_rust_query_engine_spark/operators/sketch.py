@@ -165,28 +165,52 @@ def cms_heavy_hitters(
     band.  Production swaps ``xxhash64`` when no oracle is needed.
     Emits (token, exact_count, est_count, overestimate_ok) for the
     top-``k`` by exact count (ties toward the lower token)."""
+    tokens = _cms_tokens(docs, text_col)
+    cms = _cms_sketch(tokens, w, d)
+    return _cms_extract(tokens, cms, k, w, d, phi_denom)
+
+
+def _cms_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.col("w") != "")
+
+
+def _cms_fold_batches(d: int, w: int, key_col: str | None = None):
+    """Arrow kernel folding a batch's tokens into d×w counter cells —
+    one local sketch per batch (``key_col=None``) or one per distinct
+    ``key_col`` value within the batch (the per-source variant)."""
     from ..pipeline.text import py_word_hash
 
-    spark = docs.sparkSession
-    tokens = (
-        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
-        .filter(F.col("w") != "")
-    )
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        whs = np.array([py_word_hash(x) for x in pdf["w"]], dtype=np.int64)
+        flat = np.zeros(d * w, dtype=np.int64)
+        for i in range(d):
+            np.add.at(flat, i * w + _cms_bucket_py(whs, i, w), 1)
+        return pd.DataFrame(
+            {"pos": np.arange(d * w, dtype=np.int64), "cnt": flat}
+        )
 
-    def cms_batches(batches):
-        for pdf in batches:
-            whs = np.array(
-                [py_word_hash(x) for x in pdf["w"]], dtype=np.int64
-            )
-            flat = np.zeros(d * w, dtype=np.int64)
-            for i in range(d):
-                np.add.at(flat, i * w + _cms_bucket_py(whs, i, w), 1)
-            yield pd.DataFrame(
-                {"pos": np.arange(d * w, dtype=np.int64), "cnt": flat}
-            )
+    def batches(it):
+        for pdf in it:
+            if key_col is None:
+                yield fold(pdf)
+            else:
+                for key, grp in pdf.groupby(key_col, sort=False):
+                    out = fold(grp)
+                    out.insert(0, key_col, key)
+                    yield out
 
+    return batches
+
+
+def _cms_sketch(tokens: DataFrame, w: int, d: int) -> "np.ndarray":
+    """Pass 1 of ``cms_heavy_hitters``: map-only Arrow fold into local
+    d×w counter arrays; the only shuffle merges counter CELLS (at most
+    d·w uniform keys), never tokens.  The merged sketch (d·w ints) is
+    driver-held model state, like the IVF centroids."""
     merged = (
-        tokens.mapInPandas(cms_batches, "pos long, cnt long")
+        tokens.mapInPandas(_cms_fold_batches(d, w), "pos long, cnt long")
         .groupBy("pos")
         .agg(F.sum("cnt").alias("cnt"))
         .collect()
@@ -194,10 +218,28 @@ def cms_heavy_hitters(
     cms = np.zeros(d * w, dtype=np.int64)
     for r in merged:
         cms[r.pos] = r.cnt
+    return cms
+
+
+def _cms_extract(
+    tokens: DataFrame,
+    cms: "np.ndarray",
+    k: int,
+    w: int,
+    d: int,
+    phi_denom: int,
+    extra_cols: dict | None = None,
+) -> DataFrame:
+    """Passes 2+3 of ``cms_heavy_hitters`` (candidates off the
+    broadcast sketch, exact verify over candidates only) — shared by
+    the single-sketch and merged-sketch entries, so the extraction
+    arithmetic can never diverge between them."""
     total = int(cms[:w].sum())  # every depth row sums to the total
     thr = (total + phi_denom - 1) // phi_denom
 
     from pyspark.sql.functions import pandas_udf
+
+    from ..pipeline.text import py_word_hash
 
     @pandas_udf("long")
     def est_udf(ws: pd.Series) -> pd.Series:
@@ -222,19 +264,88 @@ def cms_heavy_hitters(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("exact_count"))
     )
-    return (
-        exact.join(F.broadcast(cand), "w")
-        .select(
-            F.col("w").alias("token"),
-            "exact_count",
-            "est_count",
-            (F.col("est_count") >= F.col("exact_count")).alias(
-                "overestimate_ok"
-            ),
-        )
-        .orderBy(F.col("exact_count").desc(), F.col("token").asc())
-        .limit(k)
+    out = exact.join(F.broadcast(cand), "w").select(
+        F.col("w").alias("token"),
+        "exact_count",
+        "est_count",
+        (F.col("est_count") >= F.col("exact_count")).alias(
+            "overestimate_ok"
+        ),
     )
+    for name, col in (extra_cols or {}).items():
+        out = out.withColumn(name, col)
+    return out.orderBy(
+        F.col("exact_count").desc(), F.col("token").asc()
+    ).limit(k)
+
+
+def cms_merge_heavy_hitters(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    k: int = HH_K,
+    w: int = CMS_W,
+    d: int = CMS_D,
+    phi_denom: int = HH_PHI_DENOM,
+) -> DataFrame:
+    """The MERGE property of the sketch, exercised end to end: one
+    complete d×w sketch per ``source_col`` value, merged by
+    element-wise cell addition, heavy hitters extracted from the
+    MERGED sketch — and hash-checked against the whole-corpus oracle,
+    because CMS counters are linear: sketch(A ∪ B) = sketch(A) +
+    sketch(B) cell for cell.  This is the shape that matters
+    operationally at 100 TB: per-shard/per-day sketches are built
+    where the data lives and only d·w counter cells per sketch ever
+    move — merging NEVER revisits tokens.
+
+    Plan: the Arrow fold keys its counters by source inside each
+    batch; one exchange assembles the per-source sketches (at most
+    d·w·n_sources cells), the element-wise merge is the same
+    ``SUM(cnt) GROUP BY pos`` collapsed over sources (cells again,
+    plan-pinned that no token row crosses either exchange), and the
+    merged d·w scalars feed the SAME extraction passes as
+    ``cms_heavy_hitters``.  ``n_sources_merged`` rides along so the
+    row proves how many sketches merged."""
+    from ..pipeline.dedup_core import materialize
+
+    tokens_src = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+
+    # materialized: the per-source sketch table has two consumers (the
+    # merge and the n_sources count) — the barrier keeps the corpus
+    # fold from running twice
+    per_source = materialize(
+        tokens_src.mapInPandas(
+            _cms_fold_batches(d, w, key_col="source"),
+            "source string, pos long, cnt long",
+        )
+        .groupBy("source", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    # THE MERGE: element-wise cell sum across the per-source sketches
+    merged = (
+        per_source.groupBy("pos").agg(F.sum("cnt").alias("cnt")).collect()
+    )  # d·w scalars — model state
+    n_sources = per_source.select("source").distinct().count()
+    cms = np.zeros(d * w, dtype=np.int64)
+    for r in merged:
+        cms[r.pos] = r.cnt
+    tokens = _cms_tokens(docs, text_col)
+    return _cms_extract(
+        tokens,
+        cms,
+        k,
+        w,
+        d,
+        phi_denom,
+        extra_cols={"n_sources_merged": F.lit(n_sources).cast("long")},
+    )
+
+
+def q_cms_merge_heavy_hitters(t: dict) -> DataFrame:
+    return cms_merge_heavy_hitters(t["documents"])
 
 
 def q_cms_heavy_hitters(t: dict) -> DataFrame:
@@ -249,7 +360,11 @@ def q_kmv_ndistinct(t: dict) -> DataFrame:
 
 
 
-def _cms_hh_oracle() -> str:
+def _cms_hh_oracle(with_sources: bool = False) -> str:
+    """Whole-corpus CMS twin.  ``with_sources=True`` is the oracle for
+    the MERGED-sketch row: counter linearity means the merged sketch
+    equals the whole-corpus sketch cell for cell, so the only addition
+    is the ``n_sources_merged`` scalar."""
     from ..pipeline.dedup import _SQL_WH
 
     depth_ctes = ",\n        ".join(
@@ -262,6 +377,14 @@ def _cms_hh_oracle() -> str:
         for i in range(CMS_D)
     )
     least = ", ".join(f"b{i}.bc" for i in range(CMS_D))
+    ns_cte = (
+        ",\n        ns AS (SELECT COUNT(DISTINCT source)::BIGINT "
+        "AS n_sources_merged FROM documents)"
+        if with_sources
+        else ""
+    )
+    ns_col = ",\n               ns.n_sources_merged" if with_sources else ""
+    ns_from = ", ns" if with_sources else ""
     return f"""
         WITH tok AS (
             SELECT unnest(string_split(text, ' ')) AS w FROM documents
@@ -272,11 +395,11 @@ def _cms_hh_oracle() -> str:
         ),
         n AS (SELECT COALESCE(SUM(cnt), 0)::BIGINT AS total FROM tc),
         wh AS (SELECT w, cnt, {_SQL_WH} AS h FROM tc),
-        {depth_ctes}
+        {depth_ctes}{ns_cte}
         SELECT wh.w AS token, wh.cnt AS exact_count,
                LEAST({least}) AS est_count,
-               (LEAST({least}) >= wh.cnt) AS overestimate_ok
-        FROM wh {joins}, n
+               (LEAST({least}) >= wh.cnt) AS overestimate_ok{ns_col}
+        FROM wh {joins}, n{ns_from}
         WHERE LEAST({least}) >= (n.total + {HH_PHI_DENOM - 1}) // {HH_PHI_DENOM}
         ORDER BY exact_count DESC, token ASC LIMIT {HH_K}
     """
@@ -305,8 +428,10 @@ ORACLE: dict[str, str] = {
 }
 
 ORACLE["cms_heavy_hitters"] = _cms_hh_oracle()
+ORACLE["cms_merge_heavy_hitters"] = _cms_hh_oracle(with_sources=True)
 
 QUERIES = {
     "kmv_ndistinct": q_kmv_ndistinct,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "cms_merge_heavy_hitters": q_cms_merge_heavy_hitters,
 }

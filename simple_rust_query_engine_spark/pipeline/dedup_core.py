@@ -172,29 +172,47 @@ def _state_table(
 _STATE_CACHE: dict = {}
 
 
-def _session_cached(tag: str, anchor, build):
+def _session_cached(tag: str, anchor, build, on_evict=None):
     """Memoize ``build()`` per (tag, live anchor object).  A hit
     requires the stored weakref to resolve to the SAME object — a
     reused ``id()`` after the anchor died fails the identity check,
-    evicts the stale entry, and rebuilds."""
+    evicts the stale entry, and rebuilds.
+
+    ``on_evict(value)`` runs when the entry leaves the cache because
+    its anchor died (weakref callback) or failed the identity check —
+    the deterministic release hook for entries holding executor-side
+    resources (a broadcast variable's ``unpersist``); without it,
+    freeing relies on the anchor's GC plus Spark's best-effort
+    ContextCleaner.  Exceptions are swallowed: the hook can fire at
+    interpreter exit or after the owning SparkContext stopped."""
     import weakref
+
+    def _release(val):
+        if on_evict is not None:
+            try:
+                on_evict(val)
+            except Exception:
+                pass
 
     key = (tag, id(anchor))
     hit = _STATE_CACHE.get(key)
     if hit is not None:
-        wref, val = hit
+        wref, val, release = hit
         if wref() is anchor:
             return val
         del _STATE_CACHE[key]
+        release(val)
     val = build()
 
     def _evict(_, _key=key):
         # module globals may already be torn down at interpreter exit
         cache = globals().get("_STATE_CACHE")
         if cache is not None:
-            cache.pop(_key, None)
+            gone = cache.pop(_key, None)
+            if gone is not None:
+                gone[2](gone[1])
 
-    _STATE_CACHE[key] = (weakref.ref(anchor, _evict), val)
+    _STATE_CACHE[key] = (weakref.ref(anchor, _evict), val, _release)
     return val
 
 

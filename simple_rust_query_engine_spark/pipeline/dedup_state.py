@@ -38,7 +38,7 @@ def near_dup_edges(docs: DataFrame) -> DataFrame:
     hit = _STATE_CACHE.get(("edges", id(docs)))
     if hit is not None and hit[0]() is docs:
         return hit[1]
-    for key, (wref, val) in list(_STATE_CACHE.items()):
+    for key, (wref, val, _release) in list(_STATE_CACHE.items()):
         if key[0] != "edges":
             continue
         anchor = wref()

@@ -183,10 +183,14 @@ def frame_sample(payloads: DataFrame, every_n_bytes: int = 64) -> DataFrame:
 
 
 #: resize output schema — source geometry, aspect-fit target geometry,
-#: and a checksum of the resampled content
+#: a checksum of the resampled content, and WHICH kernel produced the
+#: row: the two kernels emit different n_sampled/mean semantics (real:
+#: out_w*out_h resized-grayscale pixels; fake: ≤16 payload-byte
+#: samples), so auto-mode consumers need the per-row flag to interpret
+#: them
 RESIZE_SCHEMA = (
     "doc_id long, width int, height int, out_w int, out_h int, "
-    "n_sampled int, mean_sampled double"
+    "n_sampled int, mean_sampled double, used_real boolean"
 )
 
 #: aspect-fit bound for the resize target (the standard vision-model
@@ -221,11 +225,21 @@ def resize_images(
       positions, mean emitted as one double division.  Pure integer
       indexing → exact DuckDB twin.
     * ``"real"`` — ``PIL.Image.thumbnail`` (aspect-preserving, never
-      upscales — the same contract as ``_fit_geometry``), emitting the
+      upscales — the same POLICY as ``_fit_geometry``, but NOT the
+      same rounding: thumbnail rounds the scaled side to nearest
+      while ``_fit_geometry`` floors, so out_w/out_h can differ by
+      1px between kernels — the contract pinned PIL-free by
+      ``tests/test_pipeline_paths.py::
+      test_fit_geometry_vs_pil_thumbnail_contract``), emitting the
       resized geometry and resized-grayscale mean; raises without PIL.
     * ``"auto"`` — real when the payload decodes, per-payload fake
       fallback (decode-shaped errors only, same policy as
       ``decode_images``).
+
+    The two kernels emit DIFFERENT n_sampled/mean semantics (real:
+    out_w·out_h resized pixels + pixel mean; fake: ≤16 byte samples +
+    byte mean), so every row carries ``used_real`` naming its kernel
+    — auto mode is a mix by design.
 
     Map-only at any scale: bytes move as Arrow batches, geometry and
     resampling are per-row arithmetic, no shuffle."""
@@ -241,7 +255,7 @@ def resize_images(
             mean = sum(sampled) / t  # one double division
         else:
             mean = 0.0
-        return (doc_id, width, height, out_w, out_h, t, mean)
+        return (doc_id, width, height, out_w, out_h, t, mean, False)
 
     def real_one(doc_id, payload: bytes) -> tuple:
         import io
@@ -256,7 +270,7 @@ def resize_images(
             out_w, out_h = im2.size
             arr = np.asarray(im2, dtype=np.float64)
             mean = float(arr.mean()) if arr.size else 0.0
-            return (doc_id, width, height, out_w, out_h, arr.size, mean)
+            return (doc_id, width, height, out_w, out_h, arr.size, mean, True)
 
     def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         use_real, decode_errors = _codec_probe(codec)
@@ -272,7 +286,7 @@ def resize_images(
 
         cols = [
             "doc_id", "width", "height", "out_w", "out_h",
-            "n_sampled", "mean_sampled",
+            "n_sampled", "mean_sampled", "used_real",
         ]
         for pdf in batches:
             yield pd.DataFrame(
@@ -448,7 +462,8 @@ ORACLE: dict[str, str] = {
                CASE WHEN t = 0 THEN 0.0
                     ELSE list_sum(list_transform(range(0, t),
                          i -> ascii(text[(i * n) // t + 1])))::DOUBLE / t
-               END AS mean_sampled
+               END AS mean_sampled,
+               FALSE AS used_real
         FROM fit
     """,
     "frame_sample": """

@@ -29,58 +29,56 @@ def test_head_is_exactly_driver_cap():
 def test_rotation_keeps_new_and_changed_operators_in_window():
     # standing rule (VERDICT r3/r4): every operator added or changed
     # this round must sit inside the driver's 50-entry checked window
-    # the round it changes.  After round 4 every query has a
-    # driver-green row on record, so the remaining invariant is this
-    # one plus the ==50 head assert.  Round 8: the bpe_encode_checked
-    # addition, the hash-red-in-r7 bpe_pair_counts retained for its
-    # green row (oracle cast fixed — VERDICT r7 item 2), the second
-    # re-certification sweep (the 8 oldest deferred rows, r3/r4
-    # evidence), and the dedup-family queries whose module was split
-    # this round (pure move, names+oracles unchanged, parity-gated).
+    # the round it changes.  Round 9: three additions
+    # (knn_join_twophase, kmeans_train, cms_merge_heavy_hitters), the
+    # changed entries (the two memory-sink drain migrations, the
+    # used_real resize column, the CMS extraction refactor, the
+    # knn_index eviction hook consumers, the ann_ivf centroid-source
+    # parameter), and the third re-certification sweep (the 8 oldest
+    # deferred rows, r4 evidence).
     must_be_checked = {
-        # r8 additions / changes
-        "bpe_encode_checked",      # new in r8 (corpus-sized encode pass)
-        "knn_join",                # new in r8 (exact k-NN self-join)
-        "knn_label_spread",        # new in r8 (k-NN majority vote)
-        "knn_join_stream",         # new in r8 (stream-static scoring)
-        "multimodal_resize",       # new in r8 (resize step, fake kernel)
-        "cms_heavy_hitters",       # new in r8 (hash-checked CMS)
-        "bpe_pair_counts",         # r8: oracle SUM(cnt)::BIGINT cast
-        "dedup_minhash_ingest_stream",  # r8: catalog-drop + path-read
-        "dedup_labels_stream",          # r8: same catalog hygiene
-        "ngram_jaccard",           # r8: _same_corpus session-identity
-                                   #     guard on the edge-cache reuse
-        # (cross_source_overlap, listed below, also changed in r8: it
-        # now reads the persisted pair state instead of rebuilding the
-        # session edge cache per call — same name, same oracle)
-        # r8 re-certifications (oldest driver rows, r3/r4-green only)
-        "window_topk_per_group",
-        "ann_brute",
-        "ann_ivf",
-        "simhash",
-        "dedup_minhash",
-        "pipeline_clean",
-        "join_semi",
-        "multimodal_decode",
-        # r7 additions that keep their rows (the freshly-r7-re-certified
-        # relational 8 + feature_extract deferred in exchange — family
-        # reps documented at their _DEFER_PAST_CAP entries)
+        # r9 additions
+        "knn_join_twophase",       # exact k-NN, no full-corpus broadcast
+        "kmeans_train",            # distributed Lloyd's, CTE-unrolled twin
+        "ann_ivf_trained",         # IVF over trained cells, one oracle
+        "cms_merge_heavy_hitters", # per-source sketches merged cell-wise
+        # r9 changes
+        "dedup_exact_stream",      # drain_memory_sink migration
+        "minhash_sig_stream",      # drain_memory_sink migration (also
+                                   # in the re-cert sweep below)
+        "multimodal_resize",       # used_real kernel flag column
+        "cms_heavy_hitters",       # extraction refactored into shared
+                                   # helpers (_cms_sketch/_cms_extract)
+        "knn_join",                # knn_index: tile support + explicit
+        "knn_join_stream",         #   broadcast-unpersist eviction hook
+        "knn_label_spread",        #   (all three consume knn_index)
+        "ann_ivf",                 # optional trained-centroid source
+        # r9 re-certifications (oldest driver rows, r4 evidence)
+        "events_window",
+        "events_sessionize",
+        "skew_safe_ndistinct",
+        "join_asof",
+        "pivot",
+        "dedup_exact",
+        "token_count",
+        # earlier rows that keep their green (family reps documented
+        # at their _DEFER_PAST_CAP entries)
         "pipeline_incr_stateful",
         "dedup_cc",
         "dedup_cc_incr",
         "dedup_keep_best",
         "dedup_minhash_bucketed",
+        "dedup_minhash_ingest_stream",
+        "dedup_labels_stream",
         "doc_novelty",
         "cross_source_overlap",
         "dup_cluster_sizes",
         "profile_table_approx",
-        # (profile_table deferred late-r8 when cms_heavy_hitters
-        # entered — profile_table_approx + stats_moments are the reps)
-        # (dup_span_frac deferred late-r8 when multimodal_resize
-        # entered — doc_novelty + decontaminate_stream are the span reps)
         "decontaminate_stream",
         "quality_topk",
-        "tpch_q18_like",
+        "bpe_encode_checked",
+        "bpe_pair_counts",
+        "ngram_jaccard",
     }
     head = set(list(entry_mod.queries())[: entry_mod._DRIVER_CAP])
     assert must_be_checked <= head

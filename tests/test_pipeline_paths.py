@@ -81,8 +81,73 @@ def test_resize_images_fake_kernel(spark):
     assert (r1.width, r1.height) == (4 % 640 + 1, 4 * 7 % 480 + 1)
     assert r1.n_sampled == 4
     assert r1.mean_sampled == sum(b"abcd") / 4
+    assert r1.used_real is False  # kernel flag: fake byte semantics
     r2 = got[2]
     assert (r2.n_sampled, r2.mean_sampled) == (0, 0.0)
+
+
+def test_fit_geometry_vs_pil_thumbnail_contract():
+    """PIL-free pin of the fake/real RESIZE geometry contract (the
+    build container has no PIL and installs are unavailable, so the
+    real kernel cannot execute in CI — this is the documented
+    container constraint, and the contract is pinned another way).
+
+    CONTRACT (also stated in ``resize_images``'s docstring): both
+    kernels aspect-fit into a max_side square and never upscale, but
+    they ROUND DIFFERENTLY — ``_fit_geometry`` floors the scaled side
+    (integer-only, DuckDB-twinnable) while ``PIL.Image.thumbnail``
+    rounds it to the nearest aspect-preserving integer — so out_w/
+    out_h may differ by AT MOST 1px between kernels, and agree
+    exactly whenever the scaled side is integral.  Auto-mode
+    consumers disambiguate per row via ``used_real``.
+
+    ``_pil_thumbnail_size`` below is transcribed from Pillow's public
+    ``Image.thumbnail`` (round_aspect logic, Pillow 9-11); asserting
+    against the transcription pins OUR claim about the divergence
+    without importing PIL.  The skip-marked real-codec tests execute
+    the genuine article wherever PIL exists."""
+    import math
+
+    from simple_rust_query_engine_spark.pipeline.multimodal import (
+        _fit_geometry,
+    )
+
+    def _pil_thumbnail_size(w, h, max_side):
+        # Pillow Image.thumbnail geometry (public source): aspect-
+        # preserving round-to-nearest with a floor/ceil tie broken by
+        # which is closer to the true aspect; min 1; never upscales
+        x = y = max_side
+        if x >= w and y >= h:
+            return w, h
+
+        def round_aspect(number, key):
+            return max(min(math.floor(number), math.ceil(number), key=key), 1)
+
+        aspect = w / h
+        if x / y >= aspect:
+            x = round_aspect(y * aspect, key=lambda n: abs(aspect - n / y))
+        else:
+            y = round_aspect(
+                x / aspect,
+                key=lambda n: 0 if n == 0 else abs(aspect - x / n),
+            )
+        return x, y
+
+    max_side = 224
+    for w in list(range(1, 40)) + [224, 225, 448, 640, 1000, 10000]:
+        for h in list(range(1, 40)) + [224, 225, 336, 480, 999]:
+            fw, fh = _fit_geometry(w, h, max_side)
+            rw, rh = _pil_thumbnail_size(w, h, max_side)
+            # both: never upscale, fit the square, floor of the true
+            # scaled side never exceeded by more than the 1px rounding
+            assert fw <= max(w, 1) and fh <= max(h, 1)
+            assert max(fw, fh) <= max_side and max(rw, rh) <= max_side
+            assert abs(fw - rw) <= 1 and abs(fh - rh) <= 1, (w, h)
+            if w <= max_side and h <= max_side:
+                assert (fw, fh) == (rw, rh) == (w, h)
+            elif w >= h and (h * max_side) % w == 0:
+                # integral scaled side → floor == round → exact match
+                assert (fw, fh) == (rw, rh), (w, h)
 
 
 def test_resize_images_real_codec(spark):
@@ -105,6 +170,7 @@ def test_resize_images_real_codec(spark):
     r = resize_images(df, codec="real").collect()[0]
     assert (r.width, r.height) == (448, 224)
     assert (r.out_w, r.out_h) == (224, 112)  # thumbnail aspect-fit
+    assert r.used_real is True  # kernel flag: real pixel semantics
 
 
 def test_frame_sample_explode(tables):

@@ -723,3 +723,175 @@ def test_knn_label_spread_plan_two_uniform_exchanges(spark):
     assert plan.count("BroadcastExchange") == 2, plan
     assert plan.count("MapInPandas") == 1, plan
     assert "Window" not in plan and "rangepartitioning" not in plan, plan
+
+
+def test_knn_twophase_plan_one_merge_exchange_no_broadcast(spark):
+    # the exact-kNN scale fallback (VERDICT r8 item 3): per-tile
+    # indexes ship as task broadcasts (invisible to the plan — there
+    # must be NO BroadcastExchange, the full corpus never joins
+    # plan-side), each tile scores through its own MapInPandas, and
+    # the ONLY exchange is the vec_id hash merge of the n·k·tiles
+    # candidate rows to the global top-k
+    from simple_rust_query_engine_spark.pipeline.similarity import KNN_TILES
+
+    plan = (
+        _q(spark, "knn_join_twophase")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("MapInPandas") == KNN_TILES, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "vec_id" in plan.split("Exchange hashpartitioning", 1)[1][:80]
+    assert "BroadcastExchange" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_knn_twophase_matches_single_broadcast_knn(spark, tables):
+    # the two paths implement ONE semantic contract (they share the
+    # oracle): same rows, bit-identical cosines
+    from simple_rust_query_engine_spark.pipeline.similarity import (
+        knn_join,
+        knn_join_twophase,
+    )
+
+    a = {
+        (r.vec_id, r.rank): (r.nbr_id, r.cos_sim)
+        for r in knn_join(tables["embeddings"]).collect()
+    }
+    b = {
+        (r.vec_id, r.rank): (r.nbr_id, r.cos_sim)
+        for r in knn_join_twophase(tables["embeddings"]).collect()
+    }
+    assert a == b
+
+
+def test_kmeans_iteration_plan_is_one_exchange(spark, tables):
+    # each Lloyd's iteration (VERDICT r8 item 4): broadcast-matrix
+    # assignment is map-only (one ArrowEvalPython), the new means use
+    # the emb_centroid posexplode partial-agg shape — partials emitted
+    # map-side, ONE hash exchange moving centroid-sized state, never
+    # vectors
+    import numpy as np
+
+    from simple_rust_query_engine_spark.pipeline.similarity import (
+        KMEANS_CELLS,
+        _kmeans_update_frame,
+    )
+
+    emb = tables["embeddings"]
+    rows = (
+        emb.filter(emb.vec_id < KMEANS_CELLS).orderBy("vec_id").collect()
+    )
+    C = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    plan = (
+        _kmeans_update_frame(emb, C)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "partial_avg" in plan or "partial" in plan.lower(), plan
+    assert "Window" not in plan and "BroadcastExchange" not in plan, plan
+
+
+def test_kmeans_centroids_trained_once_per_session_corpus(spark, tables):
+    # the trained matrix is model STATE (train once, assign many):
+    # a second call must return the cached object, not re-run the
+    # Lloyd's jobs.  OBJECT IDENTITY, not value equality — a broken
+    # cache retraining per call still produces an equal matrix.
+    from simple_rust_query_engine_spark.pipeline.similarity import (
+        kmeans_centroids,
+    )
+
+    c1 = kmeans_centroids(tables["embeddings"])
+    c2 = kmeans_centroids(tables["embeddings"])
+    assert c1 is c2
+
+
+def test_cms_merge_sketch_exchanges_cells_never_tokens(spark, tables):
+    # the merge row's pin (VERDICT r8 item 6): the per-source sketch
+    # assembly folds tokens map-side (MapInPandas BEFORE the exchange)
+    # and its exchange carries (source, pos, cnt) counter cells — at
+    # most d·w per source — never token rows; the RETURNED plan is the
+    # shared extraction (same single-candidate-exchange shape as
+    # cms_heavy_hitters)
+    from pyspark.sql import functions as F
+
+    from simple_rust_query_engine_spark.operators.sketch import (
+        CMS_D,
+        CMS_W,
+        _cms_fold_batches,
+    )
+
+    docs = tables["documents"]
+    tokens_src = docs.select(
+        F.col("source"),
+        F.explode(F.split(F.col("text"), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    per_source = (
+        tokens_src.mapInPandas(
+            _cms_fold_batches(CMS_D, CMS_W, key_col="source"),
+            "source string, pos long, cnt long",
+        )
+        .groupBy("source", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    plan = per_source._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    fold_at = plan.index("MapInPandas")
+    exch_at = plan.index("Exchange hashpartitioning")
+    # executedPlan prints top-down: the exchange sits ABOVE the fold,
+    # i.e. tokens were folded to cells before anything shuffled
+    assert exch_at < fold_at, plan
+    # and the exchanged row schema is the cell schema, not tokens
+    assert "source" in plan[exch_at:exch_at + 120] and "pos" in plan[
+        exch_at:exch_at + 120
+    ], plan
+
+    # the returned extraction plan keeps the cms_heavy_hitters shape
+    out_plan = (
+        _q(spark, "cms_merge_heavy_hitters")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert out_plan.count("Exchange hashpartitioning") == 1, out_plan
+    assert out_plan.count("BroadcastExchange") == 2, out_plan
+    assert "TakeOrdered" in out_plan, out_plan
+
+
+def test_session_cached_on_evict_releases(spark):
+    # ADVICE r8 #3: cache entries holding executor-side resources get
+    # a deterministic release hook — fired on identity-check eviction
+    # and on anchor death, never on a plain hit
+    import gc
+
+    from simple_rust_query_engine_spark.pipeline.dedup_core import (
+        _STATE_CACHE,
+        _session_cached,
+    )
+
+    released = []
+
+    class Anchor:
+        pass
+
+    a = Anchor()
+    v1 = _session_cached("state:evict_probe", a, lambda: "v1",
+                         on_evict=released.append)
+    assert _session_cached("state:evict_probe", a, lambda: "BAD",
+                           on_evict=released.append) is v1
+    assert released == []  # plain hit: no release
+    # simulate id reuse: stale entry under this key anchored elsewhere
+    b = Anchor()
+    key = ("state:evict_probe2", id(b))
+    stale = Anchor()
+    _session_cached("state:evict_probe2", stale, lambda: "stale",
+                    on_evict=released.append)
+    _STATE_CACHE[key] = _STATE_CACHE.pop(("state:evict_probe2", id(stale)))
+    v2 = _session_cached("state:evict_probe2", b, lambda: "v2",
+                         on_evict=released.append)
+    assert v2 == "v2" and "stale" in released  # identity-miss released
+    # anchor death releases through the weakref callback
+    del a
+    gc.collect()
+    assert "v1" in released
+    del b
+    gc.collect()
+    assert "v2" in released
