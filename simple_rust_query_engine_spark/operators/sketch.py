@@ -196,9 +196,15 @@ def _cms_fold_batches(d: int, w: int, key_col: str | None = None):
             if key_col is None:
                 yield fold(pdf)
             else:
-                for key, grp in pdf.groupby(key_col, sort=False):
+                # dropna=False: a NULL key is a legal source value and
+                # its tokens must still reach the merged sketch, or the
+                # cell-linearity claim (sketch(A∪B)=sketch(A)+sketch(B)
+                # over ALL rows) silently breaks for nullable columns
+                for key, grp in pdf.groupby(
+                    key_col, sort=False, dropna=False
+                ):
                     out = fold(grp)
-                    out.insert(0, key_col, key)
+                    out.insert(0, key_col, None if pd.isna(key) else key)
                     yield out
 
     return batches
@@ -305,7 +311,9 @@ def cms_merge_heavy_hitters(
     plan-pinned that no token row crosses either exchange), and the
     merged d·w scalars feed the SAME extraction passes as
     ``cms_heavy_hitters``.  ``n_sources_merged`` rides along so the
-    row proves how many sketches merged."""
+    row proves the source split was real — counted over ALL documents
+    (distinct non-NULL sources, mirroring the oracle's
+    COUNT(DISTINCT)), not over the sketch table's key set."""
     from ..pipeline.dedup_core import materialize
 
     tokens_src = docs.select(
@@ -328,7 +336,16 @@ def cms_merge_heavy_hitters(
     merged = (
         per_source.groupBy("pos").agg(F.sum("cnt").alias("cnt")).collect()
     )  # d·w scalars — model state
-    n_sources = per_source.select("source").distinct().count()
+    # mirror the oracle's COUNT(DISTINCT source) over ALL documents —
+    # NOT the sketch table's key set: a source whose rows carry zero
+    # non-empty tokens builds no sketch but still counts as merged
+    # input, and SQL COUNT(DISTINCT) skips NULLs
+    n_sources = (
+        docs.filter(F.col(source_col).isNotNull())
+        .select(source_col)
+        .distinct()
+        .count()
+    )
     cms = np.zeros(d * w, dtype=np.int64)
     for r in merged:
         cms[r.pos] = r.cnt

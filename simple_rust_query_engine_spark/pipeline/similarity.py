@@ -220,14 +220,17 @@ IVF_CELLS = 16   # coarse cells (vectors 0..15 act as fixed centroids)
 IVF_PROBE = 4    # cells searched per query
 
 
-def _ivf_centroids(emb: DataFrame):
-    """Deterministic 'trained' centroids: the first IVF_CELLS vectors
-    by vec_id.  In production this is KMeans (Spark ML) — either way
-    the centroid matrix is driver-side model state, tiny (cells×dim),
-    and broadcast into the assignment UDF; collecting it is the IVF
-    design, not a driver-side data loop."""
+def _ivf_centroids(emb: DataFrame, n_cells: int = IVF_CELLS):
+    """Deterministic seed centroids: the first ``n_cells`` vectors by
+    vec_id — the fixed 'trained' cells of the oracle-checked
+    ``ann_ivf`` row AND the Lloyd's initialization of
+    ``kmeans_centroids`` (one definition, so the Spark seed can never
+    diverge from the oracles' c0 CTE).  The centroid matrix is
+    driver-side model state, tiny (cells×dim), broadcast into the
+    assignment UDF; collecting it is the IVF design, not a
+    driver-side data loop."""
     rows = (
-        emb.filter(F.col("vec_id") < IVF_CELLS)
+        emb.filter(F.col("vec_id") < n_cells)
         .orderBy("vec_id")
         .select("vec_id", "embedding")
         .collect()
@@ -437,15 +440,7 @@ def kmeans_centroids(
     from .dedup_core import _session_cached
 
     def build():
-        rows = (
-            emb.filter(F.col("vec_id") < n_cells)
-            .orderBy("vec_id")
-            .select("embedding")
-            .collect()
-        )
-        C = np.stack(
-            [np.asarray(r.embedding, dtype=np.float64) for r in rows]
-        )
+        C = _ivf_centroids(emb, n_cells)  # shared deterministic seed
         for _ in range(n_iters):
             updated = _kmeans_update_frame(emb, C).collect()
             C2 = C.copy()  # empty cells keep their previous centroid
@@ -1004,8 +999,8 @@ def knn_join_twophase(
     because a global top-k neighbor is, within its own tile, beaten
     by at most k-1 rows — so it always survives that tile's local
     top-k.  (Requires each tile to hold > k vectors — guaranteed at
-    any scale where this path is the right one; at n ≤ k·tiles use
-    ``knn_join``, whose single broadcast is then trivially small.)
+    any scale where this path is the right one, and enforced below
+    with a ``knn_join`` fallback for degenerate corpora.)
 
     Phase 2 (one exchange): the n·k·tiles candidate rows — k rows per
     vector per tile, NOT the corpus — hash-shuffle ONCE on vec_id and
@@ -1014,15 +1009,27 @@ def knn_join_twophase(
     BroadcastExchange (the per-tile indexes are task broadcasts, never
     plan-side joins).
 
+    The > k precondition is ENFORCED, not just documented: tile sizes
+    are known once the per-tile indexes build (driver-held ids), and
+    a corpus small enough to produce a ≤ k tile is by definition
+    small enough to broadcast whole — so that degenerate case falls
+    back to ``knn_join`` (same contract, same oracle) instead of
+    silently under-emitting candidates.
+
     At 10⁹ vectors: tiles = ceil(index_bytes / executor_budget); each
     pass re-scans the query side, so total work is tiles× the scan +
     the same n·tiles score volume a replicated-query block join would
     shuffle — but here the corpus-side vectors move ZERO times (each
     tile index ships once per executor as a broadcast) and the only
     exchange carries k·tiles candidate rows per vector."""
+    indexes = [knn_index(emb, tile=(t, tiles)) for t in range(tiles)]
+    if min(len(bc.value[0]) for bc in indexes) <= k:
+        # a tile with ≤ k vectors can't emit k candidates (the kernel
+        # caps at tile_size - 1 to cover self-masking) — exactness
+        # would silently break; a corpus this small broadcasts whole
+        return knn_join(emb, k, chunk)
     cand = None
-    for t in range(tiles):
-        bc = knn_index(emb, tile=(t, tiles))
+    for bc in indexes:
         part = emb.select("vec_id", "embedding").mapInPandas(
             knn_score_fn(bc, k, chunk), KNN_SCHEMA
         )

@@ -276,3 +276,62 @@ def test_stats_moments_matches_numpy(spark):
     assert b.n == 1 and b.mean_qty == 4.0
     assert b.var_qty is None and b.std_qty is None
     assert b.corr_qty_price is None
+
+
+def test_knn_twophase_small_corpus_falls_back_exact(spark):
+    # r9 review finding: with any tile holding <= k vectors the
+    # per-tile kernel caps at tile_size-1 candidates and the two-phase
+    # merge would silently drop a global neighbor — the precondition
+    # is now ENFORCED with a knn_join fallback.  20 vectors / 4 tiles
+    # = 5 per tile at k=5: exactly the degenerate case.
+    import numpy as np
+
+    from simple_rust_query_engine_spark.pipeline.similarity import (
+        knn_join,
+        knn_join_twophase,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (int(i), [float(x) for x in rng.randn(64)]) for i in range(20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(tuple(r) for r in knn_join(emb, k=5).collect())
+    b = sorted(tuple(r) for r in knn_join_twophase(emb, k=5, tiles=4).collect())
+    assert a == b
+    # every vector got its full k neighbors (the bug dropped some)
+    assert len(b) == 20 * 5
+
+
+def test_cms_merge_null_and_tokenless_sources(spark):
+    # r9 review findings: (a) tokens from NULL-source rows must reach
+    # the merged sketch (pandas groupby dropna would silently drop
+    # them); (b) n_sources_merged mirrors the oracle's COUNT(DISTINCT
+    # source) over ALL documents — a source whose rows carry zero
+    # non-empty tokens still counts, and NULL does not.
+    from simple_rust_query_engine_spark.operators.sketch import (
+        cms_merge_heavy_hitters,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha beta", "src_a"),
+            (2, "alpha gamma", None),      # NULL source, real tokens
+            (3, "", "src_b"),              # tokenless source
+            (4, " ", "src_b"),             # whitespace only
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r.token: r
+        for r in cms_merge_heavy_hitters(docs, phi_denom=6).collect()
+    }
+    # 6 tokens total, thr = ceil(6/6) = 1 -> every token is a
+    # candidate; the NULL-source doc's tokens must be counted
+    assert got["alpha"].exact_count == 3
+    assert got["gamma"].exact_count == 1
+    assert all(r.overestimate_ok for r in got.values())
+    # est >= exact for alpha requires doc 2's fold to have landed
+    assert got["alpha"].est_count >= 3
+    # src_a + src_b (tokenless but real); NULL excluded
+    assert {r.n_sources_merged for r in got.values()} == {2}

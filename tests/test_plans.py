@@ -770,18 +770,14 @@ def test_kmeans_iteration_plan_is_one_exchange(spark, tables):
     # the emb_centroid posexplode partial-agg shape — partials emitted
     # map-side, ONE hash exchange moving centroid-sized state, never
     # vectors
-    import numpy as np
-
     from simple_rust_query_engine_spark.pipeline.similarity import (
         KMEANS_CELLS,
+        _ivf_centroids,
         _kmeans_update_frame,
     )
 
     emb = tables["embeddings"]
-    rows = (
-        emb.filter(emb.vec_id < KMEANS_CELLS).orderBy("vec_id").collect()
-    )
-    C = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    C = _ivf_centroids(emb, KMEANS_CELLS)  # the shared seed helper
     plan = (
         _kmeans_update_frame(emb, C)
         ._jdf.queryExecution().executedPlan().toString()
