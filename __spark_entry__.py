@@ -425,6 +425,13 @@ _DEFER_PAST_CAP = (
     "events_gapfill",      # → events_window + events_sessionize
                            #   re-enter (temporal/events family);
                            #   gap-fill plan pinned in test_temporal
+    # r9 addition hybrid_search_rrf (lexical BM25 leg + dense cosine
+    # leg fused by reciprocal-rank fusion) enters; bm25_search
+    # (r8-green, unchanged) defers — the hybrid row executes the
+    # ENTIRE bm25_scores computation as its lexical leg (one oracle
+    # definition, nested verbatim), so BM25 stays hash-checked
+    # through the composition
+    "bm25_search",
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

@@ -165,6 +165,8 @@ EXTRA_QUERIES = [
     # held model state
     "ann_ivf_trained",
     "cms_merge_heavy_hitters",
+    # r9: hybrid retrieval — BM25 leg + dense cosine leg fused by RRF
+    "hybrid_search_rrf",
 ]
 
 

@@ -305,8 +305,10 @@ def cms_merge_heavy_hitters(
     move — merging NEVER revisits tokens.
 
     Plan: the Arrow fold keys its counters by source inside each
-    batch; one exchange assembles the per-source sketches (at most
-    d·w·n_sources cells), the element-wise merge is the same
+    batch; one exchange assembles the per-source sketches — at most
+    d·w cells per sketch key, where the keys are the source values
+    actually present in the token stream (NULL included; a tokenless
+    source builds no sketch) — the element-wise merge is the same
     ``SUM(cnt) GROUP BY pos`` collapsed over sources (cells again,
     plan-pinned that no token row crosses either exchange), and the
     merged d·w scalars feed the SAME extraction passes as
@@ -314,17 +316,12 @@ def cms_merge_heavy_hitters(
     row proves the source split was real — counted over ALL documents
     (distinct non-NULL sources, mirroring the oracle's
     COUNT(DISTINCT)), not over the sketch table's key set."""
-    from ..pipeline.dedup_core import materialize
-
     tokens_src = docs.select(
         F.col(source_col).alias("source"),
         F.explode(F.split(F.col(text_col), " ")).alias("w"),
     ).filter(F.col("w") != "")
 
-    # materialized: the per-source sketch table has two consumers (the
-    # merge and the n_sources count) — the barrier keeps the corpus
-    # fold from running twice
-    per_source = materialize(
+    per_source = (
         tokens_src.mapInPandas(
             _cms_fold_batches(d, w, key_col="source"),
             "source string, pos long, cnt long",

@@ -136,6 +136,95 @@ def inverted_index(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return salted_collect(postings, "token", "doc_id")
 
 
+#: Reciprocal-rank-fusion constant (Cormack, Clarke & Buettcher 2009,
+#: "Reciprocal Rank Fusion outperforms Condorcet" — public; 60 is the
+#: paper's constant)
+RRF_K = 60
+HYBRID_LEG_K = 20
+HYBRID_TOPK = 10
+
+
+def _rank_by_count(df: DataFrame, score_col: str, rank_name: str) -> DataFrame:
+    """Within-leg rank WITHOUT a window: rank(d) = 1 + |rows strictly
+    better| (better = higher score, ties toward the lower doc_id).
+    The input is a top-k leg (≤ HYBRID_LEG_K rows by construction), so
+    this is a broadcast nested-loop over k² pairs — constant cost —
+    and it keeps the blanket no-global-window plan invariant
+    meaningful (a ROW_NUMBER over an empty partition spec would funnel
+    through one task; harmless at k rows, but the sweep couldn't tell
+    it from a corpus-sized one)."""
+    left = df.select(F.col("doc_id").alias("_id"), F.col(score_col).alias("_s"))
+    right = df.select(
+        F.col("doc_id").alias("_id2"), F.col(score_col).alias("_s2")
+    )
+    better = (F.col("_s2") > F.col("_s")) | (
+        (F.col("_s2") == F.col("_s")) & (F.col("_id2") < F.col("_id"))
+    )
+    return (
+        left.join(F.broadcast(right), better, "left")
+        .groupBy("_id")
+        .agg((F.count("_id2") + F.lit(1)).alias(rank_name))
+        .select(F.col("_id").alias("doc_id"), rank_name)
+    )
+
+
+def hybrid_search_rrf(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: tuple[str, ...] = BM25_TERMS,
+    query_vec_id: int = 0,
+    leg_k: int = HYBRID_LEG_K,
+    rrf_k: int = RRF_K,
+    topk: int = HYBRID_TOPK,
+) -> DataFrame:
+    """HYBRID retrieval: the lexical leg (BM25 top-``leg_k``) and the
+    dense leg (brute-force cosine top-``leg_k`` for ``query_vec_id``,
+    over the embeddings keyed by the same doc_id space) fused by
+    Reciprocal Rank Fusion — ``rrf = Σ_legs 1/(rrf_k + rank)`` — the
+    standard production shape for retrieval-augmented dataset audits
+    and topic mining (lexical recall + semantic recall, no score
+    calibration needed because RRF consumes RANKS only).
+
+    Scale shape: each leg is its existing operator unchanged (BM25's
+    broadcast-stats map-side score + TakeOrdered; ANN's broadcast
+    query + map-only score + TakeOrdered — swap the LSH/IVF variant
+    in at 10⁹ vectors, same downstream); everything after the legs
+    touches ≤ 2·leg_k rows (rank-by-count broadcast loops, one tiny
+    full-outer join, TakeOrdered).  Determinism: ranks are exact
+    integers, each leg contribution is the same IEEE division
+    1/(rrf_k + rank) in either engine, and the two-term sum is
+    order-fixed — bit-identical to the oracle."""
+    from .similarity import ann_brute_topk
+
+    lex = _rank_by_count(bm25_scores(docs, terms, topk=leg_k), "score", "bm25_rank")
+    den = _rank_by_count(
+        ann_brute_topk(emb, query_vec_id=query_vec_id, k=leg_k).select(
+            F.col("vec_id").alias("doc_id"), "cos_sim"
+        ),
+        "cos_sim",
+        "cos_rank",
+    )
+    leg = lambda r: F.when(  # noqa: E731 — one-expression contribution
+        F.col(r).isNotNull(),
+        F.lit(1.0) / (F.lit(rrf_k) + F.col(r)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        lex.join(den, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (leg("bm25_rank") + leg("cos_rank")).alias("rrf_score"),
+            "bm25_rank",
+            "cos_rank",
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+        .limit(topk)
+    )
+
+
+def q_hybrid_search_rrf(t: dict) -> DataFrame:
+    return hybrid_search_rrf(t["documents"], t["embeddings"])
+
+
 def q_bm25_search(t: dict) -> DataFrame:
     return bm25_scores(t["documents"])
 
@@ -198,7 +287,54 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+def _hybrid_rrf_oracle() -> str:
+    """Lexical leg = the bm25_search oracle verbatim (one definition,
+    the two rows can never desynchronize); dense leg = the ann_brute
+    shape at leg_k; ranks via ROW_NUMBER under each leg's total order;
+    RRF contributions as explicit DOUBLE divisions (DuckDB's bare
+    ``1.0`` literal is DECIMAL — left uncast it would fuse in decimal
+    arithmetic and drift from Spark's IEEE doubles), summed in fixed
+    lexical-then-dense order to match the Spark expression."""
+    from .similarity import _SQL_COS
+
+    assert HYBRID_LEG_K == BM25_TOPK  # lex leg reuses the bm25 oracle
+    return f"""
+        WITH lex AS (SELECT * FROM ({ORACLE["bm25_search"]})),
+        lexr AS (
+            SELECT doc_id, ROW_NUMBER() OVER (
+                ORDER BY score DESC, doc_id ASC) AS bm25_rank
+            FROM lex
+        ),
+        den AS (
+            SELECT b.vec_id AS doc_id, {_SQL_COS} AS cos_sim
+            FROM (SELECT embedding AS a_emb FROM embeddings
+                  WHERE vec_id = 0) q,
+                 (SELECT vec_id, embedding AS b_emb FROM embeddings
+                  WHERE vec_id <> 0) b
+            ORDER BY cos_sim DESC, vec_id ASC LIMIT {HYBRID_LEG_K}
+        ),
+        denr AS (
+            SELECT doc_id, ROW_NUMBER() OVER (
+                ORDER BY cos_sim DESC, doc_id ASC) AS cos_rank
+            FROM den
+        )
+        SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+               (CASE WHEN l.bm25_rank IS NOT NULL
+                     THEN 1.0::DOUBLE / ({RRF_K} + l.bm25_rank)::DOUBLE
+                     ELSE 0.0::DOUBLE END
+                + CASE WHEN d.cos_rank IS NOT NULL
+                       THEN 1.0::DOUBLE / ({RRF_K} + d.cos_rank)::DOUBLE
+                       ELSE 0.0::DOUBLE END) AS rrf_score,
+               l.bm25_rank, d.cos_rank
+        FROM lexr l FULL OUTER JOIN denr d ON l.doc_id = d.doc_id
+        ORDER BY rrf_score DESC, doc_id ASC LIMIT {HYBRID_TOPK}
+    """
+
+
+ORACLE["hybrid_search_rrf"] = _hybrid_rrf_oracle()
+
 QUERIES = {
     "bm25_search": q_bm25_search,
     "inverted_index": q_inverted_index,
+    "hybrid_search_rrf": q_hybrid_search_rrf,
 }

@@ -1009,12 +1009,13 @@ def knn_join_twophase(
     BroadcastExchange (the per-tile indexes are task broadcasts, never
     plan-side joins).
 
-    The > k precondition is ENFORCED, not just documented: tile sizes
-    are known once the per-tile indexes build (driver-held ids), and
-    a corpus small enough to produce a ≤ k tile is by definition
-    small enough to broadcast whole — so that degenerate case falls
-    back to ``knn_join`` (same contract, same oracle) instead of
-    silently under-emitting candidates.
+    The precondition is ENFORCED, not just documented: every tile
+    must be empty (harmless — it contributes no candidates) or hold
+    > k vectors; a corpus producing a 1..k-sized tile falls back to
+    ``knn_join`` (same contract, same oracle) instead of silently
+    under-emitting candidates.  The check is one cached grouped count
+    — no index matrices are built until the two-phase path is known
+    to apply.
 
     At 10⁹ vectors: tiles = ceil(index_bytes / executor_budget); each
     pass re-scans the query side, so total work is tiles× the scan +
@@ -1022,14 +1023,32 @@ def knn_join_twophase(
     shuffle — but here the corpus-side vectors move ZERO times (each
     tile index ships once per executor as a broadcast) and the only
     exchange carries k·tiles candidate rows per vector."""
-    indexes = [knn_index(emb, tile=(t, tiles)) for t in range(tiles)]
-    if min(len(bc.value[0]) for bc in indexes) <= k:
-        # a tile with ≤ k vectors can't emit k candidates (the kernel
-        # caps at tile_size - 1 to cover self-masking) — exactness
-        # would silently break; a corpus this small broadcasts whole
+    from .dedup_core import _session_cached
+
+    # exactness requires every tile to be EMPTY or hold > k vectors
+    # (an empty tile contributes nothing — the kernel's kk <= 0 skips
+    # it — but a 1..k-sized one silently under-emits: the kernel caps
+    # at tile_size - 1 to cover self-masking).  Sizes come from ONE
+    # cheap grouped count, cached per (corpus, tiles) — deciding the
+    # fallback must not first build the per-tile index matrices it
+    # would then throw away
+    sizes = _session_cached(
+        f"state:knn_tile_sizes:{tiles}",
+        emb,
+        lambda: [
+            r["count"]
+            for r in emb.groupBy((F.col("vec_id") % tiles).alias("t"))
+            .count()
+            .collect()
+        ],
+    )
+    if any(0 < n <= k for n in sizes):
+        # a corpus producing a degenerate 1..k tile is small enough
+        # (or id-degenerate enough) to broadcast whole
         return knn_join(emb, k, chunk)
     cand = None
-    for bc in indexes:
+    for t in range(tiles):
+        bc = knn_index(emb, tile=(t, tiles))
         part = emb.select("vec_id", "embedding").mapInPandas(
             knn_score_fn(bc, k, chunk), KNN_SCHEMA
         )

@@ -298,8 +298,11 @@ def test_knn_twophase_small_corpus_falls_back_exact(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     a = sorted(tuple(r) for r in knn_join(emb, k=5).collect())
     b = sorted(tuple(r) for r in knn_join_twophase(emb, k=5, tiles=4).collect())
+    # the equality is the real pin: the pre-fix bug emitted the SAME
+    # row count but WRONG neighbors (each foreign 5-vector tile
+    # silently withheld its worst candidate, so a global 5th-best
+    # from another tile could be replaced, not dropped)
     assert a == b
-    # every vector got its full k neighbors (the bug dropped some)
     assert len(b) == 20 * 5
 
 
@@ -326,8 +329,9 @@ def test_cms_merge_null_and_tokenless_sources(spark):
         r.token: r
         for r in cms_merge_heavy_hitters(docs, phi_denom=6).collect()
     }
-    # 6 tokens total, thr = ceil(6/6) = 1 -> every token is a
-    # candidate; the NULL-source doc's tokens must be counted
+    # 5 tokens total (docs 3/4 split to nothing), thr = ceil(5/6) = 1
+    # -> every token is a candidate; the NULL-source doc's tokens
+    # must be counted
     assert got["alpha"].exact_count == 3
     assert got["gamma"].exact_count == 1
     assert all(r.overestimate_ok for r in got.values())
@@ -335,3 +339,31 @@ def test_cms_merge_null_and_tokenless_sources(spark):
     assert got["alpha"].est_count >= 3
     # src_a + src_b (tokenless but real); NULL excluded
     assert {r.n_sources_merged for r in got.values()} == {2}
+
+
+def test_knn_twophase_empty_tiles_stay_two_phase(spark):
+    # r9 second-pass review finding: an EMPTY tile is harmless (the
+    # kernel's kk <= 0 skips it, contributing no candidates) and must
+    # NOT trigger the small-corpus fallback — a huge corpus whose
+    # vec_ids are modulo-correlated would otherwise regress to the
+    # full-corpus broadcast this function exists to avoid.  Even ids
+    # only, tiles=4 -> tiles 1 and 3 empty, tiles 0 and 2 hold 12 > k.
+    import numpy as np
+
+    from simple_rust_query_engine_spark.pipeline.similarity import (
+        knn_join,
+        knn_join_twophase,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (int(2 * i), [float(x) for x in rng.randn(64)]) for i in range(24)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    tp = knn_join_twophase(emb, k=5, tiles=4)
+    # still the two-phase plan (vec_id merge window), not the
+    # single-broadcast fallback (map-only, no exchange)
+    plan = tp._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" in plan and "Window" in plan, plan
+    a = sorted(tuple(r) for r in knn_join(emb, k=5).collect())
+    assert sorted(tuple(r) for r in tp.collect()) == a

@@ -42,6 +42,7 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
         "kmeans_train",            # distributed Lloyd's, CTE-unrolled twin
         "ann_ivf_trained",         # IVF over trained cells, one oracle
         "cms_merge_heavy_hitters", # per-source sketches merged cell-wise
+        "hybrid_search_rrf",       # BM25 + dense legs fused by RRF
         # r9 changes
         "dedup_exact_stream",      # drain_memory_sink migration
         "minhash_sig_stream",      # drain_memory_sink migration (also

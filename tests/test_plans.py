@@ -891,3 +891,19 @@ def test_session_cached_on_evict_releases(spark):
     del b
     gc.collect()
     assert "v2" in released
+
+
+def test_hybrid_rrf_plan_no_window_no_cartesian(spark):
+    # both legs end in TakeOrdered; ranks come from rank-by-count
+    # broadcast loops (no window at all — a ROW_NUMBER over an empty
+    # partition spec would be invisible noise at k rows but would
+    # hollow out the blanket global-window sweep); the fusion join
+    # and everything after it touches <= 2*leg_k rows
+    plan = (
+        _q(spark, "hybrid_search_rrf")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrdered" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # rank-by-count legs
