@@ -426,12 +426,16 @@ _DEFER_PAST_CAP = (
                            #   re-enter (temporal/events family);
                            #   gap-fill plan pinned in test_temporal
     # r9 addition hybrid_search_rrf (lexical BM25 leg + dense cosine
-    # leg fused by reciprocal-rank fusion) enters; bm25_search
-    # (r8-green, unchanged) defers — the hybrid row executes the
-    # ENTIRE bm25_scores computation as its lexical leg (one oracle
-    # definition, nested verbatim), so BM25 stays hash-checked
-    # through the composition
-    "bm25_search",
+    # leg fused by reciprocal-rank fusion) enters; dup_cluster_sizes
+    # (r8-green, unchanged) defers — it is a simple groupBy histogram
+    # off the persisted label state, whose builders and consumers
+    # (dedup_cc, dedup_cc_incr, dedup_keep_best,
+    # pipeline_incr_stateful) all stay in-window.  bm25_search stays
+    # IN-window deliberately: the hybrid row consumes BM25 RANKS
+    # only, so an order-preserving scoring regression would pass
+    # through it — the score VALUES stay hash-checked by the
+    # bm25_search row itself
+    "dup_cluster_sizes",
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

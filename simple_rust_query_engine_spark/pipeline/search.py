@@ -194,12 +194,26 @@ def hybrid_search_rrf(
     integers, each leg contribution is the same IEEE division
     1/(rrf_k + rank) in either engine, and the two-term sum is
     order-fixed — bit-identical to the oracle."""
+    from .dedup_core import materialize
     from .similarity import ann_brute_topk
 
-    lex = _rank_by_count(bm25_scores(docs, terms, topk=leg_k), "score", "bm25_rank")
+    # each leg is consumed TWICE by _rank_by_count (probe + broadcast
+    # side of the rank join) — without a barrier Catalyst inlines the
+    # whole leg pipeline into both consumers and the full-corpus scan
+    # runs twice (measured: 4 embeddings / 6 documents scans, zero
+    # ReusedExchange).  The legs are ≤ leg_k rows; the checkpoint is
+    # the standard multi-consumer barrier (same contract as the CMS
+    # candidate frame)
+    lex = _rank_by_count(
+        materialize(bm25_scores(docs, terms, topk=leg_k)),
+        "score",
+        "bm25_rank",
+    )
     den = _rank_by_count(
-        ann_brute_topk(emb, query_vec_id=query_vec_id, k=leg_k).select(
-            F.col("vec_id").alias("doc_id"), "cos_sim"
+        materialize(
+            ann_brute_topk(emb, query_vec_id=query_vec_id, k=leg_k).select(
+                F.col("vec_id").alias("doc_id"), "cos_sim"
+            )
         ),
         "cos_sim",
         "cos_rank",

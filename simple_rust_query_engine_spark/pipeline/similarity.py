@@ -883,7 +883,10 @@ def knn_index(
     src = emb
     if tile is not None:
         t, n_tiles = tile
-        src = emb.filter(F.col("vec_id") % n_tiles == t)
+        # pmod, not %: a signed remainder would assign negative
+        # vec_ids to NO tile (0..n_tiles-1), silently dropping them
+        # from every index
+        src = emb.filter(F.pmod(F.col("vec_id"), F.lit(n_tiles)) == t)
 
     def build():
         rows = src.select("vec_id", "embedding").orderBy("vec_id").collect()
@@ -1037,7 +1040,9 @@ def knn_join_twophase(
         emb,
         lambda: [
             r["count"]
-            for r in emb.groupBy((F.col("vec_id") % tiles).alias("t"))
+            for r in emb.groupBy(
+                F.pmod(F.col("vec_id"), F.lit(tiles)).alias("t")
+            )
             .count()
             .collect()
         ],

@@ -367,3 +367,27 @@ def test_knn_twophase_empty_tiles_stay_two_phase(spark):
     assert "Exchange hashpartitioning" in plan and "Window" in plan, plan
     a = sorted(tuple(r) for r in knn_join(emb, k=5).collect())
     assert sorted(tuple(r) for r in tp.collect()) == a
+
+
+def test_knn_twophase_negative_ids_exact(spark):
+    # r9 third-pass review finding (empirically reproduced): a signed
+    # `vec_id % tiles` assigned negative ids to NO tile (remainders
+    # -3..-1 never equal t in 0..tiles-1), silently dropping them from
+    # every index while the size check (grouped on the same signed
+    # remainder) saw healthy groups and did not fall back.  Both now
+    # use pmod; ids -24..23 must produce exactly knn_join's output.
+    import numpy as np
+
+    from simple_rust_query_engine_spark.pipeline.similarity import (
+        knn_join,
+        knn_join_twophase,
+    )
+
+    rng = np.random.RandomState(13)
+    rows = [
+        (int(i - 24), [float(x) for x in rng.randn(64)]) for i in range(48)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(tuple(r) for r in knn_join(emb, k=5).collect())
+    b = sorted(tuple(r) for r in knn_join_twophase(emb, k=5, tiles=4).collect())
+    assert a == b

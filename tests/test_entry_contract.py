@@ -73,7 +73,11 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
         "dedup_labels_stream",
         "doc_novelty",
         "cross_source_overlap",
-        "dup_cluster_sizes",
+        # (dup_cluster_sizes deferred late-r9 when hybrid_search_rrf
+        # entered — the label-state family stays checked via dedup_cc,
+        # dedup_cc_incr, dedup_keep_best, pipeline_incr_stateful)
+        "bm25_search",   # stays in-window: the hybrid row consumes
+                         # RANKS only; score values need their own row
         "profile_table_approx",
         "decontaminate_stream",
         "quality_topk",
