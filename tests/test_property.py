@@ -469,3 +469,147 @@ def test_excise_spans_matches_python(spark, base, slices):
         kept = [w for i, w in enumerate(toks) if i not in covered]
         want[d] = (" ".join(kept), len(toks), len(toks) - len(kept))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r9 operators vs references on arbitrary tiny corpora: the two-phase
+# k-NN must equal the broadcast path on ANY geometry (sparse/negative
+# ids, degenerate tile sizes, duplicate vectors = cosine ties); the
+# merged per-source CMS must equal the single-sketch CMS on ANY source
+# layout (NULL sources, tokenless sources); the distributed KMeans
+# must match a pure-Python Lloyd's reference built from the same
+# determinism rules.
+
+_EMB_IDS = st.lists(
+    st.integers(min_value=-20, max_value=40), min_size=0, max_size=24,
+    unique=True,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ids=_EMB_IDS, tiles=st.sampled_from([1, 2, 4]),
+       seed=st.integers(0, 5))
+def test_knn_twophase_equals_broadcast_on_any_geometry(spark, ids, tiles, seed):
+    import numpy as np
+
+    from simple_rust_query_engine_spark.pipeline.similarity import (
+        knn_join,
+        knn_join_twophase,
+    )
+
+    rng = np.random.RandomState(seed)
+    rows = [
+        # first component pinned to 1.0: a zero vector would make
+        # cosine NaN on BOTH paths, but NaN breaks the equality assert
+        (int(i), [1.0] + [float(x) for x in rng.randint(-3, 4, 3)])
+        for i in ids
+    ]
+    if not rows:
+        return  # empty corpus: both paths trivially emit nothing
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(tuple(r) for r in knn_join(emb, k=3).collect())
+    b = sorted(
+        tuple(r) for r in knn_join_twophase(emb, k=3, tiles=tiles).collect()
+    )
+    assert a == b
+
+
+_SRC_DOCS = st.lists(
+    st.tuples(
+        st.sampled_from(["s0", "s1", None]),
+        st.lists(st.sampled_from(["aa", "ab", "b"]), min_size=0, max_size=5),
+    ),
+    min_size=0,
+    max_size=10,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_SRC_DOCS)
+def test_cms_merge_linearity_on_any_source_layout(spark, docs):
+    # counter linearity: the heavy hitters extracted from the merged
+    # per-source sketches must equal the single whole-corpus sketch's,
+    # for any split across sources incl. NULL and tokenless ones
+    from simple_rust_query_engine_spark.operators.sketch import (
+        cms_heavy_hitters,
+        cms_merge_heavy_hitters,
+    )
+
+    rows = [(i, " ".join(ws), src) for i, (src, ws) in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows or [(0, "", None)], "doc_id long, text string, source string"
+    )
+    single = sorted(tuple(r) for r in cms_heavy_hitters(df).collect())
+    merged = sorted(
+        tuple(r)
+        for r in cms_merge_heavy_hitters(df).drop("n_sources_merged").collect()
+    )
+    assert merged == single
+
+
+def _py_kmeans_assign(rows, n_cells, n_iters):
+    """Pure-Python Lloyd's with the EXACT determinism rules of
+    kmeans_centroids/kmeans_train: first-K seed by vec_id, cosine
+    argmax with per-dim left-fold arithmetic, ties toward the lower
+    cell, means rounded to 6dp, empty cells keep their centroid."""
+    import math
+
+    rows = sorted(rows)
+    C = [list(map(float, e)) for vid, e in rows if vid < n_cells]
+    dim = len(rows[0][1])
+
+    def cos(v, c):
+        dot = vn = cn = 0.0
+        for d in range(dim):  # left-to-right like the Arrow kernel
+            dot += v[d] * c[d]
+            vn += v[d] * v[d]
+            cn += c[d] * c[d]
+        return dot / math.sqrt(vn) / math.sqrt(cn)
+
+    def assign():
+        out = {}
+        for vid, e in rows:
+            best, best_c = None, None
+            for ci, c in enumerate(C):
+                cs = cos([float(x) for x in e], c)
+                if best is None or cs > best:
+                    best, best_c = cs, ci
+            out[vid] = best_c
+        return out
+
+    for _ in range(n_iters):
+        a = assign()
+        for ci in range(len(C)):
+            members = [e for vid, e in rows if a[vid] == ci]
+            if members:
+                C[ci] = [
+                    round(sum(float(e[d]) for e in members) / len(members), 6)
+                    for d in range(dim)
+                ]
+    return assign()
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(n=st.integers(min_value=1, max_value=14), seed=st.integers(0, 5))
+def test_kmeans_train_matches_python_reference(spark, n, seed):
+    import numpy as np
+
+    from simple_rust_query_engine_spark.pipeline.similarity import kmeans_train
+
+    rng = np.random.RandomState(seed)
+    # integer-valued components (first pinned nonzero): partial-sum
+    # order can't change an exact-integer total, so the rounded means
+    # are bit-identical between the distributed and Python paths
+    rows = [
+        (i, [1.0] + [float(x) for x in rng.randint(-4, 5, 3)])
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r.vec_id: r.cell for r in kmeans_train(emb, n_cells=3, n_iters=2).collect()
+    }
+    want = _py_kmeans_assign([(i, e) for i, e in rows], 3, 2)
+    assert got == want
