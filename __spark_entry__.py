@@ -425,6 +425,17 @@ _DEFER_PAST_CAP = (
     "events_gapfill",      # → events_window + events_sessionize
                            #   re-enter (temporal/events family);
                            #   gap-fill plan pinned in test_temporal
+    # r9 addition bloom_dedup_precheck (Bloom-filter membership — the
+    # third member of the sketch triad: KMV cardinality, CMS
+    # frequency, Bloom membership; ingest-time exact-dedup pre-filter
+    # with the no-false-negatives guarantee hash-checked) enters;
+    # events_stream_join (r8-green, unchanged) defers — the streaming
+    # family keeps SEVEN in-window reps (events_window_stream,
+    # decontaminate_stream, knn_join_stream, both dedup streams, and
+    # the two re-entering drained sink entries), and the stream-stream
+    # interval join's batch twin is property-tested against a
+    # brute-force reference (test_property.py)
+    "events_stream_join",
     # r9 addition hybrid_search_rrf (lexical BM25 leg + dense cosine
     # leg fused by reciprocal-rank fusion) enters; dup_cluster_sizes
     # (r8-green, unchanged) defers — it is a simple groupBy histogram

@@ -167,6 +167,9 @@ EXTRA_QUERIES = [
     "cms_merge_heavy_hitters",
     # r9: hybrid retrieval — BM25 leg + dense cosine leg fused by RRF
     "hybrid_search_rrf",
+    # r9: Bloom membership pre-filter (build cells + probe + exact
+    # verify — the corpus never shuffles)
+    "bloom_dedup_precheck",
 ]
 
 

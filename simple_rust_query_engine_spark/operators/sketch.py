@@ -362,6 +362,117 @@ def q_cms_merge_heavy_hitters(t: dict) -> DataFrame:
     return cms_merge_heavy_hitters(t["documents"])
 
 
+# ------------------------------------------------------- bloom membership
+#: Bloom bit-array size.  Completes the sketch triad — KMV answers
+#: "how many distinct?", CMS "how often?", Bloom "have we SEEN it?" —
+#: the ingest-time exact-dedup pre-filter: m bits of state stand in
+#: for the corpus-sized hash set, with one-sided error (no false
+#: negatives — a true duplicate is ALWAYS flagged; false positives
+#: cost an exact re-check, never a wrong answer).  Sized so the two
+#: test scales exercise both regimes: ~18% fill at sf0.01 (FPs rare)
+#: and ~86% at sf0.1 (FPs common, soundness still holds).
+BLOOM_M = 8192
+
+
+def bloom_dedup_precheck(
+    docs: DataFrame,
+    m: int = BLOOM_M,
+    d: int = CMS_D,
+    text_col: str = "text",
+) -> DataFrame:
+    """Ingest-time duplicate PRE-CHECK through a Bloom filter (Bloom
+    1970 — public): the arriving batch (``doc_id % INCR_MOD == 0``,
+    the package's standing new-arrival predicate) is probed against a
+    Bloom filter built over the EXISTING corpus's content hashes, then
+    exactly verified — emitting per batch doc ``maybe_dup`` (the
+    sketch's answer), ``is_dup`` (ground truth) and ``sound``
+    (maybe_dup OR NOT is_dup — the no-false-negatives guarantee, True
+    by construction and hash-checked).
+
+    Three passes, each the 100 TB shape:
+
+    1. **Build** — map-only Arrow pass emits each partition's SET bit
+       positions (≤ m rows per task); the only shuffle is the distinct
+       over bit POSITIONS (≤ m uniform keys — the distinct IS the
+       bitwise-OR merge, the same cell-level mergeability as the CMS
+       row).  The collected bitset is m/8 bytes of model state.
+    2. **Probe** — the batch tests its d bit positions against the
+       broadcast bitset inside one Arrow UDF, map-only.
+    3. **Verify** — exact membership for the batch alone: the
+       existing corpus is semi-joined against the BROADCAST batch
+       hash set, so the corpus never shuffles and the exact check
+       costs one scan regardless of corpus size — the point of the
+       pre-filter is that production runs it only on maybe_dup rows.
+
+    Determinism: the content hash is the KMV kernel (md5-prefix
+    affine, identical in both engines) and the bit positions reuse
+    the CMS affine maps, so the WHOLE filter — bitset, probes, FP set
+    — is bit-reproducible and hash-checked against a DuckDB twin that
+    recomputes every bit."""
+    from ..pipeline.dedup_core import materialize
+    from ..pipeline.dedup_sketch import INCR_MOD
+
+    existing = docs.filter(F.col("doc_id") % INCR_MOD != 0)
+    batch = docs.filter(F.col("doc_id") % INCR_MOD == 0)
+    hcol = _kmv_hash(F.col(text_col))
+
+    def set_bits(it):
+        for pdf in it:
+            hs = pdf["h"].to_numpy().astype(np.int64)
+            if len(hs):
+                pos = np.unique(
+                    np.concatenate([_cms_bucket_py(hs, i, m) for i in range(d)])
+                )
+            else:
+                pos = np.array([], dtype=np.int64)
+            yield pd.DataFrame({"pos": pos})
+
+    set_rows = (
+        existing.select(hcol.alias("h"))
+        .mapInPandas(set_bits, "pos long")
+        .distinct()  # the merge: bitwise OR == distinct over positions
+        .collect()
+    )  # ≤ m scalars of filter state — model state, not a data path
+    bitset = np.zeros(m, dtype=bool)
+    bitset[[r.pos for r in set_rows]] = True
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def member(hs: pd.Series) -> pd.Series:
+        whs = hs.to_numpy().astype(np.int64)
+        ok = np.ones(len(whs), dtype=bool)
+        for i in range(d):
+            ok &= bitset[_cms_bucket_py(whs, i, m)]
+        return pd.Series(ok)
+
+    # the batch projection feeds both the probe and the verify's
+    # broadcast hash set — barrier it or the batch scan runs twice
+    probed = materialize(batch.select("doc_id", hcol.alias("h")))
+    matched = (
+        existing.select(hcol.alias("h"))
+        .join(F.broadcast(probed.select("h").distinct()), "h", "left_semi")
+        .distinct()  # ≤ |batch| matched hash values
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        probed.withColumn("maybe_dup", member(F.col("h")))
+        .join(F.broadcast(matched), "h", "left")
+        .select(
+            "doc_id",
+            "maybe_dup",
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+            (F.col("maybe_dup") | ~F.coalesce("is_dup", F.lit(False))).alias(
+                "sound"
+            ),
+        )
+    )
+
+
+def q_bloom_dedup_precheck(t: dict) -> DataFrame:
+    return bloom_dedup_precheck(t["documents"])
+
+
 def q_cms_heavy_hitters(t: dict) -> DataFrame:
     return cms_heavy_hitters(t["documents"])
 
@@ -441,11 +552,55 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+def _bloom_oracle(m: int = BLOOM_M, d: int = CMS_D) -> str:
+    """Recompute every bit: ex = existing distinct content hashes,
+    bits = the union of their d affine positions (UNION == the
+    bitwise-OR merge), maybe_dup = all d of the batch doc's positions
+    set, is_dup = exact membership, sound = the one-sided guarantee."""
+    from ..pipeline.dedup_sketch import INCR_MOD
+
+    h_sql = "CAST(('0x' || substring(md5(text), 1, 13)) AS BIGINT)"
+    bit_union = "\n            UNION ".join(
+        f"SELECT DISTINCT (({CMS_A[i]} * h + {CMS_B[i]}) % {CMS_P}) % {m} "
+        f"AS pos FROM ex"
+        for i in range(d)
+    )
+    probes = " AND ".join(
+        f"EXISTS (SELECT 1 FROM bits WHERE pos = "
+        f"(({CMS_A[i]} * b.h + {CMS_B[i]}) % {CMS_P}) % {m})"
+        for i in range(d)
+    )
+    return f"""
+        WITH ex AS (
+            SELECT DISTINCT {h_sql} AS h FROM documents
+            WHERE doc_id % {INCR_MOD} <> 0
+        ),
+        bits AS (
+            {bit_union}
+        ),
+        b AS (
+            SELECT doc_id, {h_sql} AS h FROM documents
+            WHERE doc_id % {INCR_MOD} = 0
+        ),
+        checked AS (
+            SELECT b.doc_id,
+                   ({probes}) AS maybe_dup,
+                   EXISTS (SELECT 1 FROM ex WHERE ex.h = b.h) AS is_dup
+            FROM b
+        )
+        SELECT doc_id, maybe_dup, is_dup,
+               (maybe_dup OR NOT is_dup) AS sound
+        FROM checked
+    """
+
+
 ORACLE["cms_heavy_hitters"] = _cms_hh_oracle()
 ORACLE["cms_merge_heavy_hitters"] = _cms_hh_oracle(with_sources=True)
+ORACLE["bloom_dedup_precheck"] = _bloom_oracle()
 
 QUERIES = {
     "kmv_ndistinct": q_kmv_ndistinct,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "cms_merge_heavy_hitters": q_cms_merge_heavy_hitters,
+    "bloom_dedup_precheck": q_bloom_dedup_precheck,
 }

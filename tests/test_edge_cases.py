@@ -391,3 +391,30 @@ def test_knn_twophase_negative_ids_exact(spark):
     a = sorted(tuple(r) for r in knn_join(emb, k=5).collect())
     b = sorted(tuple(r) for r in knn_join_twophase(emb, k=5, tiles=4).collect())
     assert a == b
+
+
+def test_bloom_precheck_true_duplicate_and_soundness(spark):
+    # the driver corpus at sf0.01 happens to have no text duplicate
+    # crossing the batch/existing split, so the is_dup=True path needs
+    # a synthetic pin: doc 0 (batch: doc_id % 5 == 0) duplicates
+    # existing doc 1 -> MUST be flagged by the filter (no false
+    # negatives) AND verified; doc 5 is unique -> is_dup False; every
+    # row sound
+    from simple_rust_query_engine_spark.operators.sketch import (
+        bloom_dedup_precheck,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),   # batch, duplicates doc 1
+            (1, "alpha beta gamma"),   # existing
+            (2, "delta"),              # existing
+            (5, "epsilon zeta"),       # batch, unique
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bloom_dedup_precheck(docs).collect()}
+    assert set(got) == {0, 5}
+    assert got[0].maybe_dup and got[0].is_dup
+    assert not got[5].is_dup
+    assert all(r.sound for r in got.values())

@@ -43,6 +43,7 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
         "ann_ivf_trained",         # IVF over trained cells, one oracle
         "cms_merge_heavy_hitters", # per-source sketches merged cell-wise
         "hybrid_search_rrf",       # BM25 + dense legs fused by RRF
+        "bloom_dedup_precheck",    # Bloom membership pre-filter
         # r9 changes
         "dedup_exact_stream",      # drain_memory_sink migration
         "minhash_sig_stream",      # drain_memory_sink migration (also

@@ -907,3 +907,21 @@ def test_hybrid_rrf_plan_no_window_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
     assert "TakeOrdered" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan  # rank-by-count legs
+
+
+def test_bloom_precheck_plan_never_shuffles_the_corpus(spark):
+    # build ran eagerly at construction (set-bit cells merged by
+    # distinct, bitset collected as model state); the RETURNED plan is
+    # probe + exact verify: one Arrow probe UDF, the existing corpus
+    # touched only by a broadcast semi-join (never hash-shuffled — the
+    # two hashpartitioning exchanges are the batch-sized hash-set
+    # distincts), no sort-merge join, no cartesian
+    plan = (
+        _q(spark, "bloom_dedup_precheck")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("BroadcastExchange") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
