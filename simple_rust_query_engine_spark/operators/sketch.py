@@ -395,7 +395,9 @@ def bloom_dedup_precheck(
        positions (≤ m rows per task); the only shuffle is the distinct
        over bit POSITIONS (≤ m uniform keys — the distinct IS the
        bitwise-OR merge, the same cell-level mergeability as the CMS
-       row).  The collected bitset is m/8 bytes of model state.
+       row).  The collected bitset is held as m BYTES here (a numpy
+       bool array — index-friendly for the probe kernel; production
+       packs to m/8 via ``np.packbits`` when closure size matters).
     2. **Probe** — the batch tests its d bit positions against the
        broadcast bitset inside one Arrow UDF, map-only.
     3. **Verify** — exact membership for the batch alone: the
@@ -412,8 +414,13 @@ def bloom_dedup_precheck(
     from ..pipeline.dedup_core import materialize
     from ..pipeline.dedup_sketch import INCR_MOD
 
-    existing = docs.filter(F.col("doc_id") % INCR_MOD != 0)
-    batch = docs.filter(F.col("doc_id") % INCR_MOD == 0)
+    # NULL text filtered BEFORE hashing (same guard as kmv_ndistinct):
+    # a NULL hash reaches the Arrow kernel as NaN and astype(int64)
+    # silently yields INT64_MIN — a garbage bit position the oracle
+    # (where NULL arithmetic propagates to no-match) never sets
+    nonnull = docs.where(F.col(text_col).isNotNull())
+    existing = nonnull.filter(F.col("doc_id") % INCR_MOD != 0)
+    batch = nonnull.filter(F.col("doc_id") % INCR_MOD == 0)
     hcol = _kmv_hash(F.col(text_col))
 
     def set_bits(it):
@@ -573,14 +580,14 @@ def _bloom_oracle(m: int = BLOOM_M, d: int = CMS_D) -> str:
     return f"""
         WITH ex AS (
             SELECT DISTINCT {h_sql} AS h FROM documents
-            WHERE doc_id % {INCR_MOD} <> 0
+            WHERE doc_id % {INCR_MOD} <> 0 AND text IS NOT NULL
         ),
         bits AS (
             {bit_union}
         ),
         b AS (
             SELECT doc_id, {h_sql} AS h FROM documents
-            WHERE doc_id % {INCR_MOD} = 0
+            WHERE doc_id % {INCR_MOD} = 0 AND text IS NOT NULL
         ),
         checked AS (
             SELECT b.doc_id,

@@ -409,7 +409,12 @@ def test_bloom_precheck_true_duplicate_and_soundness(spark):
             (0, "alpha beta gamma"),   # batch, duplicates doc 1
             (1, "alpha beta gamma"),   # existing
             (2, "delta"),              # existing
+            (3, None),                 # existing, NULL text: must be
+                                       # filtered BEFORE hashing (NaN
+                                       # astype(int64) = INT64_MIN
+                                       # would set a garbage bit)
             (5, "epsilon zeta"),       # batch, unique
+            (10, None),                # batch, NULL text: dropped
         ],
         "doc_id long, text string",
     )
