@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Bench-only (outside the driver contract, like ``bench_bucketed``):
+broadcast exact k-NN vs the two-phase per-tile path at a corpus size
+where the index is no longer trivially small — evidence for the scale
+story the docstrings tell (``knn_join`` tops out at executor memory;
+``knn_join_twophase`` pays tiles× query scans to never hold more than
+1/tiles of the index per broadcast).
+
+Synthesizes N 64-dim vectors (deterministic seed), writes them to a
+temp parquet corpus, and times both paths cold + best-of-2 steady on
+the same session.  One JSON line on stdout:
+{"n": ..., "tiles": ..., "broadcast": {...}, "twophase": {...},
+ "rows_equal": bool, "canary_sec": ...}
+
+Env dials: SPARK_GRAFT_KNN_N (default 10000), SPARK_GRAFT_KNN_TILES
+(default 4), SPARK_GRAFT_CPUS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N = int(os.environ.get("SPARK_GRAFT_KNN_N", "10000"))
+TILES = int(os.environ.get("SPARK_GRAFT_KNN_TILES", "4"))
+
+
+def _canary() -> float:
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(20_000_000):
+        x += i
+    assert x
+    return round(time.perf_counter() - t0, 4)
+
+
+def main() -> None:
+    import numpy as np
+
+    from simple_rust_query_engine_spark.pipeline.similarity import (
+        knn_join,
+        knn_join_twophase,
+    )
+    from simple_rust_query_engine_spark.session import (
+        get_spark,
+        release_barriers,
+    )
+
+    c_pre = _canary()
+    spark = get_spark("srqe-bench-knn")
+    rng = np.random.RandomState(42)
+    tmp = tempfile.mkdtemp(prefix="srqe_knn_bench_")
+    path = os.path.join(tmp, "emb.parquet")
+    rows = [
+        (int(i), [float(x) for x in rng.randn(64).astype(np.float32)])
+        for i in range(N)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).repartition(32).write.mode("overwrite").parquet(path)
+    emb = spark.read.parquet(path)
+
+    def run(fn, label):
+        # fresh session-equivalent cold: clear the index caches so the
+        # collect+broadcast cost is inside the cold number
+        from simple_rust_query_engine_spark.pipeline.dedup_core import (
+            _STATE_CACHE,
+        )
+
+        for k in [k for k in _STATE_CACHE if "knn" in k[0]]:
+            _STATE_CACHE.pop(k, None)
+        release_barriers(spark)
+        t0 = time.perf_counter()
+        n_rows = fn(emb).count()
+        cold = round(time.perf_counter() - t0, 4)
+        steady = []
+        for _ in range(2):
+            release_barriers(spark)
+            t0 = time.perf_counter()
+            fn(emb).count()
+            steady.append(time.perf_counter() - t0)
+        print(
+            f"# {label}: cold {cold:.3f}s steady {min(steady):.3f}s rows={n_rows}",
+            file=sys.stderr,
+        )
+        return {"cold": cold, "steady": round(min(steady), 4), "rows": n_rows}
+
+    b = run(lambda e: knn_join(e), "broadcast")
+    t = run(lambda e: knn_join_twophase(e, tiles=TILES), "twophase")
+    c_post = _canary()
+    print(
+        json.dumps(
+            {
+                "n": N,
+                "tiles": TILES,
+                "broadcast": b,
+                "twophase": t,
+                "rows_equal": b["rows"] == t["rows"],
+                "canary_sec": min(c_pre, c_post),
+            }
+        )
+    )
+    import shutil
+
+    shutil.rmtree(tmp, True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -613,3 +613,60 @@ def test_kmeans_train_matches_python_reference(spark, n, seed):
     }
     want = _py_kmeans_assign([(i, e) for i, e in rows], 3, 2)
     assert got == want
+
+
+_BLOOM_DOCS = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(alphabet="abc ", min_size=0, max_size=6),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=_BLOOM_DOCS)
+def test_bloom_precheck_matches_python_reference(spark, texts):
+    # arbitrary tiny corpora incl. NULL and duplicate texts: the
+    # filter must agree bit-for-bit with a pure-Python Bloom built
+    # from the same md5-prefix hash and affine bit maps, and the
+    # one-sided guarantee must hold on every row
+    import hashlib
+
+    from simple_rust_query_engine_spark.operators.sketch import (
+        BLOOM_M,
+        CMS_A,
+        CMS_B,
+        CMS_D,
+        CMS_P,
+        bloom_dedup_precheck,
+    )
+    from simple_rust_query_engine_spark.pipeline.dedup_sketch import INCR_MOD
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows or [(0, None)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in bloom_dedup_precheck(df).collect()}
+
+    def h(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:13], 16)
+
+    def bits_of(hv):
+        return [((CMS_A[i] * hv + CMS_B[i]) % CMS_P) % BLOOM_M
+                for i in range(CMS_D)]
+
+    ex = {h(t) for i, t in rows if i % INCR_MOD != 0 and t is not None}
+    setbits = {p for hv in ex for p in bits_of(hv)}
+    want = {}
+    for i, t in rows:
+        if i % INCR_MOD != 0 or t is None:
+            continue
+        hv = h(t)
+        maybe = all(p in setbits for p in bits_of(hv))
+        is_dup = hv in ex
+        want[i] = (maybe, is_dup, maybe or not is_dup)
+    assert {k: (v.maybe_dup, v.is_dup, v.sound) for k, v in got.items()} == want
+    assert all(v.sound for v in got.values())
