@@ -173,6 +173,23 @@ EXTRA_QUERIES = [
 ]
 
 
+#: host-speed anchor for the canary loop below, from the healthy
+#: windows every prior round benched in (r7: 0.763, r8: 0.779, r9
+#: early-session: 0.763-0.81).  BENCH_r09.json was captured at canary
+#: 1.224s (~57% degraded) and overstated cold time ~1.5x — hence this
+#: gate (VERDICT r9 item 2): a run only counts as comparable when BOTH
+#: the pre and post canary land within CANARY_TOLERANCE of the anchor.
+CANARY_ANCHOR_SEC = 0.78
+CANARY_TOLERANCE = 0.20  # pre AND post must be <= anchor * (1 + tol)
+
+
+def _canary_ok(pre: float, post: float) -> bool:
+    """True when the host window is healthy enough for the run's raw
+    seconds to be comparable with prior rounds' anchored numbers."""
+    limit = CANARY_ANCHOR_SEC * (1.0 + CANARY_TOLERANCE)
+    return pre <= limit and post <= limit
+
+
 def _canary_sec() -> float:
     """Host-speed canary: a 20M-iteration CPython loop, the same probe
     that diagnosed the r5/r6 cross-round drift (identical code
@@ -280,6 +297,12 @@ def main() -> None:
         "canary_sec": min(canary_pre, canary_post),
         "canary_pre": canary_pre,
         "canary_post": canary_post,
+        # the window-health gate (VERDICT r9 item 2): false means the
+        # host was degraded during this run and its raw seconds are NOT
+        # comparable against anchored rounds — re-run in a healthier
+        # window, or normalize by canary ratios only
+        "canary_ok": _canary_ok(canary_pre, canary_post),
+        "canary_anchor_sec": CANARY_ANCHOR_SEC,
         "sf": sf_val,
     }
     if errors:
@@ -303,8 +326,17 @@ def main() -> None:
         "extra_total": full["extra_total"],
         "extra_steady_total": full["extra_steady_total"],
         "canary_sec": full["canary_sec"],
+        "canary_ok": full["canary_ok"],
         "sf": sf_val,
     }
+    if not full["canary_ok"]:
+        print(
+            f"# WARNING: degraded host window (canary pre={canary_pre:.3f}s "
+            f"post={canary_post:.3f}s vs anchor {CANARY_ANCHOR_SEC}s "
+            f"+{CANARY_TOLERANCE:.0%}); raw seconds NOT cross-round "
+            "comparable — re-run in a healthier window",
+            file=sys.stderr,
+        )
     if errors:
         compact["error_count"] = len(errors)
     line = json.dumps(compact)
