@@ -102,36 +102,11 @@ _DEFER_PAST_CAP = (
     # minhash_sig_stream); see the r9 block at the end)
     # (r9: token_count, deferred here since r4, re-enters — see the
     # r9 block at the end)
-    "fingerprint",     # → same text family
-    # round-4 addition semantic_search (ANN topk → broadcast-hydrate
-    # documents) enters; frame_sample defers — multimodal family stays
-    # checked via feature_extract + multimodal_meta
-    "frame_sample",
-    # round-4 addition chunk_documents enters; quantile defers — OLAP
-    # family stays checked via agg_cube, agg_grouping_sets, unpivot
-    "quantile",
-    # round-4 additions vocab_stats + events_retention enter;
-    # agg_having defers (agg family: agg_grouped, tpch_q1 stay) and
-    # join_nonequi_filter defers (join family: join_inner and
-    # join_anti stay; join_left defers separately below, subsumed by
-    # the full-outer row)
-    "agg_having",
-    # round-4 addition join_full (full outer) enters; join_left
-    # defers — its null-extension semantics are a strict subset of
-    # the full-outer row now checked, and join_inner stays
-    "join_left",
-    # round-4 addition pipeline_clean_incr enters; skew_safe_collect
-    # defers — skew family stays checked via kmv_ndistinct
-    "skew_safe_collect",
-    # round-5 addition quantile_approx (the percentile_approx scale
-    # path, VERDICT r4 item 3) enters; agg_cube (r4-green) defers —
-    # the Expand/grouping-set family stays checked via
-    # agg_grouping_sets, and cube's plan shape is pinned in pytest
-    "agg_cube",
-    # round-5 additions bm25_search, inverted_index, profile_table,
-    # len_histogram enter per the new-operators-in-window rule; four
-    # r4-green redundant siblings defer:
-    "set_except",            # → set_intersect stays (set-op family)
+    # (r10: the 8 oldest deferred rows — fingerprint, frame_sample,
+    # quantile, agg_having, join_left, skew_safe_collect (r4
+    # evidence) and agg_cube, set_except (r5 evidence) — rotate back
+    # IN-window for re-certification, continuing the 8-per-round
+    # sweep; see the r10 block at the end)
     "ann_multiprobe",        # → ann_lsh stays (LSH-bucket ANN family)
     "events_window_sliding", # → events_session_window +
                              #   events_window_stream stay
@@ -447,6 +422,45 @@ _DEFER_PAST_CAP = (
     # through it — the score VALUES stay hash-checked by the
     # bm25_search row itself
     "dup_cluster_sizes",
+    # ---- round 10 ----
+    # NINE entries enter the window this round: the r10
+    # RE-CERTIFICATION sweep (the 8 oldest deferred rows —
+    # fingerprint, frame_sample, quantile, agg_having, join_left,
+    # skew_safe_collect with r4 evidence, agg_cube, set_except with
+    # r5 evidence) and the r10 addition kmv_merge_ndistinct
+    # (per-source k-minimum sketches merged union-then-take-k — the
+    # last sketch-triad member to get a merge row).  Nine
+    # r9-hash-green unchanged siblings defer in exchange — eight of
+    # them the rows re-certified LAST round (freshest evidence in the
+    # deferred set, the same freshness trade r9 made with the r8
+    # sweep), each with in-window family representatives:
+    "events_window",        # → events_window_stream stays (events
+                            #   family); re-certified r9
+    "events_sessionize",    # → events_window_stream stays;
+                            #   re-certified r9
+    "skew_safe_ndistinct",  # → skew_safe_collect re-enters this round
+                            #   (skew family); kmv rows in-window
+    "pivot",                # → agg_cube re-enters (grouping/OLAP
+                            #   family); unpivot pinned in test_plans
+    "dedup_exact",          # → dedup_exact_stream stays (same result
+                            #   through the streaming engine) and
+                            #   bloom_dedup_precheck's exact verify
+                            #   stays; re-certified r9
+    "minhash_sig_stream",   # → dedup_minhash_ingest_stream +
+                            #   dedup_labels_stream stay (streaming
+                            #   LSH family); re-certified r9
+    "token_count",          # → fingerprint re-enters (text family);
+                            #   quality_topk + bpe_encode_checked stay
+    "cms_heavy_hitters",    # → cms_merge_heavy_hitters stays — it
+                            #   exercises the same _cms_sketch/
+                            #   _cms_extract helpers PLUS the merge;
+                            #   re-certified r9
+    "cross_source_overlap", # → the edge-machinery family keeps five
+                            #   in-window reps (ngram_jaccard,
+                            #   dedup_cc, dedup_cc_incr,
+                            #   dedup_keep_best,
+                            #   pipeline_incr_stateful); doc_novelty
+                            #   stays as the span-family rep
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

@@ -170,6 +170,10 @@ EXTRA_QUERIES = [
     # r9: Bloom membership pre-filter (build cells + probe + exact
     # verify — the corpus never shuffles)
     "bloom_dedup_precheck",
+    # round 10 — per-source KMV sketches merged union-then-take-k
+    # (cold prices the corpus scan + sketch build; the merge itself
+    # touches ≤ k·sources rows per key)
+    "kmv_merge_ndistinct",
 ]
 
 

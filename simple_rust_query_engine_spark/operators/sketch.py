@@ -99,6 +99,109 @@ def kmv_ndistinct(
     )
 
 
+def _kmv_source_sketch(
+    df: DataFrame, key: str, val: str, source: str, k: int, n_salt: int
+) -> DataFrame:
+    """The per-(key, source) k-minimum sets — ≤ k rows per pair.
+    Every exchange in this pipeline is bounded map-side: the distinct
+    partially aggregates before shuffling, and both rank exchanges
+    sit above a Partial ``WindowGroupLimit`` (at most k rows per
+    (key, source[, salt]) group cross the wire) — pinned in
+    ``test_plans.test_kmv_merge_exchanges_carry_sketch_rows``."""
+    hashed = (
+        df.where(F.col(val).isNotNull())
+        .select(
+            key,
+            F.col(source).alias("_src"),
+            _kmv_hash(F.col(val)).alias("_h"),
+        )
+        .distinct()
+    )
+    # salted pre-rank bounds every reducer, then the per-source k
+    # minima — same salt discipline as the whole-corpus kmv_ndistinct
+    w_salt = Window.partitionBy(
+        key, "_src", F.pmod(F.col("_h"), F.lit(n_salt))
+    ).orderBy("_h")
+    pre = hashed.withColumn("_srn", F.row_number().over(w_salt)).filter(
+        F.col("_srn") <= k
+    )
+    w_src = Window.partitionBy(key, "_src").orderBy("_h")
+    return pre.withColumn("_krn", F.row_number().over(w_src)).filter(
+        F.col("_krn") <= k
+    )
+
+
+def kmv_merge_ndistinct(
+    df: DataFrame,
+    key: str,
+    val: str,
+    source: str,
+    k: int = KMV_K,
+    n_salt: int = N_SALT,
+) -> DataFrame:
+    """The MERGE property of the KMV sketch, exercised end to end —
+    the last of the sketch triad to get a merge row (CMS merge landed
+    with ``cms_merge_heavy_hitters``; Bloom's build IS a merge, the
+    distinct over bit positions being the bitwise OR).
+
+    One complete k-minimum set per (``key``, ``source``) pair, merged
+    by UNION-THEN-TAKE-K: the union of the per-source minima
+    necessarily contains the global k minima (any hash among the
+    global k smallest is also among its own source's k smallest), so
+    ranking the deduplicated union per key and keeping k reproduces
+    the whole-corpus sketch EXACTLY — set algebra, not approximation
+    on approximation.  The estimate is therefore identical to
+    ``kmv_ndistinct``'s and the oracle arithmetic carries over
+    verbatim; ``n_sources_merged`` rides along to prove the
+    per-source split was real (distinct non-NULL sources that
+    contributed a sketch, mirroring SQL ``COUNT(DISTINCT)`` — a
+    NULL-source sketch is built and merged but not counted, the same
+    null semantics as ``cms_merge_heavy_hitters``).
+
+    Scale shape: this is the per-shard/per-day pattern at 100 TB —
+    each source's sketch is built where its data lives and at most
+    k·sources rows per key ever cross the merge exchange, NEVER the
+    underlying values.  The per-source rank is itself salted exactly
+    like ``kmv_ndistinct``'s, so a hot (key, source) pair's distinct
+    set also never collapses onto one reducer."""
+    from ..pipeline.dedup_core import materialize
+
+    # materialized: the sketch feeds BOTH the n_sources aggregate and
+    # the merge — without the barrier the whole corpus-scan → distinct
+    # → double-rank pipeline executes twice (once per consumer), and
+    # at 100 TB the second corpus scan is the entire cost of the row
+    sketch = materialize(_kmv_source_sketch(df, key, val, source, k, n_salt))
+    # n_sources off the SKETCH table (≤ k·sources rows per key), not
+    # the corpus: any source with ≥1 ingested hash keeps ≥1 sketch
+    # row, so the distinct-source sets are identical and this costs a
+    # sketch-sized aggregate instead of a corpus-sized one
+    # the key is renamed on this side: both aggregates descend from
+    # the same `hashed` lineage, and a same-name eqNullSafe across a
+    # self-lineage join trips Spark's ambiguous-self-join detection
+    nsrc = sketch.groupBy(key).agg(
+        F.count_distinct("_src").alias("n_sources_merged")
+    ).withColumnRenamed(key, "_nsrc_key")
+    # THE MERGE: union of the per-source min-sets, deduplicated (the
+    # same hash can be a minimum in several sources), global k minima
+    merged = sketch.select(key, "_h").distinct()
+    w = Window.partitionBy(key).orderBy("_h")
+    minima = merged.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    kth = F.max(F.when(F.col("_rn") == k, F.col("_h")))
+    est = F.when(
+        F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+    ).otherwise((F.lit(float(k - 1)) * F.lit(float(KMV_MOD))) / kth)
+    agg = minima.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_seen"), est.alias("est_ndistinct")
+    )
+    # null-safe on the key: a NULL key group is legal in both engines'
+    # GROUP BY and must not be dropped by the equi-join
+    return agg.join(
+        nsrc, [F.col(key).eqNullSafe(F.col("_nsrc_key"))]
+    ).select(key, "n_seen", "est_ndistinct", "n_sources_merged")
+
+
 
 
 # --------------------------------------------- count-min heavy hitters
@@ -491,6 +594,12 @@ def q_kmv_ndistinct(t: dict) -> DataFrame:
     return kmv_ndistinct(t["documents"], "lang", "doc_id")
 
 
+def q_kmv_merge_ndistinct(t: dict) -> DataFrame:
+    """Per-(lang, source) sketches merged per lang — the estimate must
+    equal ``kmv_ndistinct``'s exactly (union-then-take-k set algebra)."""
+    return kmv_merge_ndistinct(t["documents"], "lang", "doc_id", "source")
+
+
 
 def _cms_hh_oracle(with_sources: bool = False) -> str:
     """Whole-corpus CMS twin.  ``with_sources=True`` is the oracle for
@@ -557,6 +666,44 @@ ORACLE: dict[str, str] = {
                END AS est_ndistinct
         FROM minima GROUP BY lang
     """,
+    # merged-sketch twin: per-(lang, source) k minima, union-then-
+    # take-k — the agg arithmetic is kmv_ndistinct's verbatim, which
+    # is the point (the merge is exact set algebra, not a new
+    # estimator).  n_sources counts off the sketch CTE like the Spark
+    # side; COUNT(DISTINCT) returns BIGINT in DuckDB (no hugeint trap)
+    "kmv_merge_ndistinct": f"""
+        WITH hashed AS (
+            SELECT DISTINCT lang, source,
+                   CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 13)) AS BIGINT) AS h
+            FROM documents WHERE doc_id IS NOT NULL
+        ), per_src AS (
+            SELECT lang, source, h,
+                   ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY h) AS srn
+            FROM hashed
+        ), sketch AS (
+            SELECT lang, source, h FROM per_src WHERE srn <= {KMV_K}
+        ), ns AS (
+            SELECT lang, COUNT(DISTINCT source) AS n_sources_merged
+            FROM sketch GROUP BY lang
+        ), merged AS (
+            SELECT DISTINCT lang, h FROM sketch
+        ), ranked AS (
+            SELECT lang, h,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn
+            FROM merged
+        ), minima AS (
+            SELECT * FROM ranked WHERE rn <= {KMV_K}
+        ), agg AS (
+            SELECT lang, COUNT(*) AS n_seen,
+                   CASE WHEN COUNT(*) < {KMV_K} THEN COUNT(*)::DOUBLE
+                        ELSE {KMV_K - 1}::DOUBLE * {KMV_MOD}::DOUBLE
+                             / MAX(CASE WHEN rn = {KMV_K} THEN h END)
+                   END AS est_ndistinct
+            FROM minima GROUP BY lang
+        )
+        SELECT agg.lang, agg.n_seen, agg.est_ndistinct, ns.n_sources_merged
+        FROM agg JOIN ns ON agg.lang IS NOT DISTINCT FROM ns.lang
+    """,
 }
 
 def _bloom_oracle(m: int = BLOOM_M, d: int = CMS_D) -> str:
@@ -607,6 +754,7 @@ ORACLE["bloom_dedup_precheck"] = _bloom_oracle()
 
 QUERIES = {
     "kmv_ndistinct": q_kmv_ndistinct,
+    "kmv_merge_ndistinct": q_kmv_merge_ndistinct,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "cms_merge_heavy_hitters": q_cms_merge_heavy_hitters,
     "bloom_dedup_precheck": q_bloom_dedup_precheck,

@@ -177,6 +177,49 @@ def test_kmv_sketch_accuracy_and_exact_path(spark):
     assert rel_err < 2.5 / (KMV_K - 2) ** 0.5, (est, rel_err)
 
 
+def test_kmv_merge_equals_whole_corpus_sketch(tables):
+    # the merge claim is EXACT set algebra, not approximation on
+    # approximation: union-then-take-k over the per-source minima must
+    # reproduce the whole-corpus sketch bit for bit — same n_seen,
+    # same kth minimum, same estimate
+    from simple_rust_query_engine_spark.operators.sketch import (
+        kmv_merge_ndistinct,
+        kmv_ndistinct,
+    )
+
+    whole = {
+        r.lang: (r.n_seen, r.est_ndistinct)
+        for r in kmv_ndistinct(tables["documents"], "lang", "doc_id").collect()
+    }
+    merged = {
+        r.lang: (r.n_seen, r.est_ndistinct)
+        for r in kmv_merge_ndistinct(
+            tables["documents"], "lang", "doc_id", "source"
+        ).collect()
+    }
+    assert whole == merged
+
+
+def test_kmv_merge_dedups_cross_source_minima(spark):
+    # the same value appearing in SEVERAL sources must count once
+    # after the merge (documents.doc_id is unique, so the driver row
+    # never exercises this): 3 sources share 200 values — without the
+    # distinct between union and final rank, duplicated minima would
+    # fill the top-k and shift the kth smallest.  200 > KMV_K, so this
+    # runs the true sketch path, not the exact small-cardinality path.
+    from simple_rust_query_engine_spark.operators.sketch import (
+        kmv_merge_ndistinct,
+        kmv_ndistinct,
+    )
+
+    rows = [("k", s, v) for s in ("a", "b", "c") for v in range(200)]
+    df = spark.createDataFrame(rows, "k string, src string, v long")
+    m = kmv_merge_ndistinct(df, "k", "v", "src").collect()[0]
+    w = kmv_ndistinct(df, "k", "v").collect()[0]
+    assert (m.n_seen, m.est_ndistinct) == (w.n_seen, w.est_ndistinct)
+    assert m.n_sources_merged == 3
+
+
 def test_ngram_shingles_udf_matches_expression(tables):
     from pyspark.sql import functions as F
 

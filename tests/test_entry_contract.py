@@ -29,42 +29,41 @@ def test_head_is_exactly_driver_cap():
 def test_rotation_keeps_new_and_changed_operators_in_window():
     # standing rule (VERDICT r3/r4): every operator added or changed
     # this round must sit inside the driver's 50-entry checked window
-    # the round it changes.  Round 9: three additions
-    # (knn_join_twophase, kmeans_train, cms_merge_heavy_hitters), the
-    # changed entries (the two memory-sink drain migrations, the
-    # used_real resize column, the CMS extraction refactor, the
-    # knn_index eviction hook consumers, the ann_ivf centroid-source
-    # parameter), and the third re-certification sweep (the 8 oldest
-    # deferred rows, r4 evidence).
+    # the round it changes.  Round 10: one addition
+    # (kmv_merge_ndistinct — the last sketch-triad merge row), the
+    # changed entries (the knn_join auto dial, the persisted-centroid
+    # KMeans state, the Bloom sizing dial), and the fourth
+    # re-certification sweep (the 8 oldest deferred rows — six with
+    # r4 evidence, two with r5).
     must_be_checked = {
-        # r9 additions
-        "knn_join_twophase",       # exact k-NN, no full-corpus broadcast
-        "kmeans_train",            # distributed Lloyd's, CTE-unrolled twin
-        "ann_ivf_trained",         # IVF over trained cells, one oracle
-        "cms_merge_heavy_hitters", # per-source sketches merged cell-wise
-        "hybrid_search_rrf",       # BM25 + dense legs fused by RRF
-        "bloom_dedup_precheck",    # Bloom membership pre-filter
-        # r9 changes
-        "dedup_exact_stream",      # drain_memory_sink migration
-        "minhash_sig_stream",      # drain_memory_sink migration (also
-                                   # in the re-cert sweep below)
-        "multimodal_resize",       # used_real kernel flag column
-        "cms_heavy_hitters",       # extraction refactored into shared
-                                   # helpers (_cms_sketch/_cms_extract)
-        "knn_join",                # knn_index: tile support + explicit
-        "knn_join_stream",         #   broadcast-unpersist eviction hook
-        "knn_label_spread",        #   (all three consume knn_index)
-        "ann_ivf",                 # optional trained-centroid source
-        # r9 re-certifications (oldest driver rows, r4 evidence)
-        "events_window",
-        "events_sessionize",
-        "skew_safe_ndistinct",
-        "join_asof",
-        "pivot",
-        "dedup_exact",
-        "token_count",
+        # r10 addition
+        "kmv_merge_ndistinct",     # per-source k-min sets merged
+                                   # union-then-take-k
+        # r10 changes
+        "knn_join",                # mode="auto" broadcast↔two-phase dial
+        "knn_join_twophase",       #   (the dial's fallback target)
+        "kmeans_train",            # trained centroids persist as a
+        "ann_ivf_trained",         #   state: parquet table
+        "bloom_dedup_precheck",    # bloom_geometry sizing dial
+        # r10 re-certifications (oldest driver rows, r4/r5 evidence)
+        "fingerprint",
+        "frame_sample",
+        "quantile",
+        "agg_having",
+        "join_left",
+        "skew_safe_collect",
+        "agg_cube",
+        "set_except",
         # earlier rows that keep their green (family reps documented
         # at their _DEFER_PAST_CAP entries)
+        "hybrid_search_rrf",
+        "cms_merge_heavy_hitters",
+        "dedup_exact_stream",
+        "multimodal_resize",
+        "knn_join_stream",
+        "knn_label_spread",
+        "ann_ivf",
+        "join_asof",
         "pipeline_incr_stateful",
         "dedup_cc",
         "dedup_cc_incr",
@@ -73,10 +72,6 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
         "dedup_minhash_ingest_stream",
         "dedup_labels_stream",
         "doc_novelty",
-        "cross_source_overlap",
-        # (dup_cluster_sizes deferred late-r9 when hybrid_search_rrf
-        # entered — the label-state family stays checked via dedup_cc,
-        # dedup_cc_incr, dedup_keep_best, pipeline_incr_stateful)
         "bm25_search",   # stays in-window: the hybrid row consumes
                          # RANKS only; score values need their own row
         "profile_table_approx",

@@ -925,3 +925,47 @@ def test_bloom_precheck_plan_never_shuffles_the_corpus(spark):
     assert plan.count("BroadcastExchange") == 2, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_kmv_merge_exchanges_carry_sketch_rows(spark, tables):
+    # the KMV-merge pin (VERDICT r9 item 4): (a) in the per-source
+    # sketch pipeline every exchange is bounded MAP-SIDE — the
+    # distinct partially aggregates before shuffling and both rank
+    # exchanges sit directly above a Partial WindowGroupLimit, so at
+    # most k rows per (key, source[, salt]) group ever cross the wire,
+    # never the underlying value set; (b) the returned merge plan
+    # consumes the MATERIALIZED sketch twice (estimator + n_sources)
+    # and never rescans the corpus
+    import re
+
+    from simple_rust_query_engine_spark.operators.sketch import (
+        KMV_K,
+        N_SALT,
+        _kmv_source_sketch,
+    )
+
+    raw = _kmv_source_sketch(
+        tables["documents"], "lang", "doc_id", "source", KMV_K, N_SALT
+    )
+    plan = raw._jdf.queryExecution().executedPlan().toString()
+    exch = [m.start() for m in re.finditer("Exchange hashpartitioning", plan)]
+    part = [
+        m.start()
+        for m in re.finditer(rf"row_number\(\), {KMV_K}, Partial", plan)
+    ]
+    assert len(exch) == 3, plan  # distinct + salted rank + per-src rank
+    assert len(part) == 2, plan
+    # executedPlan prints top-down: each rank exchange sits ABOVE its
+    # map-side Partial limiter, and the distinct exchange is last
+    # (closest to the scan), below both
+    assert exch[0] < part[0] < exch[1] < part[1] < exch[2], plan
+
+    out_plan = (
+        _q(spark, "kmv_merge_ndistinct")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FileScan" not in out_plan, out_plan  # corpus scanned ONCE
+    assert out_plan.count("Scan ExistingRDD") == 2, out_plan
+    assert out_plan.count("BroadcastExchange") == 1, out_plan
+    # the n_sources attach is a null-safe broadcast hash join
+    assert "BroadcastHashJoin [coalesce" in out_plan, out_plan
