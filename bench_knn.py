@@ -67,13 +67,15 @@ def main() -> None:
 
     def run(fn, label):
         # fresh session-equivalent cold: clear the index caches so the
-        # collect+broadcast cost is inside the cold number
+        # collect+broadcast cost is inside the cold number.  Goes
+        # through evict_state (not a bare dict pop) so each entry's
+        # on_evict hook fires and the previous iteration's tile-index
+        # broadcasts are unpersisted, not leaked (ADVICE r9)
         from simple_rust_query_engine_spark.pipeline.dedup_core import (
-            _STATE_CACHE,
+            evict_state,
         )
 
-        for k in [k for k in _STATE_CACHE if "knn" in k[0]]:
-            _STATE_CACHE.pop(k, None)
+        evict_state("knn")
         release_barriers(spark)
         t0 = time.perf_counter()
         n_rows = fn(emb).count()

@@ -204,16 +204,40 @@ def _session_cached(tag: str, anchor, build, on_evict=None):
         release(val)
     val = build()
 
-    def _evict(_, _key=key):
+    def _evict(dead_ref, _key=key):
         # module globals may already be torn down at interpreter exit
         cache = globals().get("_STATE_CACHE")
-        if cache is not None:
-            gone = cache.pop(_key, None)
-            if gone is not None:
-                gone[2](gone[1])
+        if cache is None:
+            return
+        hit = cache.get(_key)
+        # only evict the entry THIS weakref was registered for (the
+        # callback hands us the dead weakref itself): if the dead
+        # anchor's id() was reused by a new live anchor whose entry
+        # replaced ours under the same key, popping blindly would
+        # evict — and unpersist the broadcasts of — the NEW entry
+        # (ADVICE r9)
+        if hit is not None and hit[0] is dead_ref:
+            del cache[_key]
+            hit[2](hit[1])
 
     _STATE_CACHE[key] = (weakref.ref(anchor, _evict), val, _release)
     return val
+
+
+def evict_state(tag_substr: str) -> int:
+    """Evict every ``_STATE_CACHE`` entry whose tag contains
+    ``tag_substr``, firing each entry's release hook — the supported
+    way for external code (benches, tests) to drop entries.  Popping
+    the dict directly skips ``on_evict`` and leaks executor-side
+    resources (an unpersisted tile-index broadcast per cold iteration
+    — ADVICE r9).  Returns the number of entries evicted."""
+    n = 0
+    for k in [k for k in _STATE_CACHE if tag_substr in k[0]]:
+        gone = _STATE_CACHE.pop(k, None)
+        if gone is not None:
+            gone[2](gone[1])
+            n += 1
+    return n
 
 
 def _same_corpus(a: DataFrame, b: DataFrame) -> bool:

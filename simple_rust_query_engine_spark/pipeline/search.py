@@ -140,7 +140,13 @@ def inverted_index(docs: DataFrame, text_col: str = "text") -> DataFrame:
 #: "Reciprocal Rank Fusion outperforms Condorcet" — public; 60 is the
 #: paper's constant)
 RRF_K = 60
-HYBRID_LEG_K = 20
+#: DERIVED, not a free constant: the hybrid oracle nests the
+#: bm25_search oracle verbatim as its lexical leg, which is only
+#: valid while the leg depth equals the BM25 row's top-k.  Deriving
+#: (rather than asserting — ADVICE r9: `assert` is stripped under
+#: ``python -O`` and a divergence would surface only as an opaque
+#: hash mismatch) makes the two constants structurally inseparable.
+HYBRID_LEG_K = BM25_TOPK
 HYBRID_TOPK = 10
 
 
@@ -311,7 +317,8 @@ def _hybrid_rrf_oracle() -> str:
     lexical-then-dense order to match the Spark expression."""
     from .similarity import _SQL_COS
 
-    assert HYBRID_LEG_K == BM25_TOPK  # lex leg reuses the bm25 oracle
+    # lex leg reuses the bm25 oracle — sound because HYBRID_LEG_K is
+    # DERIVED from BM25_TOPK at definition (not merely asserted)
     return f"""
         WITH lex AS (SELECT * FROM ({ORACLE["bm25_search"]})),
         lexr AS (

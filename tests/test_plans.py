@@ -893,6 +893,62 @@ def test_session_cached_on_evict_releases(spark):
     assert "v2" in released
 
 
+def test_evict_callback_ignores_replaced_entry():
+    # ADVICE r9 #3: a dead anchor's weakref callback must evict only
+    # the entry it was registered for — if the dead id() was reused
+    # and a NEW live anchor's entry sits under the same key, the
+    # callback must leave it (and its broadcasts) alone
+    import gc
+    import weakref
+
+    from simple_rust_query_engine_spark.pipeline.dedup_core import (
+        _STATE_CACHE,
+        _session_cached,
+    )
+
+    released = []
+
+    class Anchor:
+        pass
+
+    a = Anchor()
+    _session_cached("state:idreuse_probe", a, lambda: "old",
+                    on_evict=released.append)
+    key = ("state:idreuse_probe", id(a))
+    # simulate the reuse window: a NEW entry replaces ours under the
+    # SAME key before the old anchor's callback fires
+    keeper = Anchor()
+    _STATE_CACHE[key] = (weakref.ref(keeper), "new", released.append)
+    del a
+    gc.collect()  # fires the OLD entry's callback with its dead ref
+    assert key in _STATE_CACHE and _STATE_CACHE[key][1] == "new"
+    assert "new" not in released  # the new entry was NOT torn down
+    del _STATE_CACHE[key]
+
+
+def test_evict_state_fires_release_hooks():
+    # ADVICE r9 #1: external eviction (benches clearing knn entries)
+    # goes through evict_state so on_evict fires — a bare dict pop
+    # leaks the entry's executor-side broadcasts
+    from simple_rust_query_engine_spark.pipeline.dedup_core import (
+        _STATE_CACHE,
+        _session_cached,
+        evict_state,
+    )
+
+    released = []
+
+    class Anchor:
+        pass
+
+    a = Anchor()
+    _session_cached("state:evsweep_probe:x", a, lambda: "val",
+                    on_evict=released.append)
+    assert evict_state("evsweep_probe") == 1
+    assert released == ["val"]
+    assert not any("evsweep_probe" in k[0] for k in _STATE_CACHE)
+
+
 def test_hybrid_rrf_plan_no_window_no_cartesian(spark):
     # both legs end in TakeOrdered; ranks come from rank-by-count
     # broadcast loops (no window at all — a ROW_NUMBER over an empty
