@@ -476,12 +476,58 @@ def q_cms_merge_heavy_hitters(t: dict) -> DataFrame:
 #: and ~86% at sf0.1 (FPs common, soundness still holds).
 BLOOM_M = 8192
 
+#: splitmix64 finalizer increment (Vigna — public domain), used as the
+#: per-depth seed offset of the SIZED filter's hash family below
+_MIX_INC = 0x9E3779B97F4A7C15
+_MIX_M1 = 0xBF58476D1CE4E5B9
+_MIX_M2 = 0x94D049BB133111EB
+#: practical depth ceiling for sized filters (fp targets to ~1e-7)
+_BLOOM_MAX_D = 24
+
+
+def _bloom_bucket_sized(whs: "np.ndarray", depth: int, m: int) -> "np.ndarray":
+    """Bit positions for SIZED filters: the splitmix64 finalizer
+    (public domain) with a per-depth seed offset, numpy-vectorized in
+    wrapping uint64.  The oracle-parity affine family (_cms_bucket_py)
+    CANNOT serve here: its intermediate space is only CMS_P ≈ 1e6, so
+    two elements colliding mod P collide at EVERY depth — a structural
+    FP floor of n/P that swamps any target below ~n/1e6 (measured
+    0.0052 against an 0.001 target at n=4000).  The 64-bit mix has no
+    such floor; the fixed-geometry driver row keeps the affine family
+    so its hash-checked bits never move."""
+    x = whs.astype(np.uint64) + np.uint64((depth + 1) * _MIX_INC % (1 << 64))
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(_MIX_M1)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(_MIX_M2)
+    x = x ^ (x >> np.uint64(31))
+    return (x % np.uint64(m)).astype(np.int64)
+
+
+def bloom_geometry(n: int, fp_target: float) -> tuple[int, int]:
+    """Size a Bloom filter from an element count and a target
+    false-positive rate — the standard public formulas
+    m = ⌈−n·ln p / ln²2⌉ bits, d = ⌈m/n · ln 2⌉ hash functions.
+
+    The fixed BLOOM_M=8192 geometry proves soundness at any fill (the
+    driver row's job: ~86% full at sf0.1, FP-saturated but never a
+    false negative); production sizes from the corpus instead, which
+    is what this dial does."""
+    import math
+
+    if not 0.0 < fp_target < 1.0:
+        raise ValueError(f"fp_target must be in (0, 1), got {fp_target}")
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    m = math.ceil(-n * math.log(fp_target) / (math.log(2) ** 2))
+    d = max(1, math.ceil(m / n * math.log(2)))
+    return m, min(d, _BLOOM_MAX_D)
+
 
 def bloom_dedup_precheck(
     docs: DataFrame,
     m: int = BLOOM_M,
     d: int = CMS_D,
     text_col: str = "text",
+    fp_target: float | None = None,
 ) -> DataFrame:
     """Ingest-time duplicate PRE-CHECK through a Bloom filter (Bloom
     1970 — public): the arriving batch (``doc_id % INCR_MOD == 0``,
@@ -526,12 +572,25 @@ def bloom_dedup_precheck(
     batch = nonnull.filter(F.col("doc_id") % INCR_MOD == 0)
     hcol = _kmv_hash(F.col(text_col))
 
+    if fp_target is not None:
+        # SIZE from the corpus instead of the fixed geometry: one
+        # cheap count aggregate (a driver scalar, like the sketch
+        # state itself), then the standard formulas.  The driver row
+        # keeps the fixed m/d defaults so its hash stays stable; the
+        # sized path also switches to the full-width 64-bit hash
+        # family — the affine oracle family has an n/CMS_P FP floor
+        # (see _bloom_bucket_sized) that would defeat tight targets.
+        m, d = bloom_geometry(max(existing.count(), 1), fp_target)
+        bucket = _bloom_bucket_sized
+    else:
+        bucket = _cms_bucket_py
+
     def set_bits(it):
         for pdf in it:
             hs = pdf["h"].to_numpy().astype(np.int64)
             if len(hs):
                 pos = np.unique(
-                    np.concatenate([_cms_bucket_py(hs, i, m) for i in range(d)])
+                    np.concatenate([bucket(hs, i, m) for i in range(d)])
                 )
             else:
                 pos = np.array([], dtype=np.int64)
@@ -553,7 +612,7 @@ def bloom_dedup_precheck(
         whs = hs.to_numpy().astype(np.int64)
         ok = np.ones(len(whs), dtype=bool)
         for i in range(d):
-            ok &= bitset[_cms_bucket_py(whs, i, m)]
+            ok &= bitset[bucket(whs, i, m)]
         return pd.Series(ok)
 
     # the batch projection feeds both the probe and the verify's

@@ -220,6 +220,45 @@ def test_kmv_merge_dedups_cross_source_minima(spark):
     assert m.n_sources_merged == 3
 
 
+def test_bloom_geometry_formulas():
+    import pytest
+
+    from simple_rust_query_engine_spark.operators.sketch import (
+        bloom_geometry,
+    )
+
+    # textbook values: p=1% → ~9.59 bits/element, 7 hashes
+    m, d = bloom_geometry(1000, 0.01)
+    assert m == 9586 and d == 7, (m, d)
+    # p=50% → ~1.44 bits/element; ⌈1.0003⌉ = 2 hashes (ceil, per the
+    # published formula — round would give the marginally optimal 1)
+    m, d = bloom_geometry(1000, 0.5)
+    assert m == 1443 and d == 2, (m, d)
+    with pytest.raises(ValueError):
+        bloom_geometry(1000, 0.0)
+    with pytest.raises(ValueError):
+        bloom_geometry(0, 0.01)
+
+
+def test_bloom_precheck_sized_from_fp_target(spark):
+    # end-to-end wiring of the dial: 4000 unique texts, so every
+    # batch row is a true non-member and every maybe_dup is a false
+    # positive.  Sized at 2% the measured rate must sit in band —
+    # far below the saturated fixed-8192-bit geometry, which at this
+    # cardinality would flag nearly everything.
+    from simple_rust_query_engine_spark.operators.sketch import (
+        bloom_dedup_precheck,
+    )
+
+    rows = [(i, f"uniq-{i}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bloom_dedup_precheck(df, fp_target=0.02).collect()
+    assert out and all(r.sound for r in out)
+    assert not any(r.is_dup for r in out)
+    fp = sum(r.maybe_dup for r in out) / len(out)
+    assert fp <= 3.5 * 0.02, fp
+
+
 def test_ngram_shingles_udf_matches_expression(tables):
     from pyspark.sql import functions as F
 

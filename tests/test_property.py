@@ -670,3 +670,40 @@ def test_bloom_precheck_matches_python_reference(spark, texts):
         want[i] = (maybe, is_dup, maybe or not is_dup)
     assert {k: (v.maybe_dup, v.is_dup, v.sound) for k, v in got.items()} == want
     assert all(v.sound for v in got.values())
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    fp=st.sampled_from([0.001, 0.005, 0.01, 0.02, 0.05, 0.1]),
+    seed=st.integers(min_value=0, max_value=4),
+)
+def test_bloom_geometry_fp_rate_within_band(fp, seed):
+    # VERDICT r9 item 5: at the SIZED geometry the measured FP rate
+    # must actually land near the target — the fixed-M row proves
+    # soundness, this proves usable precision.  Pure-numpy simulation
+    # of the exact kernel arithmetic (same affine family, same uniform
+    # 2^52 hash range as the md5-prefix kernel): n member hashes set
+    # their bits, n fresh probes measure FP.  Band is one-sided with
+    # Poisson slack — under-target is fine, saturation is the bug.
+    import numpy as np
+
+    from simple_rust_query_engine_spark.operators.sketch import (
+        _bloom_bucket_sized,
+        bloom_geometry,
+    )
+
+    n = 4000
+    m, d = bloom_geometry(n, fp)
+    # sanity: the sized filter carries ~1.44·log2(1/p) bits/element
+    assert m >= n and d >= 1
+    rng = np.random.RandomState(seed)
+    member = rng.randint(0, 2**52, n).astype(np.int64)
+    probe = rng.randint(0, 2**52, n).astype(np.int64)
+    bitset = np.zeros(m, dtype=bool)
+    for i in range(d):
+        bitset[_bloom_bucket_sized(member, i, m)] = True
+    hit = np.ones(n, dtype=bool)
+    for i in range(d):
+        hit &= bitset[_bloom_bucket_sized(probe, i, m)]
+    fp_rate = float(hit.mean())
+    assert fp_rate <= 3.5 * fp + 2.0 / n, (m, d, fp_rate)
