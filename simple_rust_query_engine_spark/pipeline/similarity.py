@@ -806,7 +806,43 @@ def q_semantic_search(t: dict) -> DataFrame:
 KNN_K = 5
 
 
-def knn_join(emb: DataFrame, k: int = KNN_K, chunk: int = 512) -> DataFrame:
+#: executor-memory budget for ONE k-NN index broadcast (bytes) — the
+#: auto dial's threshold.  512 MiB is conservative against multi-GiB
+#: executors (the index is pinned for the query's lifetime and shares
+#: the executor with shuffle/UDF memory); on a cluster size it to a
+#: fraction of spark.executor.memory.
+KNN_INDEX_BUDGET_BYTES = 512 * 1024 * 1024
+
+
+def _knn_geometry(emb: DataFrame) -> tuple[int, int]:
+    """(row count, embedding dim) — ONE cheap aggregate, cached per
+    (session, corpus) like the tile-size precheck, so the auto dial
+    never pays a second scan."""
+    from .dedup_core import _session_cached
+
+    def build():
+        row = emb.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.size("embedding")).alias("dim"),
+        ).collect()[0]
+        return int(row.n), int(row.dim or 0)
+
+    return _session_cached("state:knn_geometry", emb, build)
+
+
+def knn_index_bytes(n: int, dim: int) -> int:
+    """Estimated bytes of the broadcast (ids, float64 matrix, norms)
+    index: n·dim·8 for the matrix + 16n for ids and norms."""
+    return n * (dim * 8 + 16)
+
+
+def knn_join(
+    emb: DataFrame,
+    k: int = KNN_K,
+    chunk: int = 512,
+    mode: str = "auto",
+    index_budget_bytes: int = KNN_INDEX_BUDGET_BYTES,
+) -> DataFrame:
     """EXACT k-nearest-neighbor self-join: for every vector, its ``k``
     most-cosine-similar neighbors with a dense rank — the
     retrieval-augmentation / semantic-clustering primitive
@@ -825,12 +861,31 @@ def knn_join(emb: DataFrame, k: int = KNN_K, chunk: int = 512) -> DataFrame:
     leave the UDF; zero Exchange (pinned in
     ``tests/test_plans.py::test_knn_join_plan_is_map_only``).
 
-    Scale: the broadcast side must fit executor memory — at 10⁹+
-    vectors broadcast the PRUNED candidate set per partition instead
-    (IVF cell / LSH bucket union, see ``ann_ivf``/``ann_lsh``) or
-    fall back to the two-phase exact merge (per-tile top-(k+ties),
-    then a groupBy merge).  Row-side memory is bounded by ``chunk``
-    (the scoring tile is chunk × index, accumulated per dimension)."""
+    Scale: the broadcast side must fit executor memory — and since
+    r10 the choice is a DIAL, not a docstring.  ``mode="auto"`` (the
+    default) estimates the index size from one cached (count, dim)
+    aggregate: within ``index_budget_bytes`` it broadcasts (map-only,
+    zero exchange — the sf corpora land here, so the driver row's
+    plan and hash are unchanged); past the budget it delegates to
+    ``knn_join_twophase`` with tiles = ⌈est / budget⌉, so each
+    per-tile broadcast fits the budget by construction.  Both paths
+    share one oracle — the output is identical either way
+    (property-tested), only the plan changes.  ``mode="broadcast"`` /
+    ``mode="twophase"`` force a path.  Row-side memory is bounded by
+    ``chunk`` (the scoring tile is chunk × index, accumulated per
+    dimension).  At 10⁹+ vectors prefer the PRUNED candidate sets
+    (IVF cell / LSH bucket union, see ``ann_ivf``/``ann_lsh``) when
+    approximate recall suffices."""
+    if mode not in ("auto", "broadcast", "twophase"):
+        raise ValueError(f"unknown knn_join mode {mode!r}")
+    if mode == "twophase":
+        return knn_join_twophase(emb, k, chunk=chunk)
+    if mode == "auto":
+        n, dim = _knn_geometry(emb)
+        est = knn_index_bytes(n, dim)
+        if est > index_budget_bytes:
+            tiles = -(-est // index_budget_bytes)  # ceil
+            return knn_join_twophase(emb, k, tiles=tiles, chunk=chunk)
     bc = knn_index(emb)
     return emb.select("vec_id", "embedding").mapInPandas(
         knn_score_fn(bc, k, chunk), KNN_SCHEMA
@@ -1049,8 +1104,11 @@ def knn_join_twophase(
     )
     if any(0 < n <= k for n in sizes):
         # a corpus producing a degenerate 1..k tile is small enough
-        # (or id-degenerate enough) to broadcast whole
-        return knn_join(emb, k, chunk)
+        # (or id-degenerate enough) to broadcast whole.  Forced to
+        # mode="broadcast": the auto dial delegates HERE when the
+        # estimate exceeds the budget, so falling back through auto
+        # again would recurse
+        return knn_join(emb, k, chunk, mode="broadcast")
     cand = None
     for t in range(tiles):
         bc = knn_index(emb, tile=(t, tiles))

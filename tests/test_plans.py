@@ -693,6 +693,48 @@ def test_knn_join_plan_is_map_only(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_knn_auto_dial_picks_by_index_budget(spark, tables):
+    # VERDICT r9 item 3: mode="auto" (the default) picks broadcast vs
+    # two-phase from the estimated index bytes against the executor
+    # budget.  On the sf corpora the estimate sits far under the
+    # default budget → broadcast (map-only, zero exchange — the
+    # driver row's plan is untouched); a forced-low budget must
+    # switch to two-phase with tiles = ceil(est / budget), each tile
+    # broadcast within budget by construction — and the OUTPUT must
+    # be identical either way.
+    import pytest
+
+    from simple_rust_query_engine_spark.pipeline.similarity import (
+        KNN_INDEX_BUDGET_BYTES,
+        _knn_geometry,
+        knn_index_bytes,
+        knn_join,
+    )
+
+    emb = tables["embeddings"]
+    n, dim = _knn_geometry(emb)
+    est = knn_index_bytes(n, dim)
+    assert 0 < est < KNN_INDEX_BUDGET_BYTES
+    plan = knn_join(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "Exchange" not in plan, plan
+
+    budget = est // 3 + 1
+    want_tiles = -(-est // budget)
+    assert want_tiles >= 2  # the forced budget actually forces tiling
+    df = knn_join(emb, index_budget_bytes=budget)
+    plan2 = df._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("MapInPandas") == want_tiles, plan2
+    assert plan2.count("Exchange hashpartitioning") == 1, plan2
+    assert "BroadcastExchange" not in plan2, plan2
+
+    a = sorted(map(tuple, knn_join(emb, mode="broadcast").collect()))
+    b = sorted(map(tuple, df.collect()))
+    assert a == b
+
+    with pytest.raises(ValueError):
+        knn_join(emb, mode="bogus")
+
+
 def test_cms_verify_plan_shuffles_candidates_only(spark):
     # the RETURNED plan is the verify stage (the sketch pass ran
     # eagerly at construction, merging d*w counter cells): the single
