@@ -433,13 +433,21 @@ def kmeans_centroids(
     same standing as the IVF centroid matrix — and the cluster does
     one map-only assignment pass + one centroid-sized exchange.
 
-    Cached per (anchor frame, geometry) under a ``state:`` tag like
-    the BPE merge list: train once per (session, corpus), reuse in
-    every consumer (``kmeans_train``'s final assignment, ``ann_ivf``
-    via the ``centroids=`` source)."""
-    from .dedup_core import _session_cached
+    The trained matrix PERSISTS as a ``state:`` parquet table per
+    (corpus files, geometry) — the ``dedup_core._state_table``
+    pattern the band index and label state use (VERDICT r9 item 6):
+    train once, every later consumer — even one holding a DIFFERENT
+    frame over the same files — reloads n_cells×dim scalars instead
+    of re-running Lloyd's (pinned:
+    ``test_pipeline_paths.test_kmeans_centroids_train_once``).
+    Parquet doubles round-trip exactly, so the reloaded matrix is
+    bit-identical to the trained one and the oracle trajectory is
+    unaffected.  A frame with no input files (a synthetic
+    createDataFrame corpus) skips persistence and trains under the
+    per-frame session cache alone."""
+    from .dedup_core import _session_cached, _state_table
 
-    def build():
+    def train():
         C = _ivf_centroids(emb, n_cells)  # shared deterministic seed
         for _ in range(n_iters):
             updated = _kmeans_update_frame(emb, C).collect()
@@ -449,9 +457,38 @@ def kmeans_centroids(
             C = C2
         return C
 
-    return _session_cached(
-        f"state:kmeans:{n_cells}x{n_iters}", emb, build
-    )
+    def load():
+        files = sorted(emb.inputFiles())
+        if not files:
+            return train()
+        spark = emb.sparkSession
+
+        def build_df():
+            C = train()
+            rows = [
+                (c, d, float(C[c, d]))
+                for c in range(C.shape[0])
+                for d in range(C.shape[1])
+            ]
+            return spark.createDataFrame(
+                rows, "cell int, dim int, centroid double"
+            )
+
+        table = _state_table(
+            spark,
+            f"kmeans_{n_cells}x{n_iters}",
+            "|".join(files),
+            build_df,
+        )
+        rows = spark.table(table).collect()
+        C = np.zeros(
+            (max(r.cell for r in rows) + 1, max(r.dim for r in rows) + 1)
+        )
+        for r in rows:
+            C[r.cell, r.dim] = r.centroid
+        return C
+
+    return _session_cached(f"state:kmeans:{n_cells}x{n_iters}", emb, load)
 
 
 def kmeans_train(
