@@ -461,6 +461,19 @@ _DEFER_PAST_CAP = (
                             #   dedup_keep_best,
                             #   pipeline_incr_stateful); doc_novelty
                             #   stays as the span-family rep
+    # r10 additions ann_ivf_knn_join (approximate k-NN SELF-join over
+    # trained IVF cells — banded, never all-pairs) and knn_recall_ivf
+    # (recall@k of the cell join vs the exact join, the eval metric —
+    # both sides deterministic, so the metric itself is hash-checked)
+    # enter; two r9-green unchanged siblings defer:
+    "ann_ivf",              # → ann_ivf_trained stays (same assign +
+                            #   probe machinery over TRAINED cells,
+                            #   r10-touched via centroid persistence)
+                            #   and both new cell-join rows enter
+    "stratified_sample",    # → token_budget_mixture + pack_sequences
+                            #   stay (mixture/pack family); the
+                            #   two-phase exact-k machinery is also
+                            #   inside quality_topk, in-window
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

@@ -174,6 +174,11 @@ EXTRA_QUERIES = [
     # (cold prices the corpus scan + sketch build; the merge itself
     # touches ≤ k·sources rows per key)
     "kmv_merge_ndistinct",
+    # r10: banded approximate k-NN self-join over the trained cells
+    # (reads the persisted centroid state kmeans_train built above —
+    # order matters) and its recall@k eval row vs the exact join
+    "ann_ivf_knn_join",
+    "knn_recall_ivf",
 ]
 
 

@@ -1010,6 +1010,51 @@ def knn_index(
     )
 
 
+def _topk_frames(ids_b, Bm, nb, Q, qids, kk: int, chunk: int) -> list:
+    """ONE definition of the exact top-k fold arithmetic, shared by
+    the broadcast-index kernel (``knn_score_fn``), the two-phase tile
+    scorer, and the per-cell IVF self-join kernel: dot products
+    accumulate dimension-by-dimension left-to-right (bit-identical to
+    the DuckDB ``list_reduce`` fold), division order dot/|q|/|b|
+    mirrors the oracle, self is masked, ties break toward the lower
+    neighbor id.  Returns a list of per-chunk DataFrames."""
+    n = len(ids_b)
+    dim = Bm.shape[1]
+    out = []
+    for lo in range(0, len(qids), chunk):
+        hi = min(lo + chunk, len(qids))
+        Qc, qid = Q[lo:hi], qids[lo:hi]
+        m = hi - lo
+        qn2 = np.zeros(m)
+        dot = np.zeros((m, n))
+        for d in range(dim):
+            # in-place adds keep the left-to-right fold order
+            # (bit-identical) without a tile-sized temporary
+            # per dimension
+            qn2 += Qc[:, d] * Qc[:, d]
+            dot += np.outer(Qc[:, d], Bm[:, d])
+        cos = dot / np.sqrt(qn2)[:, None] / nb[None, :]
+        cos[qid[:, None] == ids_b[None, :]] = -np.inf  # mask self
+        # per-row (-cos, nbr_id) order; the masked self sorts
+        # LAST (-(-inf) = +inf), so top-kk never includes it.
+        # One vectorized emit per tile — a per-row DataFrame
+        # was the kernel's dominant cost (measured 3x).
+        top = np.stack(
+            [np.lexsort((ids_b, -cos[r]))[:kk] for r in range(m)]
+        )
+        out.append(
+            pd.DataFrame(
+                {
+                    "vec_id": np.repeat(qid, kk),
+                    "nbr_id": ids_b[top].ravel(),
+                    "cos_sim": np.take_along_axis(cos, top, axis=1).ravel(),
+                    "rank": np.tile(np.arange(1, kk + 1), m),
+                }
+            )
+        )
+    return out
+
+
 def knn_score_fn(bc, k: int = KNN_K, chunk: int = 512):
     """mapInPandas kernel scoring each arriving row's exact top-k
     against the broadcast index (shared by the batch self-join and the
@@ -1017,9 +1062,7 @@ def knn_score_fn(bc, k: int = KNN_K, chunk: int = 512):
 
     def score(batches):
         ids_b, Bm, nb = bc.value
-        n = len(ids_b)
-        dim = Bm.shape[1]
-        kk = min(k, n - 1)
+        kk = min(k, len(ids_b) - 1)
         for pdf in batches:
             if pdf.empty or kk <= 0:
                 continue
@@ -1027,40 +1070,7 @@ def knn_score_fn(bc, k: int = KNN_K, chunk: int = 512):
                 [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
             )
             qids = pdf["vec_id"].to_numpy().astype(np.int64)
-            out = []
-            for lo in range(0, len(qids), chunk):
-                hi = min(lo + chunk, len(qids))
-                Qc, qid = Q[lo:hi], qids[lo:hi]
-                m = hi - lo
-                qn2 = np.zeros(m)
-                dot = np.zeros((m, n))
-                for d in range(dim):
-                    # in-place adds keep the left-to-right fold order
-                    # (bit-identical) without a tile-sized temporary
-                    # per dimension
-                    qn2 += Qc[:, d] * Qc[:, d]
-                    dot += np.outer(Qc[:, d], Bm[:, d])
-                cos = dot / np.sqrt(qn2)[:, None] / nb[None, :]
-                cos[qid[:, None] == ids_b[None, :]] = -np.inf  # mask self
-                # per-row (-cos, nbr_id) order; the masked self sorts
-                # LAST (-(-inf) = +inf), so top-kk never includes it.
-                # One vectorized emit per tile — a per-row DataFrame
-                # was the kernel's dominant cost (measured 3x).
-                top = np.stack(
-                    [np.lexsort((ids_b, -cos[r]))[:kk] for r in range(m)]
-                )
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "vec_id": np.repeat(qid, kk),
-                            "nbr_id": ids_b[top].ravel(),
-                            "cos_sim": np.take_along_axis(
-                                cos, top, axis=1
-                            ).ravel(),
-                            "rank": np.tile(np.arange(1, kk + 1), m),
-                        }
-                    )
-                )
+            out = _topk_frames(ids_b, Bm, nb, Q, qids, kk, chunk)
             if out:
                 yield pd.concat(out, ignore_index=True)
 
@@ -1174,6 +1184,119 @@ def knn_join_twophase(
 
 def q_knn_join_twophase(t: dict) -> DataFrame:
     return knn_join_twophase(t["embeddings"])
+
+
+def ann_ivf_knn_join(
+    emb: DataFrame,
+    k: int = KNN_K,
+    n_cells: int = KMEANS_CELLS,
+    n_iters: int = KMEANS_ITERS,
+    chunk: int = 512,
+) -> DataFrame:
+    """APPROXIMATE k-NN SELF-join over trained IVF cells — the scale
+    path ``knn_join``'s exact kernels cannot take at 10⁹ vectors:
+    vectors co-assigned to the same Lloyd's-trained coarse cell are
+    joined WITHIN the cell only (banded, like LSH — never all-pairs),
+    and each vector keeps its exact top-k among its cell-mates.
+    Recall against the exact join is itself an oracle-checked row
+    (``knn_recall_ivf``).
+
+    Plan: assignment is map-only (broadcast trained matrix — reloaded
+    from the persisted ``state:`` table, never retrained); ONE
+    exchange hash-partitions on cell; each cell group scores itself
+    through the SAME fold arithmetic as ``knn_join``
+    (``_topk_frames`` — bit-identical cosine per pair, ties toward
+    the lower neighbor id), so the DuckDB twin reuses the kmeans
+    assignment CTEs plus a cell-equijoined pair rank.  Memory per
+    task is one cell's matrix — n_cells scales with the corpus so a
+    cell stays executor-sized (the IVF contract; SemDeDup's
+    cluster-scoped pruning relies on the same bound)."""
+    C = kmeans_centroids(emb, n_cells, n_iters)
+    assign = _cell_assign_udf(C)
+    cells = emb.select("vec_id", "embedding").withColumn(
+        "cell", assign(F.col("embedding"))
+    )
+
+    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids_raw = pdf["vec_id"].to_numpy().astype(np.int64)
+        kk = min(k, len(ids_raw) - 1)
+        if kk <= 0:  # singleton cell: no neighbors to emit
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype="int64"),
+                    "nbr_id": pd.Series(dtype="int64"),
+                    "cos_sim": pd.Series(dtype="float64"),
+                    "rank": pd.Series(dtype="int64"),
+                }
+            )
+        order = np.argsort(ids_raw)  # candidate order engine-identical
+        ids_b = ids_raw[order]
+        Bm = np.stack(
+            [
+                np.asarray(e, dtype=np.float64)
+                for e in pdf["embedding"].to_numpy()[order]
+            ]
+        )
+        nrm2 = np.zeros(len(ids_b))
+        for d in range(Bm.shape[1]):  # left-to-right fold, like the oracle
+            nrm2 = nrm2 + Bm[:, d] * Bm[:, d]
+        nb = np.sqrt(nrm2)
+        # the group is both query set and index (self masked inside)
+        return pd.concat(
+            _topk_frames(ids_b, Bm, nb, Bm, ids_b, kk, chunk),
+            ignore_index=True,
+        )
+
+    return cells.groupBy("cell").applyInPandas(cell_topk, KNN_SCHEMA)
+
+
+def q_ann_ivf_knn_join(t: dict) -> DataFrame:
+    return ann_ivf_knn_join(t["embeddings"])
+
+
+def knn_recall_ivf(
+    emb: DataFrame,
+    k: int = KNN_K,
+    n_cells: int = KMEANS_CELLS,
+    n_iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """RECALL@k of the IVF cell-join against the exact k-NN — the
+    eval metric a similarity-search deployment actually tracks when
+    it trades the exact kernel for the banded one.  Both sides are
+    deterministic, so the metric itself is hash-checked: the oracle
+    recomputes exact pairs, trained cells, cell-ranked pairs and the
+    intersection in SQL.
+
+    One summary row: (n_queries, n_exact_pairs, n_hits, recall_at_k).
+    The exact side is ``materialize``d — it feeds both the hit
+    semi-join and the denominator aggregate, and unbarriered the
+    map-only kernel (and the corpus scan under it) would execute
+    twice.  The hit check is a semi-join on (vec_id, nbr_id) — n·k
+    rows against n·k rows, never corpus-sized."""
+    from .dedup_core import materialize
+
+    exact = materialize(knn_join(emb, k, mode="broadcast"))
+    approx = ann_ivf_knn_join(emb, k, n_cells, n_iters)
+    hits = exact.join(
+        approx.select("vec_id", "nbr_id"), ["vec_id", "nbr_id"], "left_semi"
+    )
+    denom = exact.agg(
+        F.count_distinct("vec_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_exact_pairs"),
+    )
+    num = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return denom.crossJoin(num).select(
+        "n_queries",
+        "n_exact_pairs",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.col("n_exact_pairs")).alias(
+            "recall_at_k"
+        ),
+    )
+
+
+def q_knn_recall_ivf(t: dict) -> DataFrame:
+    return knn_recall_ivf(t["embeddings"])
 
 
 def knn_label_spread(emb: DataFrame, k: int = KNN_K) -> DataFrame:
@@ -1440,6 +1563,65 @@ ORACLE: dict[str, str] = {
     """,
     "kmeans_train": _kmeans_oracle(),
     "ann_ivf_trained": _ann_ivf_trained_oracle(),
+    # cell-banded approximate k-NN self-join: the kmeans assignment
+    # CTEs give the final cells, pairs form ONLY within a cell, and
+    # the per-vector rank mirrors the kernel's (cos DESC, nbr ASC)
+    "ann_ivf_knn_join": f"""
+        {_kmeans_ctes()},
+        asn AS (SELECT vec_id, cell FROM a{KMEANS_ITERS}),
+        cpairs AS (
+            SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+                   {_sql_cos("a.embedding", "b.embedding")} AS cos_sim
+            FROM embeddings a
+            JOIN asn ca ON ca.vec_id = a.vec_id
+            JOIN asn cb ON cb.cell = ca.cell AND cb.vec_id <> a.vec_id
+            JOIN embeddings b ON b.vec_id = cb.vec_id
+        ),
+        cranked AS (
+            SELECT vec_id, nbr_id, cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY cos_sim DESC, nbr_id ASC
+                   ) AS rank
+            FROM cpairs
+        )
+        SELECT vec_id, nbr_id, cos_sim, rank
+        FROM cranked WHERE rank <= {KNN_K}
+    """,
+    # recall@k of the cell join vs the exact join — both sides
+    # recomputed in SQL, intersected on (vec_id, nbr_id)
+    "knn_recall_ivf": f"""
+        {_kmeans_ctes()},
+        {_KNN_RANKED_CTES},
+        ex AS (
+            SELECT vec_id, nbr_id FROM ranked WHERE rank <= {KNN_K}
+        ),
+        asn AS (SELECT vec_id, cell FROM a{KMEANS_ITERS}),
+        cpairs AS (
+            SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+                   {_sql_cos("a.embedding", "b.embedding")} AS cos_sim
+            FROM embeddings a
+            JOIN asn ca ON ca.vec_id = a.vec_id
+            JOIN asn cb ON cb.cell = ca.cell AND cb.vec_id <> a.vec_id
+            JOIN embeddings b ON b.vec_id = cb.vec_id
+        ),
+        apx AS (
+            SELECT vec_id, nbr_id FROM (
+                SELECT vec_id, nbr_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY cos_sim DESC, nbr_id ASC
+                       ) AS rank
+                FROM cpairs
+            ) t WHERE rank <= {KNN_K}
+        ),
+        hits AS (SELECT 1 FROM ex JOIN apx USING (vec_id, nbr_id))
+        SELECT (SELECT COUNT(DISTINCT vec_id) FROM ex)::BIGINT AS n_queries,
+               (SELECT COUNT(*) FROM ex)::BIGINT AS n_exact_pairs,
+               (SELECT COUNT(*) FROM hits)::BIGINT AS n_hits,
+               (SELECT COUNT(*) FROM hits)::DOUBLE
+                   / (SELECT COUNT(*) FROM ex) AS recall_at_k
+    """,
     # same ranked-neighbor definition; majority vote with ties toward
     # the smaller label (mirrors the Spark struct-max over
     # (n_votes, -label))
@@ -1480,4 +1662,6 @@ QUERIES = {
     "knn_label_spread": q_knn_label_spread,
     "kmeans_train": q_kmeans_train,
     "ann_ivf_trained": q_ann_ivf_trained,
+    "ann_ivf_knn_join": q_ann_ivf_knn_join,
+    "knn_recall_ivf": q_knn_recall_ivf,
 }

@@ -36,9 +36,13 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
     # re-certification sweep (the 8 oldest deferred rows — six with
     # r4 evidence, two with r5).
     must_be_checked = {
-        # r10 addition
+        # r10 additions
         "kmv_merge_ndistinct",     # per-source k-min sets merged
                                    # union-then-take-k
+        "ann_ivf_knn_join",        # banded approx k-NN self-join over
+                                   # trained cells
+        "knn_recall_ivf",          # recall@k vs the exact join —
+                                   # hash-checked eval metric
         # r10 changes
         "knn_join",                # mode="auto" broadcast↔two-phase dial
         "knn_join_twophase",       #   (the dial's fallback target)
@@ -62,7 +66,6 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
         "multimodal_resize",
         "knn_join_stream",
         "knn_label_spread",
-        "ann_ivf",
         "join_asof",
         "pipeline_incr_stateful",
         "dedup_cc",

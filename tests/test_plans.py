@@ -735,6 +735,51 @@ def test_knn_auto_dial_picks_by_index_budget(spark, tables):
         knn_join(emb, mode="bogus")
 
 
+def test_ann_ivf_knn_join_plan_one_cell_exchange(spark):
+    # the banded approximate k-NN self-join: map-only assignment
+    # (Arrow UDF with the trained matrix in closure — never a
+    # plan-side join), ONE exchange hash-partitioning on cell, the
+    # per-cell top-k inside one FlatMapGroupsInPandas kernel.  No
+    # Window (ranks come from the kernel), no cartesian, no broadcast
+    # exchange — and never an all-pairs join across cells.
+    plan = (
+        _q(spark, "ann_ivf_knn_join")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    assert "BroadcastExchange" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_knn_recall_ivf_plan_and_single_cell_identity(spark, tables):
+    # the recall metric joins two n·k-row frames — never the corpus:
+    # the hit check is a broadcast semi-join, the 1-row×1-row summary
+    # cross joins as BNLJ, and the exact side reads its materialize
+    # barrier (no double kernel execution)
+    plan = (
+        _q(spark, "knn_recall_ivf")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # (vec_id, nbr_id) semi
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan  # approx leg
+    assert "Scan ExistingRDD" in plan, plan  # exact leg's barrier
+
+    # single-cell identity: with n_cells=1 every vector shares one
+    # cell, the banded join degenerates to the exact join, and recall
+    # is exactly 1.0 over n·k pairs
+    from simple_rust_query_engine_spark.pipeline.similarity import (
+        KNN_K,
+        knn_recall_ivf,
+    )
+
+    row = knn_recall_ivf(tables["embeddings"], n_cells=1).collect()[0]
+    assert row.recall_at_k == 1.0
+    assert row.n_hits == row.n_exact_pairs == row.n_queries * KNN_K
+
+
 def test_cms_verify_plan_shuffles_candidates_only(spark):
     # the RETURNED plan is the verify stage (the sketch pass ran
     # eagerly at construction, merging d*w counter cells): the single
