@@ -218,7 +218,10 @@ _DEFER_PAST_CAP = (
     # embedding_neardup) and kmv_ndistinct (approx-stats family stays
     # checked via quantile_approx and profile_table)
     "simhash_pairs",
-    "kmv_ndistinct",
+    # (kmv_ndistinct deferred here r6-r9; back IN-window since r10 —
+    # its min-k pipeline and estimator were refactored into the
+    # shared _kmv_minima/_kmv_estimate_aggs helpers the merge row
+    # also consumes)
     # round-6 addition dedup_cc_incr (incremental label maintenance:
     # merge_labels folds probe-emitted edges into existing component
     # labels, oracle = from-scratch dedup_cc) enters; semantic_search
@@ -474,6 +477,13 @@ _DEFER_PAST_CAP = (
                             #   stay (mixture/pack family); the
                             #   two-phase exact-k machinery is also
                             #   inside quality_topk, in-window
+    # kmv_ndistinct re-enters (its pipeline/estimator refactored into
+    # the shared helpers — changed operators rotate in); one more
+    # r9-green unchanged sibling defers:
+    "multimodal_resize",    # → frame_sample re-entered this round
+                            #   (multimodal family); the resize
+                            #   geometry contract is pinned PIL-free
+                            #   in test_pipeline_paths
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

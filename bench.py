@@ -194,9 +194,13 @@ CANARY_TOLERANCE = 0.20  # pre AND post must be <= anchor * (1 + tol)
 
 def _canary_ok(pre: float, post: float) -> bool:
     """True when the host window is healthy enough for the run's raw
-    seconds to be comparable with prior rounds' anchored numbers."""
-    limit = CANARY_ANCHOR_SEC * (1.0 + CANARY_TOLERANCE)
-    return pre <= limit and post <= limit
+    seconds to be comparable with prior rounds' anchored numbers —
+    BOTH bounds matter: a slow window overstates runtimes, and a
+    faster-than-anchor window would manufacture a phantom cross-round
+    speedup just as misleading as the r9 slowdown artifact."""
+    lo = CANARY_ANCHOR_SEC * (1.0 - CANARY_TOLERANCE)
+    hi = CANARY_ANCHOR_SEC * (1.0 + CANARY_TOLERANCE)
+    return lo <= pre <= hi and lo <= post <= hi
 
 
 def _canary_sec() -> float:
@@ -340,10 +344,10 @@ def main() -> None:
     }
     if not full["canary_ok"]:
         print(
-            f"# WARNING: degraded host window (canary pre={canary_pre:.3f}s "
+            f"# WARNING: off-anchor host window (canary pre={canary_pre:.3f}s "
             f"post={canary_post:.3f}s vs anchor {CANARY_ANCHOR_SEC}s "
-            f"+{CANARY_TOLERANCE:.0%}); raw seconds NOT cross-round "
-            "comparable — re-run in a healthier window",
+            f"±{CANARY_TOLERANCE:.0%}); raw seconds NOT cross-round "
+            "comparable — re-run in an anchored window",
             file=sys.stderr,
         )
     if errors:

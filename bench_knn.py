@@ -92,7 +92,10 @@ def main() -> None:
         )
         return {"cold": cold, "steady": round(min(steady), 4), "rows": n_rows}
 
-    b = run(lambda e: knn_join(e), "broadcast")
+    # mode forced: knn_join's default is now the auto dial, which at
+    # the large-N regimes this experiment probes would silently hand
+    # the 'broadcast' leg to the two-phase path
+    b = run(lambda e: knn_join(e, mode="broadcast"), "broadcast")
     t = run(lambda e: knn_join_twophase(e, tiles=TILES), "twophase")
     c_post = _canary()
     print(

@@ -58,20 +58,47 @@ def _kmv_hash(col):
 N_SALT = 32
 
 
+def _kmv_minima(
+    hashed: DataFrame, group_cols: list, k: int, n_salt: int
+) -> DataFrame:
+    """Per-group k smallest ``_h`` over a distinct (groups, _h) frame
+    — ONE definition of the salted min-k pipeline, shared by the
+    whole-corpus sketch and the per-source sketch so the salt
+    discipline can never diverge between them.  The salt phase bounds
+    every reducer: a hot group's hashes spread over ``n_salt``
+    partitions and only ``n_salt · k`` survivors reach the final
+    per-group rank — the global minima are always among the per-salt
+    minima, so the result is salt-independent.  Rank column ``_rn``."""
+    w_salt = Window.partitionBy(
+        *group_cols, F.pmod(F.col("_h"), F.lit(n_salt))
+    ).orderBy("_h")
+    pre = hashed.withColumn("_srn", F.row_number().over(w_salt)).filter(
+        F.col("_srn") <= k
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    return pre.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+
+
+def _kmv_estimate_aggs(k: int) -> list:
+    """THE estimator, one definition for both KMV rows: ``n_seen``
+    (minima kept — the exact count whenever a key holds < k distinct
+    values) and the textbook (k-1)·M / kth-minimum estimate."""
+    kth = F.max(F.when(F.col("_rn") == k, F.col("_h")))
+    est = F.when(
+        F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+    ).otherwise((F.lit(float(k - 1)) * F.lit(float(KMV_MOD))) / kth)
+    return [F.count(F.lit(1)).alias("n_seen"), est.alias("est_ndistinct")]
+
+
 def kmv_ndistinct(
     df: DataFrame, key: str, val: str, k: int = KMV_K, n_salt: int = N_SALT
 ) -> DataFrame:
-    """Per-key approximate COUNT(DISTINCT val) via k minimum values.
-
-    hash (map-side, per row) → distinct (key, hash) → per-(key, salt)
-    k minima → per-key k minima → estimate.  The salt phase bounds
-    every reducer: a hot key's distinct hashes spread over ``n_salt``
-    partitions and only ``n_salt * k`` survivors reach the final
-    per-key rank — the global minima are always among the per-salt
-    minima, so the result is salt-independent.  ``n_seen`` (minima
-    kept) doubles as the exact count whenever the key has < k
-    distinct values.
-    """
+    """Per-key approximate COUNT(DISTINCT val) via k minimum values:
+    hash (map-side, per row) → distinct (key, hash) → the shared
+    salted min-k pipeline (``_kmv_minima``) → the shared estimator
+    (``_kmv_estimate_aggs``)."""
     hashed = (
         # hash per ROW (cheap map-side md5), ONE distinct on the
         # (key, hash) pair — a prior distinct on raw (key, val) would
@@ -80,33 +107,20 @@ def kmv_ndistinct(
         .select(key, _kmv_hash(F.col(val)).alias("_h"))
         .distinct()
     )
-    w_salt = Window.partitionBy(key, F.pmod(F.col("_h"), F.lit(n_salt))).orderBy(
-        "_h"
-    )
-    pre = hashed.withColumn("_srn", F.row_number().over(w_salt)).filter(
-        F.col("_srn") <= k
-    )
-    w = Window.partitionBy(key).orderBy("_h")
-    minima = pre.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= k
-    )
-    kth = F.max(F.when(F.col("_rn") == k, F.col("_h")))
-    est = F.when(
-        F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
-    ).otherwise((F.lit(float(k - 1)) * F.lit(float(KMV_MOD))) / kth)
-    return minima.groupBy(key).agg(
-        F.count(F.lit(1)).alias("n_seen"), est.alias("est_ndistinct")
-    )
+    minima = _kmv_minima(hashed, [key], k, n_salt)
+    return minima.groupBy(key).agg(*_kmv_estimate_aggs(k))
 
 
 def _kmv_source_sketch(
     df: DataFrame, key: str, val: str, source: str, k: int, n_salt: int
 ) -> DataFrame:
-    """The per-(key, source) k-minimum sets — ≤ k rows per pair.
-    Every exchange in this pipeline is bounded map-side: the distinct
-    partially aggregates before shuffling, and both rank exchanges
-    sit above a Partial ``WindowGroupLimit`` (at most k rows per
-    (key, source[, salt]) group cross the wire) — pinned in
+    """The per-(key, source) k-minimum sets — ≤ k rows per pair,
+    through the SAME ``_kmv_minima`` pipeline as the whole-corpus
+    sketch (grouped on (key, source) instead of key alone).  Every
+    exchange is bounded map-side: the distinct partially aggregates
+    before shuffling, and both rank exchanges sit above a Partial
+    ``WindowGroupLimit`` (at most k rows per (key, source[, salt])
+    group cross the wire) — pinned in
     ``test_plans.test_kmv_merge_exchanges_carry_sketch_rows``."""
     hashed = (
         df.where(F.col(val).isNotNull())
@@ -117,18 +131,7 @@ def _kmv_source_sketch(
         )
         .distinct()
     )
-    # salted pre-rank bounds every reducer, then the per-source k
-    # minima — same salt discipline as the whole-corpus kmv_ndistinct
-    w_salt = Window.partitionBy(
-        key, "_src", F.pmod(F.col("_h"), F.lit(n_salt))
-    ).orderBy("_h")
-    pre = hashed.withColumn("_srn", F.row_number().over(w_salt)).filter(
-        F.col("_srn") <= k
-    )
-    w_src = Window.partitionBy(key, "_src").orderBy("_h")
-    return pre.withColumn("_krn", F.row_number().over(w_src)).filter(
-        F.col("_krn") <= k
-    )
+    return _kmv_minima(hashed, [key, "_src"], k, n_salt)
 
 
 def kmv_merge_ndistinct(
@@ -182,19 +185,16 @@ def kmv_merge_ndistinct(
         F.count_distinct("_src").alias("n_sources_merged")
     ).withColumnRenamed(key, "_nsrc_key")
     # THE MERGE: union of the per-source min-sets, deduplicated (the
-    # same hash can be a minimum in several sources), global k minima
+    # same hash can be a minimum in several sources), global k minima.
+    # The final rank is a direct window — the input is already
+    # ≤ k·sources rows per key, so re-salting through _kmv_minima
+    # would only add an exchange
     merged = sketch.select(key, "_h").distinct()
     w = Window.partitionBy(key).orderBy("_h")
     minima = merged.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= k
     )
-    kth = F.max(F.when(F.col("_rn") == k, F.col("_h")))
-    est = F.when(
-        F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
-    ).otherwise((F.lit(float(k - 1)) * F.lit(float(KMV_MOD))) / kth)
-    agg = minima.groupBy(key).agg(
-        F.count(F.lit(1)).alias("n_seen"), est.alias("est_ndistinct")
-    )
+    agg = minima.groupBy(key).agg(*_kmv_estimate_aggs(k))
     # null-safe on the key: a NULL key group is legal in both engines'
     # GROUP BY and must not be dropped by the equi-join
     return agg.join(

@@ -462,6 +462,13 @@ def kmeans_centroids(
         if not files:
             return train()
         spark = emb.sparkSession
+        # the key must identify the ROW SET, not just the files: a
+        # filtered/derived frame over the same parquet reports the
+        # same inputFiles, and keying on files alone would let a
+        # subset-trained matrix poison every later whole-corpus call
+        # (and vice versa).  The analyzed plan's semanticHash is the
+        # row-set fingerprint Catalyst itself trusts for plan reuse.
+        plan_fp = emb._jdf.queryExecution().analyzed().semanticHash()
 
         def build_df():
             C = train()
@@ -477,7 +484,7 @@ def kmeans_centroids(
         table = _state_table(
             spark,
             f"kmeans_{n_cells}x{n_iters}",
-            "|".join(files),
+            f"sh{plan_fp}|" + "|".join(files),
             build_df,
         )
         rows = spark.table(table).collect()
@@ -1154,7 +1161,24 @@ def knn_join_twophase(
         # (or id-degenerate enough) to broadcast whole.  Forced to
         # mode="broadcast": the auto dial delegates HERE when the
         # estimate exceeds the budget, so falling back through auto
-        # again would recurse
+        # again would recurse.  If the index the dial rejected STILL
+        # exceeds the budget (few rows × huge dim), no valid tiling
+        # exists for this scheme — say so instead of silently
+        # shipping an over-budget broadcast
+        n_all, dim = _knn_geometry(emb)
+        est = knn_index_bytes(n_all, dim)
+        if est > KNN_INDEX_BUDGET_BYTES:
+            import warnings
+
+            warnings.warn(
+                f"knn_join_twophase: a tile holds <= k={k} vectors, so "
+                f"the corpus cannot be tiled and the full ~{est}-byte "
+                f"index broadcasts despite exceeding "
+                f"KNN_INDEX_BUDGET_BYTES={KNN_INDEX_BUDGET_BYTES} — "
+                "reduce dim, raise the budget, or use the approximate "
+                "cell join (ann_ivf_knn_join)",
+                stacklevel=2,
+            )
         return knn_join(emb, k, chunk, mode="broadcast")
     cand = None
     for t in range(tiles):

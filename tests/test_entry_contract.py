@@ -49,6 +49,8 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
         "kmeans_train",            # trained centroids persist as a
         "ann_ivf_trained",         #   state: parquet table
         "bloom_dedup_precheck",    # bloom_geometry sizing dial
+        "kmv_ndistinct",           # pipeline/estimator refactored into
+                                   # the shared _kmv_minima helpers
         # r10 re-certifications (oldest driver rows, r4/r5 evidence)
         "fingerprint",
         "frame_sample",
@@ -63,7 +65,6 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
         "hybrid_search_rrf",
         "cms_merge_heavy_hitters",
         "dedup_exact_stream",
-        "multimodal_resize",
         "knn_join_stream",
         "knn_label_spread",
         "join_asof",

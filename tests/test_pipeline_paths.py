@@ -1160,3 +1160,47 @@ def test_kmeans_centroids_synthetic_frame_skips_persistence(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     C = S.kmeans_centroids(emb, n_cells=3, n_iters=1)
     assert C.shape == (3, 2) and np.isfinite(C).all()
+
+
+def test_kmeans_centroids_filtered_frame_gets_own_state(spark):
+    # the state key includes the analyzed plan's semanticHash, not
+    # just inputFiles: a filtered frame over the SAME parquet must
+    # train its own matrix, never reuse (or poison) the whole-corpus
+    # one
+    import os
+
+    import numpy as np
+
+    import simple_rust_query_engine_spark.pipeline.similarity as S
+
+    path = os.path.join(SF_DIR, "embeddings.parquet")
+    C_full = S.kmeans_centroids(spark.read.parquet(path))
+    sub = spark.read.parquet(path).filter("vec_id < 100")
+    C_sub = S.kmeans_centroids(sub)
+    assert not np.array_equal(C_full, C_sub)
+    # and the whole-corpus state is intact after the subset call
+    C_again = S.kmeans_centroids(spark.read.parquet(path))
+    assert np.array_equal(C_full, C_again)
+
+
+def test_knn_twophase_warns_when_budget_unmeetable(spark):
+    # a corpus whose degenerate tiling forces the full-index
+    # broadcast must WARN when that index exceeds the budget the
+    # auto dial rejected (few rows x huge dim) — never silently
+    # violate it
+    import warnings as W
+
+    import pytest
+
+    import simple_rust_query_engine_spark.pipeline.similarity as S
+
+    rows = [(i, [float(i)] * 8) for i in range(4)]  # 4 <= k: degenerate
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(S, "KNN_INDEX_BUDGET_BYTES", 1)
+        with pytest.warns(UserWarning, match="cannot be tiled"):
+            S.knn_join_twophase(emb, tiles=2).count()
+    # within budget the same degenerate fallback stays silent
+    with W.catch_warnings():
+        W.simplefilter("error")
+        S.knn_join_twophase(emb, tiles=2).count()
