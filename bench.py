@@ -189,7 +189,9 @@ EXTRA_QUERIES = [
 #: gate (VERDICT r9 item 2): a run only counts as comparable when BOTH
 #: the pre and post canary land within CANARY_TOLERANCE of the anchor.
 CANARY_ANCHOR_SEC = 0.78
-CANARY_TOLERANCE = 0.20  # pre AND post must be <= anchor * (1 + tol)
+CANARY_TOLERANCE = 0.20  # pre AND post must land INSIDE anchor*(1±tol)
+#                          — two-sided: slow windows overstate, fast
+#                          windows manufacture phantom speedups
 
 
 def _canary_ok(pre: float, post: float) -> bool:

@@ -466,9 +466,20 @@ def kmeans_centroids(
         # filtered/derived frame over the same parquet reports the
         # same inputFiles, and keying on files alone would let a
         # subset-trained matrix poison every later whole-corpus call
-        # (and vice versa).  The analyzed plan's semanticHash is the
-        # row-set fingerprint Catalyst itself trusts for plan reuse.
-        plan_fp = emb._jdf.queryExecution().analyzed().semanticHash()
+        # (and vice versa).  Fingerprint = md5 of the CANONICALIZED
+        # analyzed plan (expr-ids normalized — the representation
+        # sameResult compares), not the 32-bit semanticHash: a hash
+        # collision between two ad-hoc filters would silently share
+        # one matrix, and 128 bits closes that window
+        import hashlib
+
+        plan_fp = hashlib.md5(
+            emb._jdf.queryExecution()
+            .analyzed()
+            .canonicalized()
+            .toString()
+            .encode()
+        ).hexdigest()
 
         def build_df():
             C = train()
@@ -923,13 +934,21 @@ def knn_join(
     if mode not in ("auto", "broadcast", "twophase"):
         raise ValueError(f"unknown knn_join mode {mode!r}")
     if mode == "twophase":
-        return knn_join_twophase(emb, k, chunk=chunk)
+        return knn_join_twophase(
+            emb, k, chunk=chunk, index_budget_bytes=index_budget_bytes
+        )
     if mode == "auto":
         n, dim = _knn_geometry(emb)
         est = knn_index_bytes(n, dim)
         if est > index_budget_bytes:
             tiles = -(-est // index_budget_bytes)  # ceil
-            return knn_join_twophase(emb, k, tiles=tiles, chunk=chunk)
+            return knn_join_twophase(
+                emb,
+                k,
+                tiles=tiles,
+                chunk=chunk,
+                index_budget_bytes=index_budget_bytes,
+            )
     bc = knn_index(emb)
     return emb.select("vec_id", "embedding").mapInPandas(
         knn_score_fn(bc, k, chunk), KNN_SCHEMA
@@ -1095,7 +1114,11 @@ KNN_TILES = 4
 
 
 def knn_join_twophase(
-    emb: DataFrame, k: int = KNN_K, tiles: int = KNN_TILES, chunk: int = 512
+    emb: DataFrame,
+    k: int = KNN_K,
+    tiles: int = KNN_TILES,
+    chunk: int = 512,
+    index_budget_bytes: int | None = None,
 ) -> DataFrame:
     """EXACT k-NN self-join WITHOUT a full-corpus broadcast — the
     scale fallback ``knn_join``'s docstring names for when the index
@@ -1164,19 +1187,26 @@ def knn_join_twophase(
         # again would recurse.  If the index the dial rejected STILL
         # exceeds the budget (few rows × huge dim), no valid tiling
         # exists for this scheme — say so instead of silently
-        # shipping an over-budget broadcast
+        # shipping an over-budget broadcast.  The budget checked is
+        # the CALLER's (the auto dial threads its index_budget_bytes
+        # down), falling back to the module default for direct calls
+        budget = (
+            KNN_INDEX_BUDGET_BYTES
+            if index_budget_bytes is None
+            else index_budget_bytes
+        )
         n_all, dim = _knn_geometry(emb)
         est = knn_index_bytes(n_all, dim)
-        if est > KNN_INDEX_BUDGET_BYTES:
+        if est > budget:
             import warnings
 
             warnings.warn(
                 f"knn_join_twophase: a tile holds <= k={k} vectors, so "
                 f"the corpus cannot be tiled and the full ~{est}-byte "
-                f"index broadcasts despite exceeding "
-                f"KNN_INDEX_BUDGET_BYTES={KNN_INDEX_BUDGET_BYTES} — "
-                "reduce dim, raise the budget, or use the approximate "
-                "cell join (ann_ivf_knn_join)",
+                f"index broadcasts despite exceeding the "
+                f"{budget}-byte index budget — reduce dim, raise the "
+                "budget, or use the approximate cell join "
+                "(ann_ivf_knn_join)",
                 stacklevel=2,
             )
         return knn_join(emb, k, chunk, mode="broadcast")

@@ -1200,7 +1200,15 @@ def test_knn_twophase_warns_when_budget_unmeetable(spark):
         mp.setattr(S, "KNN_INDEX_BUDGET_BYTES", 1)
         with pytest.warns(UserWarning, match="cannot be tiled"):
             S.knn_join_twophase(emb, tiles=2).count()
-    # within budget the same degenerate fallback stays silent
-    with W.catch_warnings():
-        W.simplefilter("error")
+    # within budget the same degenerate fallback stays silent about
+    # tiling (unrelated library warnings must not fail this test —
+    # record and filter rather than simplefilter("error"))
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
         S.knn_join_twophase(emb, tiles=2).count()
+    assert not [w for w in caught if "cannot be tiled" in str(w.message)]
+
+    # the CALLER's budget is the one checked: the auto dial threads a
+    # custom index_budget_bytes down to the degenerate fallback
+    with pytest.warns(UserWarning, match="cannot be tiled"):
+        S.knn_join(emb, mode="auto", index_budget_bytes=1).count()
