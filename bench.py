@@ -179,6 +179,9 @@ EXTRA_QUERIES = [
     # order matters) and its recall@k eval row vs the exact join
     "ann_ivf_knn_join",
     "knn_recall_ivf",
+    # r10: continuous CMS heavy hitters through foreachBatch — cold
+    # prices stream machinery + one micro-batch fold + extraction
+    "cms_stream_heavy_hitters",
 ]
 
 

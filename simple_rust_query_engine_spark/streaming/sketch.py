@@ -1,0 +1,167 @@
+"""Streaming token-frequency profiling: continuous count-min-sketch
+heavy hitters through the streaming engine.
+
+Beyond reference parity (the reference has no stream processing,
+SURVEY §2.9).  A training-data ingest pipeline monitors its token
+distribution AS DOCUMENTS ARRIVE — vocabulary drift, contamination
+spikes, boilerplate floods all show up as frequency anomalies long
+before a nightly batch profile would see them.  The operator shape is
+the per-shard/per-day CMS merge (`operators/sketch.py
+cms_merge_heavy_hitters`) rotated into time: per micro-batch,
+``foreachBatch``
+
+1. folds the BATCH's tokens into a local d×w sketch map-only (the
+   SAME ``_cms_fold_batches`` Arrow kernel as the batch rows — one
+   definition of the counter arithmetic),
+2. collapses it to ≤ d·w cells (the only exchange — cell-sized,
+   never tokens), and
+3. APPENDS the cells, keyed by ``batch_id``, to a running cell table.
+
+Counter linearity — the property ``cms_merge_heavy_hitters`` proves
+batch-wise against the whole-corpus oracle — makes the accumulated
+sum of per-batch sketches EQUAL to the whole-corpus sketch after any
+prefix of batches, so the final extraction shares the batch rows'
+oracle verbatim.  State is ≤ d·w cells PER BATCH of bookkeeping and
+d·w integers of live sketch — constant in the corpus size, the
+streaming-profile shape at 100 TB.
+
+Failure semantics: ``foreachBatch`` is at-least-once, and a replayed
+batch re-appends IDENTICAL (batch_id, pos, cnt) rows — the reader
+dedups them with one DISTINCT before summing, so replays cannot
+double-count (pinned by the multi-batch test, which replays a batch
+by hand).  In production pass ``checkpoint_location`` so restarts
+resume from committed offsets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sketch import (
+    CMS_D,
+    CMS_W,
+    HH_K,
+    HH_PHI_DENOM,
+    _cms_extract,
+    _cms_fold_batches,
+    _cms_tokens,
+)
+
+
+def stream_cms_cells(
+    spark: SparkSession,
+    sf_dir: str,
+    cells_table: str,
+    cells_path: str,
+    query_name: str = "cms_cells_stream",
+    glob: str | None = None,
+    max_files_per_trigger: int | None = None,
+    checkpoint_location: str | None = None,
+    w: int = CMS_W,
+    d: int = CMS_D,
+):
+    """readStream(documents) → foreachBatch(fold → cell collapse →
+    batch-keyed append).  Returns the started StreamingQuery; the
+    caller runs processAllAvailable() + stop()."""
+    from .source import file_stream
+
+    src = file_stream(
+        spark,
+        sf_dir,
+        "documents",
+        glob=glob,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+
+    def fold(batch_df, batch_id):
+        cells = (
+            _cms_tokens(batch_df)
+            .mapInPandas(_cms_fold_batches(d, w), "pos long, cnt long")
+            .groupBy("pos")
+            .agg(F.sum("cnt").alias("cnt"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        cells.write.mode("append").option("path", cells_path).saveAsTable(
+            cells_table
+        )
+        # refresh on the OUTER session: inside foreachBatch the write
+        # commits through the micro-batch session clone, and the outer
+        # session's cached file listing would otherwise serve a stale
+        # (pre-append) cell table to the final read — the same trap
+        # stream_minhash_ingest documents
+        spark.catalog.refreshTable(cells_table)
+
+    writer = src.writeStream.foreachBatch(fold).queryName(query_name)
+    if checkpoint_location is not None:
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    return writer.trigger(availableNow=True).start()
+
+
+def merged_cells_sketch(
+    spark: SparkSession, cells_table: str, w: int = CMS_W, d: int = CMS_D
+) -> "np.ndarray":
+    """THE MERGE, read side: DISTINCT (replay-idempotence — a replayed
+    batch appends identical rows) then element-wise cell sum across
+    batches.  ≤ d·w·batches rows in, d·w scalars of model state out."""
+    rows = (
+        spark.table(cells_table)
+        .distinct()
+        .groupBy("pos")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    cms = np.zeros(d * w, dtype=np.int64)
+    for r in rows:
+        cms[r.pos] = r.cnt
+    return cms
+
+
+_CMS_RUN = [0]
+
+
+def q_cms_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: the corpus ingested through ``stream_cms_cells``
+    (single micro-batch at driver scale — the multi-batch accumulation
+    and replay idempotence are pinned by
+    ``tests/test_streaming_multibatch.py``), the per-batch sketches
+    merged cell-wise, heavy hitters extracted through the SAME passes
+    as the batch rows — and hash-checked against the SAME whole-corpus
+    oracle, because the accumulated sketch IS the whole-corpus sketch
+    (counter linearity)."""
+    import os
+
+    from .dedup import _ingest_run_dir
+
+    _CMS_RUN[0] += 1
+    run = f"cms_stream_{_CMS_RUN[0]}"
+    path = os.path.join(_ingest_run_dir(), run)
+    q = stream_cms_cells(spark, sf_dir, run, path, query_name=run)
+    q.processAllAvailable()
+    q.stop()
+    cms = merged_cells_sketch(spark, run)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return _cms_extract(
+        _cms_tokens(docs), cms, HH_K, CMS_W, CMS_D, HH_PHI_DENOM
+    )
+
+
+def _cms_stream_oracle() -> str:
+    # the accumulated streaming sketch equals the whole-corpus sketch
+    # cell for cell (counter linearity) — one oracle definition with
+    # the batch cms_heavy_hitters row
+    from ..operators.sketch import _cms_hh_oracle
+
+    return _cms_hh_oracle()
+
+
+ORACLE: dict[str, str] = {
+    "cms_stream_heavy_hitters": _cms_stream_oracle(),
+}
+
+QUERIES: dict = {}
+
+QUERIES_SPARK = {
+    "cms_stream_heavy_hitters": q_cms_stream_heavy_hitters,
+}

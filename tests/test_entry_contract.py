@@ -43,6 +43,8 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
                                    # trained cells
         "knn_recall_ivf",          # recall@k vs the exact join —
                                    # hash-checked eval metric
+        "cms_stream_heavy_hitters",# continuous CMS through
+                                   # foreachBatch, batch-row oracle
         # r10 changes
         "knn_join",                # mode="auto" broadcast↔two-phase dial
         "knn_join_twophase",       #   (the dial's fallback target)
@@ -82,7 +84,6 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
         "decontaminate_stream",
         "quality_topk",
         "bpe_encode_checked",
-        "bpe_pair_counts",
         "ngram_jaccard",
     }
     head = set(list(entry_mod.queries())[: entry_mod._DRIVER_CAP])

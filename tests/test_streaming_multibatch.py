@@ -507,3 +507,83 @@ def test_knn_stream_scoring_invariant_under_batch_split(
     exp = sorted(tuple(r) for r in knn_join(emb).collect())
     assert got == exp
     spark.catalog.dropTempView("t_knn_multibatch")
+
+
+def test_stream_cms_accumulates_and_replay_is_idempotent(
+    spark, tmp_path_factory, tables
+):
+    # the continuous-profile claim, exercised for real: documents
+    # split into 3 files, one file per trigger; the per-batch sketch
+    # cells must accumulate (counter linearity) to EXACTLY the batch
+    # heavy-hitter result — and a hand-replayed batch (foreachBatch is
+    # at-least-once; a replay appends IDENTICAL batch-keyed rows) must
+    # change nothing, because the merge reader dedups before summing.
+    from pyspark.sql import functions as F
+
+    from simple_rust_query_engine_spark.operators.sketch import (
+        CMS_D,
+        CMS_W,
+        HH_K,
+        HH_PHI_DENOM,
+        _cms_extract,
+        _cms_tokens,
+        cms_heavy_hitters,
+    )
+    from simple_rust_query_engine_spark.streaming.sketch import (
+        merged_cells_sketch,
+        stream_cms_cells,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    out = tmp_path_factory.mktemp("docs_split_cms")
+    n = t.num_rows
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        path = str(out / f"documents-{i}.parquet")
+        pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]), path)
+        stamp = 1_700_000_000 + i * 60
+        os.utime(path, (stamp, stamp))
+
+    cells_dir = tmp_path_factory.mktemp("cms_cells")
+    q = stream_cms_cells(
+        spark,
+        str(out),
+        "t_cms_cells",
+        str(cells_dir / "cells"),
+        query_name="t_cms_stream",
+        glob="documents-*.parquet",
+        max_files_per_trigger=1,
+    )
+    q.processAllAvailable()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    q.stop()
+    try:
+        assert n_batches >= 3
+
+        def extract():
+            cms = merged_cells_sketch(spark, "t_cms_cells")
+            return {
+                tuple(r)
+                for r in _cms_extract(
+                    _cms_tokens(tables["documents"]),
+                    cms,
+                    HH_K,
+                    CMS_W,
+                    CMS_D,
+                    HH_PHI_DENOM,
+                ).collect()
+            }
+
+        want = {
+            tuple(r) for r in cms_heavy_hitters(tables["documents"]).collect()
+        }
+        assert extract() == want
+
+        # REPLAY: re-append one batch's rows verbatim — the DISTINCT
+        # in the merge reader must absorb it
+        replay = spark.table("t_cms_cells").filter(F.col("batch_id") == 0)
+        replay.write.mode("append").saveAsTable("t_cms_cells")
+        spark.catalog.refreshTable("t_cms_cells")
+        assert extract() == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_cms_cells")
