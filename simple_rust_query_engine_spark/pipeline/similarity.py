@@ -467,17 +467,20 @@ def kmeans_centroids(
         # same inputFiles, and keying on files alone would let a
         # subset-trained matrix poison every later whole-corpus call
         # (and vice versa).  Fingerprint = md5 of the CANONICALIZED
-        # analyzed plan (expr-ids normalized — the representation
-        # sameResult compares), not the 32-bit semanticHash: a hash
-        # collision between two ad-hoc filters would silently share
-        # one matrix, and 128 bits closes that window
+        # analyzed plan's toJSON (expr-ids normalized — the
+        # representation sameResult compares).  toJSON, NOT toString:
+        # treeString truncates at spark.sql.debug.maxToStringFields
+        # (default 25), so plans differing only past the 25th field
+        # of a node render byte-identical — measured collision.  And
+        # not the bare 32-bit semanticHash: a birthday collision
+        # between ad-hoc filters would silently share one matrix.
         import hashlib
 
         plan_fp = hashlib.md5(
             emb._jdf.queryExecution()
             .analyzed()
             .canonicalized()
-            .toString()
+            .toJSON()
             .encode()
         ).hexdigest()
 

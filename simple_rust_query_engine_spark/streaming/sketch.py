@@ -30,7 +30,12 @@ batch re-appends IDENTICAL (batch_id, pos, cnt) rows — the reader
 dedups them with one DISTINCT before summing, so replays cannot
 double-count (pinned by the multi-batch test, which replays a batch
 by hand).  In production pass ``checkpoint_location`` so restarts
-resume from committed offsets.
+resume from committed offsets, and COMPACT the cell table
+periodically (sum cells into one epoch row set — e.g. rewrite as
+(batch_id=-epoch, pos, summed cnt) — exactly the CMS merge again) so
+a long-lived monitor's read cost stays bounded by d·w instead of
+growing with batch count; the live sketch itself is always d·w
+integers.
 """
 
 from __future__ import annotations
@@ -81,6 +86,11 @@ def stream_cms_cells(
             .mapInPandas(_cms_fold_batches(d, w), "pos long, cnt long")
             .groupBy("pos")
             .agg(F.sum("cnt").alias("cnt"))
+            # drop untouched cells: a small batch leaves most of the
+            # d·w counters at zero, and zeros add nothing to the merge
+            # — the appended bookkeeping is O(tokens-touched cells),
+            # not O(d·w), per batch
+            .filter(F.col("cnt") != 0)
             .withColumn("batch_id", F.lit(batch_id))
         )
         cells.write.mode("append").option("path", cells_path).saveAsTable(
@@ -141,6 +151,13 @@ def q_cms_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     cms = merged_cells_sketch(spark, run)
+    # the sketch is now d·w collected integers — the returned frame no
+    # longer references the run table, so drop it (same catalog
+    # hygiene as the ingest-stream entries: repeated driver/bench
+    # invocations must not accumulate per-run tables for the session
+    # lifetime; the external files live under the per-process run dir
+    # and are removed at interpreter exit)
+    spark.sql(f"DROP TABLE IF EXISTS {run}")
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return _cms_extract(
         _cms_tokens(docs), cms, HH_K, CMS_W, CMS_D, HH_PHI_DENOM
