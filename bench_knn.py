@@ -97,6 +97,22 @@ def main() -> None:
     # the 'broadcast' leg to the two-phase path
     b = run(lambda e: knn_join(e, mode="broadcast"), "broadcast")
     t = run(lambda e: knn_join_twophase(e, tiles=TILES), "twophase")
+
+    # the approximate leg: banded cell self-join over trained IVF
+    # cells — the path a 10⁹-vector deployment actually runs — timed
+    # under the same interleaved-session rules, plus its measured
+    # recall@k against the exact join (a driver-scale oracle row
+    # checks recall exactly; HERE it is measured at bench N to pair
+    # the speedup with its recall cost on random gaussian vectors,
+    # the hardest case for coarse cells)
+    from simple_rust_query_engine_spark.pipeline.similarity import (
+        ann_ivf_knn_join,
+        knn_recall_ivf,
+    )
+
+    a = run(lambda e: ann_ivf_knn_join(e), "ivf_cell_join")
+    recall = knn_recall_ivf(emb).collect()[0].recall_at_k
+    print(f"# ivf_cell_join recall@k = {recall:.4f}", file=sys.stderr)
     c_post = _canary()
     print(
         json.dumps(
@@ -105,6 +121,8 @@ def main() -> None:
                 "tiles": TILES,
                 "broadcast": b,
                 "twophase": t,
+                "ivf_cell_join": a,
+                "ivf_recall_at_k": round(recall, 4),
                 "rows_equal": b["rows"] == t["rows"],
                 "canary_sec": min(c_pre, c_post),
             }
