@@ -587,3 +587,80 @@ def test_stream_cms_accumulates_and_replay_is_idempotent(
         assert extract() == want
     finally:
         spark.sql("DROP TABLE IF EXISTS t_cms_cells")
+
+
+def test_stream_cms_restart_resumes_from_checkpoint(
+    spark, tmp_path_factory, tables
+):
+    # the production restart path for the continuous profile: ingest
+    # files 0-1 with a checkpoint, stop, a new file arrives, restart
+    # on the SAME checkpoint/table.  Committed batches must NOT
+    # replay (cell rows stay duplicate-free without the defensive
+    # distinct) and the accumulated sketch must equal the batch row's
+    from simple_rust_query_engine_spark.operators.sketch import (
+        CMS_D,
+        CMS_W,
+        HH_K,
+        HH_PHI_DENOM,
+        _cms_extract,
+        _cms_tokens,
+        cms_heavy_hitters,
+    )
+    from simple_rust_query_engine_spark.streaming.sketch import (
+        merged_cells_sketch,
+        stream_cms_cells,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    out = tmp_path_factory.mktemp("docs_cms_restart")
+    n = t.num_rows
+    cuts = [0, n // 3, 2 * n // 3, n]
+    slices = [
+        (str(out / f"documents-{i}.parquet"), t.slice(cuts[i], cuts[i + 1] - cuts[i]))
+        for i in range(3)
+    ]
+    for i in range(2):
+        pq.write_table(slices[i][1], slices[i][0])
+        os.utime(slices[i][0], (1_700_000_000 + i * 60,) * 2)
+
+    base = tmp_path_factory.mktemp("cms_restart_state")
+    kwargs = dict(
+        glob="documents-*.parquet",
+        max_files_per_trigger=1,
+        checkpoint_location=str(base / "ckpt"),
+    )
+    try:
+        q = stream_cms_cells(
+            spark, str(out), "t_cms_restart", str(base / "cells"),
+            query_name="t_cms_restart_a", **kwargs,
+        )
+        q.processAllAvailable()
+        q.stop()
+        n_after_two = spark.table("t_cms_restart").count()
+
+        pq.write_table(slices[2][1], slices[2][0])
+        os.utime(slices[2][0], (1_700_000_000 + 180,) * 2)
+        q = stream_cms_cells(
+            spark, str(out), "t_cms_restart", str(base / "cells"),
+            query_name="t_cms_restart_b", **kwargs,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        got = spark.table("t_cms_restart")
+        assert got.count() == got.distinct().count()  # no replay
+        assert got.count() > n_after_two  # the new file landed
+        cms = merged_cells_sketch(spark, "t_cms_restart")
+        want = {
+            tuple(r) for r in cms_heavy_hitters(tables["documents"]).collect()
+        }
+        got_hh = {
+            tuple(r)
+            for r in _cms_extract(
+                _cms_tokens(tables["documents"]), cms, HH_K, CMS_W, CMS_D,
+                HH_PHI_DENOM,
+            ).collect()
+        }
+        assert got_hh == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_cms_restart")
