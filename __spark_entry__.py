@@ -495,6 +495,16 @@ _DEFER_PAST_CAP = (
                             #   training pass recomputes the same
                             #   pair-count argmax rounds per merge
                             #   (tokenizer-induction family)
+    # r10 addition lm_score_bigram (interpolated bigram-LM NLL —
+    # Jelinek-Mercer smoothing over exact-integer micro-nat sums, the
+    # transition-probability filter the unigram row cannot express)
+    # enters; one r9-green unchanged sibling defers:
+    "doc_novelty",          # → decontaminate_stream stays (the same
+                            #   SPAN_W window-hash probe semantics
+                            #   through the streaming engine);
+                            #   dup-span machinery also inside the
+                            #   in-window pipeline_incr_stateful
+                            #   composition's edge path
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

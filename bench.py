@@ -182,6 +182,9 @@ EXTRA_QUERIES = [
     # r10: continuous CMS heavy hitters through foreachBatch — cold
     # prices stream machinery + one micro-batch fold + extraction
     "cms_stream_heavy_hitters",
+    # r10: interpolated bigram-LM NLL (transition-probability quality
+    # filter — broadcast transition table, exact-integer sums)
+    "lm_score_bigram",
 ]
 
 

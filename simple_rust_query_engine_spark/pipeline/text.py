@@ -460,6 +460,136 @@ def q_lm_score(t: dict) -> DataFrame:
     return _lm_scores(t["documents"])
 
 
+#: interpolation weight of the bigram term (1-λ goes to the unigram
+#: back-off) — Jelinek-Mercer smoothing, the textbook public form
+LM_LAMBDA = 0.75
+
+
+def lm_score_bigram(docs: DataFrame, lam: float = LM_LAMBDA) -> DataFrame:
+    """Interpolated BIGRAM-LM quality score — the CCNet-style filter
+    one order up from ``_lm_scores``: each document's average negative
+    log-likelihood under p(wᵢ|wᵢ₋₁) = λ·c(wᵢ₋₁wᵢ)/c(wᵢ₋₁·) +
+    (1−λ)·tf(wᵢ)/total (Jelinek-Mercer smoothing — public), with each
+    document's FIRST token scored by the unigram term alone.  Word
+    salad with locally-plausible tokens but improbable transitions —
+    the failure mode a unigram filter cannot see — scores high here.
+
+    Same determinism contract as the unigram row: every (prev, cur)
+    transition's log-prob is quantized ONCE to integer micro-nats
+    (the interpolated probability is computed from exact integer
+    counts in a fixed division/multiplication order, so the double is
+    bit-identical cross-engine), all per-doc aggregation is exact
+    BIGINT, and only the final average converts back to a rounded
+    double.
+
+    Scale shape: pairs come from one zip-of-slices per document
+    (array arguments evaluate once per row — no per-element
+    re-evaluation); per-(doc, prev, cur) multiplicities partial-
+    combine map-side; the transition table is observed-bigrams-sized
+    — vocabulary², not corpus, and in practice Zipf-concentrated — so
+    it BROADCASTS into the per-doc join (past broadcast range, bucket
+    both sides on (prev, cur) instead, the same swap as the unigram
+    vocab)."""
+    from .dedup_core import materialize
+
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("_t"))
+    firsts = toked.filter(F.size("_t") >= 1).select(
+        "doc_id", F.col("_t")[0].alias("token")
+    )
+    # materialized: the pair stream feeds BOTH the transition counts
+    # and the per-doc multiplicities — unbarriered, the corpus would
+    # re-scan (and re-zip) once per consumer
+    pairs = materialize(
+        toked.filter(F.size("_t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("_t"), 1, F.size("_t") - 1),
+                    F.slice(F.col("_t"), 2, F.size("_t") - 1),
+                    lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+                )
+            ).alias("_p"),
+        )
+        .select("doc_id", F.col("_p.prev"), F.col("_p.cur"))
+    )
+    flat = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    # materialized: the vocab-sized tf table feeds the unigram table,
+    # the transition table's back-off term AND the corpus total —
+    # unbarriered, each consumer re-runs the corpus token count
+    tf = materialize(
+        flat.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # derived, not re-scanned: the corpus total is the sum of the
+    # vocab table's counts, and the context count c(prev·) is the sum
+    # of the transition table's counts over cur — zero extra corpus
+    # passes, and both stay exact integers
+    total = tf.agg(F.sum("tf").alias("total"))
+    unilp = tf.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.round(
+            F.log(F.col("tf").cast("double") / F.col("total")) * 1e6
+        ).cast("long").alias("lp1"),
+    )
+    big = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_bi"))
+    ctx = big.groupBy("prev").agg(F.sum("c_bi").alias("c_ctx"))
+    biglp = (
+        big.join(F.broadcast(ctx), "prev")
+        .join(F.broadcast(tf.withColumnRenamed("token", "cur")), "cur")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "prev",
+            "cur",
+            F.round(
+                F.log(
+                    F.lit(lam)
+                    * (F.col("c_bi").cast("double") / F.col("c_ctx"))
+                    + F.lit(1.0 - lam)
+                    * (F.col("tf").cast("double") / F.col("total"))
+                )
+                * 1e6
+            ).cast("long").alias("lp2"),
+        )
+    )
+    fs = (
+        firsts.join(F.broadcast(unilp), "token")
+        .groupBy("doc_id")
+        .agg(F.sum("lp1").alias("_m1"), F.count(F.lit(1)).alias("_n1"))
+    )
+    dpc = pairs.groupBy("doc_id", "prev", "cur").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ps = (
+        dpc.join(F.broadcast(biglp), ["prev", "cur"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("n") * F.col("lp2")).alias("_m2"),
+            F.sum("n").alias("_n2"),
+        )
+    )
+    n_tok = F.col("_n1") + F.coalesce(F.col("_n2"), F.lit(0))
+    return (
+        fs.join(ps, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            F.round(
+                -(
+                    F.col("_m1") + F.coalesce(F.col("_m2"), F.lit(0))
+                ).cast("double")
+                / (n_tok * F.lit(1e6)),
+                6,
+            ).alias("avg_nll_interp"),
+        )
+    )
+
+
+def q_lm_score_bigram(t: dict) -> DataFrame:
+    return lm_score_bigram(t["documents"])
+
+
 QS_K = 20        # highest-quality docs kept per language
 QS_BUCKETS = 32  # pre-prune fan-out (see pack.stratified_sample)
 
@@ -928,6 +1058,63 @@ ORACLE: dict[str, str] = {
         FROM dt JOIN vocab USING (token)
         GROUP BY doc_id
     """,
+    # interpolated bigram: every transition log-prob quantized once
+    # to micro-nats from exact integer counts in a FIXED
+    # mul/div order (bit-identical doubles cross-engine), per-doc
+    # sums exact BIGINT, first token unigram-only.  SUMs cast
+    # ::BIGINT (DuckDB hugeint trap).
+    "lm_score_bigram": f"""
+        WITH toked AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        flat AS (SELECT doc_id, unnest(t) AS token FROM toked),
+        tf AS (SELECT token, COUNT(*) AS tf FROM flat GROUP BY 1),
+        tot AS (SELECT SUM(tf)::BIGINT AS total FROM tf),
+        firsts AS (
+            SELECT doc_id, t[1] AS token FROM toked WHERE len(t) >= 1
+        ),
+        pairs AS (
+            SELECT doc_id, t[r.i] AS prev, t[r.i + 1] AS cur
+            FROM toked, UNNEST(range(1, len(t))) AS r(i)
+            WHERE len(t) >= 2
+        ),
+        big AS (SELECT prev, cur, COUNT(*) AS c_bi FROM pairs GROUP BY 1, 2),
+        ctx AS (SELECT prev, SUM(c_bi)::BIGINT AS c_ctx FROM big GROUP BY 1),
+        unilp AS (
+            SELECT token,
+                   ROUND(ln(tf::DOUBLE / total) * 1e6)::BIGINT AS lp1
+            FROM tf, tot
+        ),
+        biglp AS (
+            SELECT b.prev, b.cur,
+                   ROUND(ln({LM_LAMBDA} * (b.c_bi::DOUBLE / c.c_ctx)
+                            + {1.0 - LM_LAMBDA} * (u.tf::DOUBLE / tot.total))
+                         * 1e6)::BIGINT AS lp2
+            FROM big b
+            JOIN ctx c USING (prev)
+            JOIN tf u ON u.token = b.cur, tot
+        ),
+        fs AS (
+            SELECT f.doc_id, SUM(lp1)::BIGINT AS m1,
+                   COUNT(*)::BIGINT AS n1
+            FROM firsts f JOIN unilp USING (token) GROUP BY 1
+        ),
+        dpc AS (
+            SELECT doc_id, prev, cur, COUNT(*) AS n
+            FROM pairs GROUP BY 1, 2, 3
+        ),
+        ps AS (
+            SELECT doc_id, SUM(n * lp2)::BIGINT AS m2,
+                   SUM(n)::BIGINT AS n2
+            FROM dpc JOIN biglp USING (prev, cur) GROUP BY 1
+        )
+        SELECT fs.doc_id,
+               (n1 + COALESCE(n2, 0))::BIGINT AS n_tokens,
+               ROUND(-(m1 + COALESCE(m2, 0))::DOUBLE
+                     / ((n1 + COALESCE(n2, 0)) * 1e6), 6)
+                   AS avg_nll_interp
+        FROM fs LEFT JOIN ps USING (doc_id)
+    """,
     # the naive one-window form — equality with the two-phase Spark
     # plan is the superset-pruning claim under test (same argument as
     # pack.stratified_sample)
@@ -1026,6 +1213,7 @@ QUERIES = {
     "len_histogram": q_len_histogram,
     "doc_repetition": q_doc_repetition,
     "lm_score": q_lm_score,
+    "lm_score_bigram": q_lm_score_bigram,
     "quality_topk": q_quality_topk,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_encode_checked": q_bpe_encode_checked,

@@ -45,6 +45,8 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
                                    # hash-checked eval metric
         "cms_stream_heavy_hitters",# continuous CMS through
                                    # foreachBatch, batch-row oracle
+        "lm_score_bigram",         # interpolated bigram-LM NLL
+                                   # (Jelinek-Mercer, micro-nat sums)
         # r10 changes
         "knn_join",                # mode="auto" broadcast↔two-phase dial
         "knn_join_twophase",       #   (the dial's fallback target)
@@ -77,7 +79,6 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
         "dedup_minhash_bucketed",
         "dedup_minhash_ingest_stream",
         "dedup_labels_stream",
-        "doc_novelty",
         "bm25_search",   # stays in-window: the hybrid row consumes
                          # RANKS only; score values need their own row
         "profile_table_approx",

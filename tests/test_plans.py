@@ -735,6 +735,24 @@ def test_knn_auto_dial_picks_by_index_budget(spark, tables):
         knn_join(emb, mode="bogus")
 
 
+def test_lm_score_bigram_plan_single_corpus_scan(spark):
+    # the interpolated bigram row: the pair stream and the vocab table
+    # are materialize barriers (each feeds 2-3 consumers — unbarriered
+    # the corpus re-scanned per consumer, 8 FileScans measured), so
+    # the returned plan holds exactly ONE corpus FileScan (the firsts
+    # projection); model-table joins are broadcast; no cartesian.  The
+    # single SortMergeJoin is the doc-level firsts⟕pairs aggregate
+    # join — doc-count-sized, the correct shape at scale.
+    plan = (
+        _q(spark, "lm_score_bigram")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert plan.count("SortMergeJoin") <= 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_ann_ivf_knn_join_plan_one_cell_exchange(spark):
     # the banded approximate k-NN self-join: map-only assignment
     # (Arrow UDF with the trained matrix in closure — never a
