@@ -505,6 +505,14 @@ _DEFER_PAST_CAP = (
                             #   dup-span machinery also inside the
                             #   in-window pipeline_incr_stateful
                             #   composition's edge path
+    # r10 addition vocab_drift (corpus-comparison log-odds with
+    # informative Dirichlet prior — Monroe et al. 2008) enters; one
+    # r9-green unchanged sibling defers:
+    "tpch_q1",              # → flagship stays (grouped CASE-in-agg
+                            #   composite) + agg_grouped, agg_having,
+                            #   agg_cube all in-window this round;
+                            #   tpch_q1's exact shape is pinned in the
+                            #   golden-reference suite
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

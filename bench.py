@@ -185,6 +185,9 @@ EXTRA_QUERIES = [
     # r10: interpolated bigram-LM NLL (transition-probability quality
     # filter — broadcast transition table, exact-integer sums)
     "lm_score_bigram",
+    # r10: corpus-comparison drift report (log-odds w/ Dirichlet
+    # prior — one vocab-sized exchange + TakeOrdered)
+    "vocab_drift",
 ]
 
 

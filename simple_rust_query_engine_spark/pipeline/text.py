@@ -590,6 +590,77 @@ def q_lm_score_bigram(t: dict) -> DataFrame:
     return lm_score_bigram(t["documents"])
 
 
+DRIFT_K = 20      # most-divergent tokens reported
+DRIFT_A0 = 100.0  # Dirichlet prior mass (Monroe et al.'s alpha_0)
+
+
+def vocab_drift(
+    docs: DataFrame,
+    group_col: str = "source",
+    group_a: str = "src0",
+    k: int = DRIFT_K,
+    a0: float = DRIFT_A0,
+) -> DataFrame:
+    """Corpus-comparison DRIFT report: the tokens whose usage most
+    separates one slice of the corpus (``group_col == group_a``) from
+    the rest, by log-odds ratio with an informative Dirichlet prior
+    (Monroe, Colaresi & Quinn 2008, "Fightin' Words" — public; the
+    standard method, because raw frequency ratios explode on rare
+    tokens and chi-square over-weights stopwords).  The operational
+    use at 100 TB: compare today's crawl against yesterday's, one
+    source against the mixture, or post-filter against pre-filter —
+    vocabulary drift, boilerplate floods and contamination spikes
+    surface as extreme z-scores.
+
+    z(w) = δ(w)/√var(w), δ = ln((yₐ+αw)/(nₐ+α₀−yₐ−αw)) −
+    ln((y_b+αw)/(n_b+α₀−y_b−αw)), var = 1/(yₐ+αw) + 1/(y_b+αw), with
+    αw = α₀·tf(w)/total (the corpus-wide distribution as the prior).
+    Deterministic: counts are exact integers, every float op is
+    written in one fixed order on both engines, z rounds to 6dp, ties
+    break toward the lower token.
+
+    Plan: one token explode with a conditional partial-agg (one
+    vocab-sized exchange); totals derive from the vocab table (no
+    second corpus pass); scoring is a map over vocab rows with the
+    1-row totals broadcast; TakeOrdered emits k rows."""
+    toks = docs.select(
+        (F.col(group_col) == F.lit(group_a)).alias("in_a"),
+        F.explode(tokens(F.col("text"))).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("cnt_a"),
+        F.count(F.lit(1)).alias("tf"),
+    )
+    totals = counts.agg(
+        F.sum("cnt_a").alias("n_a"), F.sum("tf").alias("total")
+    )
+    cnt_b = F.col("tf") - F.col("cnt_a")
+    n_b = F.col("total") - F.col("n_a")
+    aw = F.lit(a0) * F.col("tf").cast("double") / F.col("total")
+    da = F.log(
+        (F.col("cnt_a") + aw)
+        / (F.col("n_a") + F.lit(a0) - F.col("cnt_a") - aw)
+    )
+    db = F.log((cnt_b + aw) / (n_b + F.lit(a0) - cnt_b - aw))
+    var = F.lit(1.0) / (F.col("cnt_a") + aw) + F.lit(1.0) / (cnt_b + aw)
+    z = F.round((da - db) / F.sqrt(var), 6)
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "token",
+            F.col("cnt_a"),
+            cnt_b.alias("cnt_b"),
+            z.alias("z_log_odds"),
+        )
+        .orderBy(F.abs(F.col("z_log_odds")).desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def q_vocab_drift(t: dict) -> DataFrame:
+    return vocab_drift(t["documents"])
+
+
 QS_K = 20        # highest-quality docs kept per language
 QS_BUCKETS = 32  # pre-prune fan-out (see pack.stratified_sample)
 
@@ -1115,6 +1186,46 @@ ORACLE: dict[str, str] = {
                    AS avg_nll_interp
         FROM fs LEFT JOIN ps USING (doc_id)
     """,
+    # log-odds with informative Dirichlet prior: every float op in
+    # the same textual order as the Spark expression; counts exact
+    # (SUM ::BIGINT — hugeint trap); z rounded 6dp, ties toward the
+    # lower token
+    "vocab_drift": f"""
+        WITH toks AS (
+            SELECT (source = 'src0') AS in_a,
+                   unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        counts AS (
+            SELECT token,
+                   SUM(CASE WHEN in_a THEN 1 ELSE 0 END)::BIGINT AS cnt_a,
+                   COUNT(*)::BIGINT AS tf
+            FROM toks GROUP BY 1
+        ),
+        tot AS (
+            SELECT SUM(cnt_a)::BIGINT AS n_a, SUM(tf)::BIGINT AS total
+            FROM counts
+        ),
+        scored AS (
+            SELECT token, cnt_a, (tf - cnt_a)::BIGINT AS cnt_b,
+                   ROUND(
+                       (ln((cnt_a + {DRIFT_A0} * tf::DOUBLE / total)
+                           / (n_a + {DRIFT_A0} - cnt_a
+                              - {DRIFT_A0} * tf::DOUBLE / total))
+                        - ln(((tf - cnt_a) + {DRIFT_A0} * tf::DOUBLE / total)
+                             / ((total - n_a) + {DRIFT_A0} - (tf - cnt_a)
+                                - {DRIFT_A0} * tf::DOUBLE / total)))
+                       / sqrt(1.0 / (cnt_a + {DRIFT_A0} * tf::DOUBLE / total)
+                              + 1.0 / ((tf - cnt_a)
+                                       + {DRIFT_A0} * tf::DOUBLE / total)),
+                       6) AS z_log_odds
+            FROM counts, tot
+        )
+        SELECT token, cnt_a, cnt_b, z_log_odds
+        FROM scored
+        ORDER BY ABS(z_log_odds) DESC, token ASC
+        LIMIT {DRIFT_K}
+    """,
     # the naive one-window form — equality with the two-phase Spark
     # plan is the superset-pruning claim under test (same argument as
     # pack.stratified_sample)
@@ -1214,6 +1325,7 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "lm_score": q_lm_score,
     "lm_score_bigram": q_lm_score_bigram,
+    "vocab_drift": q_vocab_drift,
     "quality_topk": q_quality_topk,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_encode_checked": q_bpe_encode_checked,

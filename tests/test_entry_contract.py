@@ -47,6 +47,8 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
                                    # foreachBatch, batch-row oracle
         "lm_score_bigram",         # interpolated bigram-LM NLL
                                    # (Jelinek-Mercer, micro-nat sums)
+        "vocab_drift",             # corpus-comparison log-odds with
+                                   # Dirichlet prior (Monroe 2008)
         # r10 changes
         "knn_join",                # mode="auto" broadcast↔two-phase dial
         "knn_join_twophase",       #   (the dial's fallback target)
