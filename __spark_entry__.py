@@ -495,24 +495,28 @@ _DEFER_PAST_CAP = (
                             #   training pass recomputes the same
                             #   pair-count argmax rounds per merge
                             #   (tokenizer-induction family)
-    # r10 addition lm_score_bigram (interpolated bigram-LM NLL —
+    # r10 additions lm_score_bigram (interpolated bigram-LM NLL —
     # Jelinek-Mercer smoothing over exact-integer micro-nat sums, the
     # transition-probability filter the unigram row cannot express)
-    # enters; one r9-green unchanged sibling defers:
-    "doc_novelty",          # → decontaminate_stream stays (the same
-                            #   SPAN_W window-hash probe semantics
-                            #   through the streaming engine);
-                            #   dup-span machinery also inside the
-                            #   in-window pipeline_incr_stateful
-                            #   composition's edge path
-    # r10 addition vocab_drift (corpus-comparison log-odds with
-    # informative Dirichlet prior — Monroe et al. 2008) enters; one
-    # r9-green unchanged sibling defers:
-    "tpch_q1",              # → flagship stays (grouped CASE-in-agg
-                            #   composite) + agg_grouped, agg_having,
-                            #   agg_cube all in-window this round;
-                            #   tpch_q1's exact shape is pinned in the
-                            #   golden-reference suite
+    # and vocab_drift (corpus-comparison log-odds with informative
+    # Dirichlet prior — Monroe et al. 2008) enter; two r9-green
+    # unchanged siblings defer.  (An earlier draft of this rotation
+    # deferred doc_novelty and tpch_q1 instead — reverted in-round:
+    # doc_novelty is the last BATCH span-family row in-window, whose
+    # absence would have invalidated three standing defer
+    # justifications, and tpch_q1 had no golden pin to stand on.)
+    "knn_label_spread",     # → knn_join + knn_join_stream stay (the
+                            #   same index + _topk_frames kernel);
+                            #   the struct-max argmax pattern stays
+                            #   value-checked via dedup_keep_best,
+                            #   in-window
+    "cms_merge_heavy_hitters", # → cms_stream_heavy_hitters (NEW this
+                            #   round) exercises the same cell-sum
+                            #   merge linearity + the shared
+                            #   _cms_extract passes; the keyed
+                            #   per-source fold is property-tested
+                            #   against arbitrary source layouts
+                            #   (test_property: cms_merge linearity)
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

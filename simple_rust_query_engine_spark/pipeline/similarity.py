@@ -414,6 +414,30 @@ def _kmeans_update_frame(emb: DataFrame, C: "np.ndarray") -> DataFrame:
     )
 
 
+def _plan_fingerprint(df: DataFrame) -> str:
+    """Cross-process row-set fingerprint of a frame: md5 of the
+    CANONICALIZED analyzed plan's toJSON (expr-ids normalized), with
+    every jvmId UUID stripped first.  Each rejected alternative was a
+    measured failure: Spark serializes ExprId as {id, jvmId} where
+    jvmId is a RANDOM per-JVM UUID canonicalization does not
+    normalize — unstripped, the same plan hashes differently in every
+    process, so a restarted driver on a durable warehouse would never
+    match its own persisted state; toString/treeString truncates at
+    spark.sql.debug.maxToStringFields (default 25), so plans
+    differing only past a node's 25th field render byte-identical;
+    the bare 32-bit semanticHash birthday-collides between ad-hoc
+    filters.  Pinned cross-process by
+    ``test_pipeline_paths.test_plan_fingerprint_stable_across_processes``."""
+    import hashlib
+    import re
+
+    plan_json = df._jdf.queryExecution().analyzed().canonicalized().toJSON()
+    plan_json = re.sub(
+        r'"jvmId"\s*:\s*"[0-9a-fA-F-]{36}"', '"jvmId":"0"', plan_json
+    )
+    return hashlib.md5(plan_json.encode()).hexdigest()
+
+
 def kmeans_centroids(
     emb: DataFrame,
     n_cells: int = KMEANS_CELLS,
@@ -466,23 +490,8 @@ def kmeans_centroids(
         # filtered/derived frame over the same parquet reports the
         # same inputFiles, and keying on files alone would let a
         # subset-trained matrix poison every later whole-corpus call
-        # (and vice versa).  Fingerprint = md5 of the CANONICALIZED
-        # analyzed plan's toJSON (expr-ids normalized — the
-        # representation sameResult compares).  toJSON, NOT toString:
-        # treeString truncates at spark.sql.debug.maxToStringFields
-        # (default 25), so plans differing only past the 25th field
-        # of a node render byte-identical — measured collision.  And
-        # not the bare 32-bit semanticHash: a birthday collision
-        # between ad-hoc filters would silently share one matrix.
-        import hashlib
-
-        plan_fp = hashlib.md5(
-            emb._jdf.queryExecution()
-            .analyzed()
-            .canonicalized()
-            .toJSON()
-            .encode()
-        ).hexdigest()
+        # (and vice versa)
+        plan_fp = _plan_fingerprint(emb)
 
         def build_df():
             C = train()

@@ -69,10 +69,9 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
         # earlier rows that keep their green (family reps documented
         # at their _DEFER_PAST_CAP entries)
         "hybrid_search_rrf",
-        "cms_merge_heavy_hitters",
         "dedup_exact_stream",
+        "doc_novelty",
         "knn_join_stream",
-        "knn_label_spread",
         "join_asof",
         "pipeline_incr_stateful",
         "dedup_cc",

@@ -1212,3 +1212,36 @@ def test_knn_twophase_warns_when_budget_unmeetable(spark):
     # custom index_budget_bytes down to the degenerate fallback
     with pytest.warns(UserWarning, match="cannot be tiled"):
         S.knn_join(emb, mode="auto", index_budget_bytes=1).count()
+
+
+def test_plan_fingerprint_stable_across_processes(spark):
+    # the persisted-state key must survive a driver restart: the
+    # fingerprint strips the per-JVM random ExprId jvmId UUIDs before
+    # hashing (unstripped, the same plan hashed differently in every
+    # process — measured), so a fresh process computes the SAME value
+    import os
+    import subprocess
+    import sys
+
+    import simple_rust_query_engine_spark.pipeline.similarity as S
+
+    path = os.path.join(SF_DIR, "embeddings.parquet")
+    here = S._plan_fingerprint(spark.read.parquet(path))
+    # and a filtered frame still fingerprints differently (the whole
+    # point of keying on the plan, not the files)
+    assert here != S._plan_fingerprint(
+        spark.read.parquet(path).filter("vec_id < 100")
+    )
+    script = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from simple_rust_query_engine_spark.session import get_spark\n"
+        "import simple_rust_query_engine_spark.pipeline.similarity as S\n"
+        f"spark = get_spark('fp-probe')\n"
+        f"print('FP=' + S._plan_fingerprint(spark.read.parquet({path!r})))\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=300, check=True,
+    ).stdout
+    other = [ln for ln in out.splitlines() if ln.startswith("FP=")][0][3:]
+    assert other == here
