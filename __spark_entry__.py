@@ -456,9 +456,11 @@ _DEFER_PAST_CAP = (
                             #   LSH family); re-certified r9
     "token_count",          # → fingerprint re-enters (text family);
                             #   quality_topk + bpe_encode_checked stay
-    "cms_heavy_hitters",    # → cms_merge_heavy_hitters stays — it
-                            #   exercises the same _cms_sketch/
-                            #   _cms_extract helpers PLUS the merge;
+    "cms_heavy_hitters",    # → cms_stream_heavy_hitters stays (late
+                            #   r10: it replaced cms_merge_heavy_
+                            #   hitters as the in-window CMS rep —
+                            #   same _cms_fold_batches/_cms_extract
+                            #   helpers PLUS the cell-sum merge);
                             #   re-certified r9
     "cross_source_overlap", # → the edge-machinery family keeps five
                             #   in-window reps (ngram_jaccard,

@@ -414,10 +414,17 @@ def _kmeans_update_frame(emb: DataFrame, C: "np.ndarray") -> DataFrame:
     )
 
 
-def _plan_fingerprint(df: DataFrame) -> str:
-    """Cross-process row-set fingerprint of a frame: md5 of the
+def _plan_shape_fingerprint(df: DataFrame) -> str:
+    """Cross-process fingerprint of a frame's PLAN SHAPE: md5 of the
     CANONICALIZED analyzed plan's toJSON (expr-ids normalized), with
-    every jvmId UUID stripped first.  Each rejected alternative was a
+    every jvmId UUID stripped first.  SHAPE only, NOT the row set:
+    the canonicalized JSON serializes a LogicalRelation's underlying
+    HadoopFsRelation as null (measured — no file path survives), so
+    two frames over DIFFERENT datasets with the same schema and
+    operator tree fingerprint identically.  Any persisted-state key
+    MUST therefore combine this with the frame's input-file list, as
+    ``kmeans_centroids`` does — this hash contributes the
+    filters/projections/derivations the file list cannot see.  Each rejected alternative was a
     measured failure: Spark serializes ExprId as {id, jvmId} where
     jvmId is a RANDOM per-JVM UUID canonicalization does not
     normalize — unstripped, the same plan hashes differently in every
@@ -491,7 +498,7 @@ def kmeans_centroids(
         # same inputFiles, and keying on files alone would let a
         # subset-trained matrix poison every later whole-corpus call
         # (and vice versa)
-        plan_fp = _plan_fingerprint(emb)
+        plan_fp = _plan_shape_fingerprint(emb)
 
         def build_df():
             C = train()

@@ -29,10 +29,11 @@ def test_head_is_exactly_driver_cap():
 def test_rotation_keeps_new_and_changed_operators_in_window():
     # standing rule (VERDICT r3/r4): every operator added or changed
     # this round must sit inside the driver's 50-entry checked window
-    # the round it changes.  Round 10: one addition
-    # (kmv_merge_ndistinct — the last sketch-triad merge row), the
-    # changed entries (the knn_join auto dial, the persisted-centroid
-    # KMeans state, the Bloom sizing dial), and the fourth
+    # the round it changes.  Round 10: SIX additions (kmv_merge,
+    # the banded IVF join + its recall row, the streaming CMS row,
+    # the bigram LM, vocab_drift), the changed entries (the knn_join
+    # auto dial, the persisted-centroid KMeans state, the Bloom
+    # sizing dial, the KMV shared-helper refactor), and the fourth
     # re-certification sweep (the 8 oldest deferred rows — six with
     # r4 evidence, two with r5).
     must_be_checked = {

@@ -1214,7 +1214,7 @@ def test_knn_twophase_warns_when_budget_unmeetable(spark):
         S.knn_join(emb, mode="auto", index_budget_bytes=1).count()
 
 
-def test_plan_fingerprint_stable_across_processes(spark):
+def test_plan_fingerprint_stable_across_processes(spark, tmp_path):
     # the persisted-state key must survive a driver restart: the
     # fingerprint strips the per-JVM random ExprId jvmId UUIDs before
     # hashing (unstripped, the same plan hashed differently in every
@@ -1226,18 +1226,28 @@ def test_plan_fingerprint_stable_across_processes(spark):
     import simple_rust_query_engine_spark.pipeline.similarity as S
 
     path = os.path.join(SF_DIR, "embeddings.parquet")
-    here = S._plan_fingerprint(spark.read.parquet(path))
-    # and a filtered frame still fingerprints differently (the whole
-    # point of keying on the plan, not the files)
-    assert here != S._plan_fingerprint(
+    here = S._plan_shape_fingerprint(spark.read.parquet(path))
+    # a filtered frame fingerprints differently (the hash contributes
+    # what the file list cannot see)...
+    assert here != S._plan_shape_fingerprint(
         spark.read.parquet(path).filter("vec_id < 100")
     )
+    # ...but the hash is SHAPE-only: a same-schema frame over a
+    # DIFFERENT dataset fingerprints identically (the canonicalized
+    # JSON serializes the file relation as null), which is why every
+    # persisted-state key must also concatenate the input-file list
+    other_ds = str(tmp_path / "other.parquet")
+    spark.read.parquet(path).limit(7).write.parquet(other_ds)
+    assert here == S._plan_shape_fingerprint(spark.read.parquet(other_ds))
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(S.__file__)))
+    repo_root = os.path.dirname(repo_root)  # package dir -> repo root
     script = (
-        "import sys; sys.path.insert(0, '/root/repo')\n"
+        f"import sys; sys.path.insert(0, {repo_root!r})\n"
         "from simple_rust_query_engine_spark.session import get_spark\n"
         "import simple_rust_query_engine_spark.pipeline.similarity as S\n"
-        f"spark = get_spark('fp-probe')\n"
-        f"print('FP=' + S._plan_fingerprint(spark.read.parquet({path!r})))\n"
+        "spark = get_spark('fp-probe')\n"
+        f"print('FP=' + S._plan_shape_fingerprint(spark.read.parquet({path!r})))\n"
     )
     out = subprocess.run(
         [sys.executable, "-c", script],
