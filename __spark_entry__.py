@@ -109,37 +109,15 @@ _DEFER_PAST_CAP = (
     # evidence) and agg_cube, set_except (r5 evidence) — rotate back
     # IN-window for re-certification, continuing the 8-per-round
     # sweep; see the r10 block at the end)
-    "ann_multiprobe",        # → ann_lsh stays (LSH-bucket ANN family)
-    "events_window_sliding", # → events_session_window +
-                             #   events_window_stream stay
-    "multimodal_meta",       # → feature_extract stays (multimodal)
-    # round-5 addition doc_repetition (Gopher repetition filter)
-    # enters; join_full (r4-green) defers — join family stays checked
-    # via join_inner + join_anti, and full-outer's null extension is
-    # pinned by golden tests
-    "join_full",
-    # round-5 addition semantic_dedup (SemDeDup cluster-scoped
-    # near-dup pruning) enters; emb_centroid (r4-green) defers — the
-    # embedding family stays checked via embedding_neardup, ann_lsh,
-    # semantic_search, and the new semantic_dedup itself
-    "emb_centroid",
-    # round-5 addition join_asof_nearest enters (merge_asof changed
-    # shape this round too — its framing moved into _asof_union — and
-    # join_asof_fwd stays in-window covering that shared path);
-    # events_retention (r4-green) defers — the events family stays
-    # checked via events_funnel + the streaming event queries
-    "events_retention",
-    # round-5 addition dedup_keep_best (quality-aware canonical per
-    # near-dup component) enters; vocab_stats (r4-green) defers — the
-    # text family stays checked via quality_score, lang_id,
-    # text_normalize, chunk_documents, len_histogram, doc_repetition
-    "vocab_stats",
+    # (r11: the 8 oldest deferred rows — ann_multiprobe,
+    # events_window_sliding, multimodal_meta, join_full, emb_centroid,
+    # events_retention, vocab_stats, text_normalize, all r4/r5
+    # evidence — rotate back IN-window for re-certification,
+    # continuing the 8-per-round sweep; see the r11 block at the end)
     # round-5 additions dup_spans (exact substring dedup) and
-    # decontaminate (train/eval n-gram overlap) enter; two r4-green
-    # rows defer: text_normalize (text family: quality_score, lang_id,
-    # chunk_documents, doc_repetition stay) and shuffle_shards (pack
-    # family: pack_sequences, sample_mixture, train_test_split stay)
-    "text_normalize",
+    # decontaminate (train/eval n-gram overlap) enter; shuffle_shards
+    # (r4-green) defers — pack family stays checked via
+    # pack_sequences, sample_mixture, train_test_split
     "shuffle_shards",
     # round-5 addition decontaminate_stream (map-only ingest-time
     # probe through the streaming engine) enters; train_test_split
@@ -519,6 +497,68 @@ _DEFER_PAST_CAP = (
                             #   per-source fold is property-tested
                             #   against arbitrary source layouts
                             #   (test_property: cms_merge linearity)
+    # ---- round 11 ----
+    # ELEVEN entries enter the window this round: the r11
+    # RE-CERTIFICATION sweep (the 8 oldest deferred rows —
+    # ann_multiprobe, events_window_sliding, multimodal_meta,
+    # join_full, emb_centroid, events_retention, vocab_stats,
+    # text_normalize — r4/r5 evidence, the oldest on record) and the
+    # three r11 additions — ann_ivf_knn_join_probe (multi-probe cell
+    # co-assignment lifting the single-cell recall ceiling),
+    # knn_recall_ivf_probe (cell-vs-probe recall side by side, the
+    # eval metric hash-checked) and bloom_precheck_stream (continuous
+    # Bloom dedup pre-filter through foreachBatch — OR linearity, the
+    # batch row's oracle verbatim).  Eleven r10-hash-green unchanged
+    # siblings defer in exchange — seven of them rows re-certified
+    # LAST round (the freshest evidence in the deferred set, the same
+    # trade r9/r10 made; agg_cube stays IN-window as the only
+    # Expand-family row), each with in-window family representatives:
+    "fingerprint",          # → text_normalize + vocab_stats re-enter;
+                            #   quality_topk, lm_score_bigram,
+                            #   vocab_drift, bpe_encode_checked stay
+                            #   (text family); re-certified r10
+    "frame_sample",         # → multimodal_meta re-enters (multimodal
+                            #   family); geometry contract pinned
+                            #   PIL-free in test_pipeline_paths
+    "quantile",             # → profile_table_approx stays (stats/
+                            #   profiling family; exact-quantile twin
+                            #   inside it); re-certified r10
+    "agg_having",           # → agg_grouped + tpch_q1 stay (the
+                            #   filter-over-agg path); re-certified
+                            #   r10
+    "join_left",            # → join_inner stays + join_full re-enters
+                            #   (outer-null extension family);
+                            #   re-certified r10
+    "skew_safe_collect",    # → quality_topk stays (the same skew-safe
+                            #   two-phase top-k machinery); kmv rows
+                            #   in-window; re-certified r10
+    "set_except",           # → distinct stays (set-semantics dedup);
+                            #   set-op family pinned in golden tests;
+                            #   re-certified r10
+    "kmv_ndistinct",        # → kmv_merge_ndistinct stays (it consumes
+                            #   the same _kmv_minima/_kmv_estimate_aggs
+                            #   helpers); re-entered r10 after the
+                            #   refactor, green
+    "hybrid_search_rrf",    # → bm25_search stays (deliberately — the
+                            #   hybrid row consumes RANKS only, so the
+                            #   score VALUES keep their own checked
+                            #   row); r9 addition, r10-green
+    "dedup_exact_stream",   # → the streaming family keeps SEVEN
+                            #   in-window reps (events_window_stream,
+                            #   decontaminate_stream, both dedup
+                            #   ingest streams, knn_join_stream,
+                            #   cms_stream_heavy_hitters and the NEW
+                            #   bloom_precheck_stream); batch
+                            #   dedup-by-digest semantics also inside
+                            #   bloom_dedup_precheck's verify,
+                            #   in-window; re-certified r9, r10-green
+    "kmeans_train",         # → ann_ivf_trained stays (assignment over
+                            #   the SAME trained centroids) and four
+                            #   more in-window consumers of
+                            #   kmeans_centroids (both cell-join rows,
+                            #   both recall rows) exercise the
+                            #   training loop; r10-touched
+                            #   (persistence), green
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

@@ -188,6 +188,14 @@ EXTRA_QUERIES = [
     # r10: corpus-comparison drift report (log-odds w/ Dirichlet
     # prior — one vocab-sized exchange + TakeOrdered)
     "vocab_drift",
+    # r11: multi-probe cell co-assignment k-NN join (reads the same
+    # persisted centroid state; ~p× the single-cell candidate work)
+    # and the cell-vs-probe recall row (exact leg + both approx legs)
+    "ann_ivf_knn_join_probe",
+    "knn_recall_ivf_probe",
+    # r11: continuous Bloom dedup pre-filter through foreachBatch —
+    # cold prices stream machinery + set-bit fold + probe/verify
+    "bloom_precheck_stream",
 ]
 
 
@@ -212,6 +220,34 @@ def _canary_ok(pre: float, post: float) -> bool:
     lo = CANARY_ANCHOR_SEC * (1.0 - CANARY_TOLERANCE)
     hi = CANARY_ANCHOR_SEC * (1.0 + CANARY_TOLERANCE)
     return lo <= pre <= hi and lo <= post <= hi
+
+
+def _git_provenance() -> dict:
+    """HEAD SHA + dirty flag, so a bench JSON is attributable to the
+    exact code it measured (VERDICT r10: two same-round artifacts
+    differed 15% with nothing recording whether code moved between
+    them).  Never fails the bench: outside a git checkout both fields
+    degrade to None."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=here, capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+        dirty_probe = subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=here, capture_output=True, text=True, timeout=10,
+        )
+        dirty = (
+            bool(dirty_probe.stdout.strip())
+            if dirty_probe.returncode == 0
+            else None
+        )
+    except Exception:
+        sha, dirty = None, None
+    return {"git_sha": sha, "git_dirty": dirty}
 
 
 def _canary_sec() -> float:
@@ -328,6 +364,9 @@ def main() -> None:
         "canary_ok": _canary_ok(canary_pre, canary_post),
         "canary_anchor_sec": CANARY_ANCHOR_SEC,
         "sf": sf_val,
+        # code provenance (VERDICT r10 item: same-round artifacts must
+        # be attributable to the code they measured, not archaeology)
+        **_git_provenance(),
     }
     if errors:
         full["errors"] = errors
@@ -352,6 +391,8 @@ def main() -> None:
         "canary_sec": full["canary_sec"],
         "canary_ok": full["canary_ok"],
         "sf": sf_val,
+        "git_sha": full["git_sha"],
+        "git_dirty": full["git_dirty"],
     }
     if not full["canary_ok"]:
         print(

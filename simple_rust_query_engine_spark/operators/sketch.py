@@ -522,6 +522,106 @@ def bloom_geometry(n: int, fp_target: float) -> tuple[int, int]:
     return m, min(d, _BLOOM_MAX_D)
 
 
+def _bloom_split(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """(existing, arriving-batch) under the package's standing
+    new-arrival predicate, with NULL text filtered BEFORE hashing
+    (same guard as kmv_ndistinct): a NULL hash reaches the Arrow
+    kernel as NaN and astype(int64) silently yields INT64_MIN — a
+    garbage bit position the oracle (where NULL arithmetic propagates
+    to no-match) never sets.  One definition shared by the batch row
+    and the streaming ingest fold, so their populations can never
+    drift."""
+    from ..pipeline.dedup_sketch import INCR_MOD
+
+    nonnull = docs.where(F.col(text_col).isNotNull())
+    return (
+        nonnull.filter(F.col("doc_id") % INCR_MOD != 0),
+        nonnull.filter(F.col("doc_id") % INCR_MOD == 0),
+    )
+
+
+def _bloom_set_bits_df(hashes: DataFrame, bucket, m: int, d: int) -> DataFrame:
+    """(h bigint) frame → DISTINCT set-bit positions.  Map-only Arrow
+    pass emits each partition's positions (≤ m rows per task); the
+    distinct IS the bitwise-OR merge (≤ m uniform keys — the same
+    cell-level mergeability as the CMS rows), which is also what
+    makes the filter STREAMABLE: per-batch position sets appended
+    batch-keyed OR together by one more distinct on read."""
+
+    def set_bits(it):
+        for pdf in it:
+            hs = pdf["h"].to_numpy().astype(np.int64)
+            if len(hs):
+                pos = np.unique(
+                    np.concatenate([bucket(hs, i, m) for i in range(d)])
+                )
+            else:
+                pos = np.array([], dtype=np.int64)
+            yield pd.DataFrame({"pos": pos})
+
+    return hashes.mapInPandas(set_bits, "pos long").distinct()
+
+
+def _bloom_member_udf(bitset: "np.ndarray", bucket, m: int, d: int):
+    """Probe kernel: all d positions set ⇒ maybe-member.  The m-byte
+    bitset ships in the UDF closure (model state, like the CMS
+    counter matrix)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def member(hs: pd.Series) -> pd.Series:
+        whs = hs.to_numpy().astype(np.int64)
+        ok = np.ones(len(whs), dtype=bool)
+        for i in range(d):
+            ok &= bitset[bucket(whs, i, m)]
+        return pd.Series(ok)
+
+    return member
+
+
+def _bloom_probe_verify(
+    existing: DataFrame,
+    batch: DataFrame,
+    bitset: "np.ndarray",
+    bucket,
+    m: int,
+    d: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Probe + exact verify against a PREBUILT bitset — the shared
+    tail of the batch row and the streaming entry (one definition of
+    the probe arithmetic and the soundness columns).  The batch
+    projection feeds both the probe and the verify's broadcast hash
+    set — barrier it or the batch scan runs twice; the existing
+    corpus is semi-joined against the BROADCAST batch hash set, so
+    the corpus never shuffles for the ground-truth check."""
+    from ..pipeline.dedup_core import materialize
+
+    hcol = _kmv_hash(F.col(text_col))
+    member = _bloom_member_udf(bitset, bucket, m, d)
+    probed = materialize(batch.select("doc_id", hcol.alias("h")))
+    matched = (
+        existing.select(hcol.alias("h"))
+        .join(F.broadcast(probed.select("h").distinct()), "h", "left_semi")
+        .distinct()  # ≤ |batch| matched hash values
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        probed.withColumn("maybe_dup", member(F.col("h")))
+        .join(F.broadcast(matched), "h", "left")
+        .select(
+            "doc_id",
+            "maybe_dup",
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+            (F.col("maybe_dup") | ~F.coalesce("is_dup", F.lit(False))).alias(
+                "sound"
+            ),
+        )
+    )
+
+
 def bloom_dedup_precheck(
     docs: DataFrame,
     m: int = BLOOM_M,
@@ -560,16 +660,7 @@ def bloom_dedup_precheck(
     the CMS affine maps, so the WHOLE filter — bitset, probes, FP set
     — is bit-reproducible and hash-checked against a DuckDB twin that
     recomputes every bit."""
-    from ..pipeline.dedup_core import materialize
-    from ..pipeline.dedup_sketch import INCR_MOD
-
-    # NULL text filtered BEFORE hashing (same guard as kmv_ndistinct):
-    # a NULL hash reaches the Arrow kernel as NaN and astype(int64)
-    # silently yields INT64_MIN — a garbage bit position the oracle
-    # (where NULL arithmetic propagates to no-match) never sets
-    nonnull = docs.where(F.col(text_col).isNotNull())
-    existing = nonnull.filter(F.col("doc_id") % INCR_MOD != 0)
-    batch = nonnull.filter(F.col("doc_id") % INCR_MOD == 0)
+    existing, batch = _bloom_split(docs, text_col)
     hcol = _kmv_hash(F.col(text_col))
 
     if fp_target is not None:
@@ -585,57 +676,12 @@ def bloom_dedup_precheck(
     else:
         bucket = _cms_bucket_py
 
-    def set_bits(it):
-        for pdf in it:
-            hs = pdf["h"].to_numpy().astype(np.int64)
-            if len(hs):
-                pos = np.unique(
-                    np.concatenate([bucket(hs, i, m) for i in range(d)])
-                )
-            else:
-                pos = np.array([], dtype=np.int64)
-            yield pd.DataFrame({"pos": pos})
-
-    set_rows = (
-        existing.select(hcol.alias("h"))
-        .mapInPandas(set_bits, "pos long")
-        .distinct()  # the merge: bitwise OR == distinct over positions
-        .collect()
-    )  # ≤ m scalars of filter state — model state, not a data path
+    set_rows = _bloom_set_bits_df(
+        existing.select(hcol.alias("h")), bucket, m, d
+    ).collect()  # ≤ m scalars of filter state — model state, not data
     bitset = np.zeros(m, dtype=bool)
     bitset[[r.pos for r in set_rows]] = True
-
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("boolean")
-    def member(hs: pd.Series) -> pd.Series:
-        whs = hs.to_numpy().astype(np.int64)
-        ok = np.ones(len(whs), dtype=bool)
-        for i in range(d):
-            ok &= bitset[bucket(whs, i, m)]
-        return pd.Series(ok)
-
-    # the batch projection feeds both the probe and the verify's
-    # broadcast hash set — barrier it or the batch scan runs twice
-    probed = materialize(batch.select("doc_id", hcol.alias("h")))
-    matched = (
-        existing.select(hcol.alias("h"))
-        .join(F.broadcast(probed.select("h").distinct()), "h", "left_semi")
-        .distinct()  # ≤ |batch| matched hash values
-        .withColumn("is_dup", F.lit(True))
-    )
-    return (
-        probed.withColumn("maybe_dup", member(F.col("h")))
-        .join(F.broadcast(matched), "h", "left")
-        .select(
-            "doc_id",
-            "maybe_dup",
-            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
-            (F.col("maybe_dup") | ~F.coalesce("is_dup", F.lit(False))).alias(
-                "sound"
-            ),
-        )
-    )
+    return _bloom_probe_verify(existing, batch, bitset, bucket, m, d, text_col)
 
 
 def q_bloom_dedup_precheck(t: dict) -> DataFrame:

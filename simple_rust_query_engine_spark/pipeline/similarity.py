@@ -906,7 +906,16 @@ def _knn_geometry(emb: DataFrame) -> tuple[int, int]:
 
 def knn_index_bytes(n: int, dim: int) -> int:
     """Estimated bytes of the broadcast (ids, float64 matrix, norms)
-    index: n·dim·8 for the matrix + 16n for ids and norms."""
+    index: n·dim·8 for the matrix + 16n for ids and norms.
+
+    This counts the DESERIALIZED numpy payload only.  While a task
+    first unpickles the broadcast, the executor transiently holds the
+    serialized copy alongside the live arrays — peak footprint can
+    reach ~2× this estimate.  The budget the auto dial compares
+    against (``KNN_INDEX_BUDGET_BYTES``, 512 MiB against multi-GiB
+    executors) deliberately leaves that headroom; when sizing a
+    custom budget, keep it ≤ half of what the executor can actually
+    spare for the index."""
     return n * (dim * 8 + 16)
 
 
@@ -1259,12 +1268,50 @@ def q_knn_join_twophase(t: dict) -> DataFrame:
     return knn_join_twophase(t["embeddings"])
 
 
+#: cells each vector is co-assigned to on the multi-probe cell-join
+#: path — 2 recovers most near-boundary losses at ~2× candidate cost
+KNN_PROBE_CELLS = 2
+
+
+def _cell_assign_topp_udf(C: "np.ndarray", p: int):
+    """Top-``p`` nearest cells per vector (cos desc, ties toward the
+    lower cell — a stable argsort on the negated scores, matching the
+    oracle's ROW_NUMBER tie rule).  Same sequential-fold arithmetic
+    as ``_cell_assign_udf``; p=1 reduces to its argmax."""
+    from pyspark.sql.functions import pandas_udf
+
+    n_cells, dim = C.shape
+    p_eff = min(p, n_cells)
+    c_nrm = np.zeros(n_cells)
+    for d in range(dim):
+        c_nrm = c_nrm + C[:, d] * C[:, d]
+    c_nrm = np.sqrt(c_nrm)
+
+    @pandas_udf("array<int>")
+    def assign_p(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype=object)
+        A = np.stack(embs.to_numpy()).astype(np.float64)
+        v_nrm = np.zeros(len(A))
+        dot = np.zeros((len(A), n_cells))
+        for d in range(A.shape[1]):
+            v_nrm = v_nrm + A[:, d] * A[:, d]
+            dot = dot + np.outer(A[:, d], C[:, d])
+        cos = dot / np.sqrt(v_nrm)[:, None] / c_nrm[None, :]
+        # stable argsort on -cos: equal scores keep index (= cell asc)
+        top = np.argsort(-cos, axis=1, kind="stable")[:, :p_eff]
+        return pd.Series([row.astype("int32").tolist() for row in top])
+
+    return assign_p
+
+
 def ann_ivf_knn_join(
     emb: DataFrame,
     k: int = KNN_K,
     n_cells: int = KMEANS_CELLS,
     n_iters: int = KMEANS_ITERS,
     chunk: int = 512,
+    probe_cells: int = 1,
 ) -> DataFrame:
     """APPROXIMATE k-NN SELF-join over trained IVF cells — the scale
     path ``knn_join``'s exact kernels cannot take at 10⁹ vectors:
@@ -1283,7 +1330,25 @@ def ann_ivf_knn_join(
     assignment CTEs plus a cell-equijoined pair rank.  Memory per
     task is one cell's matrix — n_cells scales with the corpus so a
     cell stays executor-sized (the IVF contract; SemDeDup's
-    cluster-scoped pruning relies on the same bound)."""
+    cluster-scoped pruning relies on the same bound).
+
+    ``probe_cells`` > 1 lifts the single-cell recall ceiling
+    (VERDICT r10 item 2): each vector is co-assigned to its ``p``
+    nearest trained cells (deterministic ties — the same multi-probe
+    recall upgrade ``ann_lsh_multiprobe_topk`` applies to LSH
+    buckets), candidates come from EVERY shared cell, and the exact
+    per-vector top-k is taken over the deduplicated union.  Near-
+    boundary vectors — whose true neighbors sit just across the
+    Voronoi face, the single-cell path's structural loss — now meet
+    them in a shared second cell.  Still banded (candidate work grows
+    by a factor ~p² of cell co-residency, never all-pairs) and still
+    exactly TWO hash exchanges: the cell exchange, then one on vec_id
+    where a single Arrow kernel dedups pairs seen in multiple shared
+    cells (bit-identical cos_sim — the fold is per-pair) and takes
+    the global exact top-k.  The per-cell top-k cut before that
+    global rank is lossless: a global-top-k candidate ranks ≤ k
+    inside every cell it shares with the query, because its
+    cell-local competitor set is a subset of the global union."""
     C = kmeans_centroids(emb, n_cells, n_iters)
     assign = _cell_assign_udf(C)
     cells = emb.select("vec_id", "embedding").withColumn(
@@ -1320,11 +1385,41 @@ def ann_ivf_knn_join(
             ignore_index=True,
         )
 
-    return cells.groupBy("cell").applyInPandas(cell_topk, KNN_SCHEMA)
+    if probe_cells <= 1:
+        return cells.groupBy("cell").applyInPandas(cell_topk, KNN_SCHEMA)
+
+    assign_p = _cell_assign_topp_udf(C, probe_cells)
+    exploded = emb.select("vec_id", "embedding").withColumn(
+        "cell", F.explode(assign_p(F.col("embedding")))
+    )
+    cand = exploded.groupBy("cell").applyInPandas(cell_topk, KNN_SCHEMA)
+
+    def vec_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        # a pair sharing >1 probed cell arrives once per shared cell
+        # with IDENTICAL cos_sim (the fold is per-pair) — keep one,
+        # then the exact global top-k (cos desc, nbr asc, stable)
+        pdf = pdf.drop_duplicates(subset=["nbr_id"])
+        pdf = pdf.sort_values(
+            ["cos_sim", "nbr_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy().astype(np.int64),
+                "nbr_id": pdf["nbr_id"].to_numpy().astype(np.int64),
+                "cos_sim": pdf["cos_sim"].to_numpy().astype(np.float64),
+                "rank": np.arange(1, len(pdf) + 1, dtype=np.int64),
+            }
+        )
+
+    return cand.groupBy("vec_id").applyInPandas(vec_topk, KNN_SCHEMA)
 
 
 def q_ann_ivf_knn_join(t: dict) -> DataFrame:
     return ann_ivf_knn_join(t["embeddings"])
+
+
+def q_ann_ivf_knn_join_probe(t: dict) -> DataFrame:
+    return ann_ivf_knn_join(t["embeddings"], probe_cells=KNN_PROBE_CELLS)
 
 
 def knn_recall_ivf(
@@ -1358,18 +1453,80 @@ def knn_recall_ivf(
         F.count(F.lit(1)).alias("n_exact_pairs"),
     )
     num = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    # zero-guard: an empty or single-vector corpus has no exact pairs;
+    # define recall as 1.0 there (the approximate join missed nothing)
+    # instead of emitting a NULL from 0/0
+    recall = F.when(
+        F.col("n_exact_pairs") > 0,
+        F.col("n_hits").cast("double") / F.col("n_exact_pairs"),
+    ).otherwise(F.lit(1.0))
     return denom.crossJoin(num).select(
         "n_queries",
         "n_exact_pairs",
         "n_hits",
-        (F.col("n_hits").cast("double") / F.col("n_exact_pairs")).alias(
-            "recall_at_k"
-        ),
+        recall.alias("recall_at_k"),
     )
 
 
 def q_knn_recall_ivf(t: dict) -> DataFrame:
     return knn_recall_ivf(t["embeddings"])
+
+
+def knn_recall_ivf_probe(
+    emb: DataFrame,
+    k: int = KNN_K,
+    n_cells: int = KMEANS_CELLS,
+    n_iters: int = KMEANS_ITERS,
+    probe_cells: int = KNN_PROBE_CELLS,
+) -> DataFrame:
+    """RECALL@k of the single-cell IVF join AND its multi-probe
+    upgrade against the exact k-NN, side by side — the measurement a
+    deployment reads to decide whether probing the second cell is
+    worth ~p× the candidate work.  Two rows, ``method`` ∈
+    ('cell', 'probe'); every leg is deterministic, so both recalls
+    are hash-checked (the oracle recomputes exact pairs, trained
+    cells, single-cell and p-cell candidate ranks and the two
+    intersections in one statement).  The probe row's candidate set
+    is a superset of the cell row's — recall can only go up; the
+    strict improvement at the test scales is pinned in pytest.
+
+    The exact leg is ``materialize``d: it feeds the denominator and
+    BOTH hit semi-joins, and unbarriered the map-only kernel (and
+    the corpus scan under it) would execute three times."""
+    from .dedup_core import materialize
+
+    exact = materialize(knn_join(emb, k, mode="broadcast"))
+    denom = exact.agg(
+        F.count_distinct("vec_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_exact_pairs"),
+    )
+    recall = F.when(
+        F.col("n_exact_pairs") > 0,
+        F.col("n_hits").cast("double") / F.col("n_exact_pairs"),
+    ).otherwise(F.lit(1.0))
+    legs = []
+    for method, p in (("cell", 1), ("probe", probe_cells)):
+        approx = ann_ivf_knn_join(emb, k, n_cells, n_iters, probe_cells=p)
+        hits = exact.join(
+            approx.select("vec_id", "nbr_id"),
+            ["vec_id", "nbr_id"],
+            "left_semi",
+        )
+        num = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+        legs.append(
+            denom.crossJoin(num).select(
+                F.lit(method).alias("method"),
+                "n_queries",
+                "n_exact_pairs",
+                "n_hits",
+                recall.alias("recall_at_k"),
+            )
+        )
+    return legs[0].unionByName(legs[1])
+
+
+def q_knn_recall_ivf_probe(t: dict) -> DataFrame:
+    return knn_recall_ivf_probe(t["embeddings"])
 
 
 def knn_label_spread(emb: DataFrame, k: int = KNN_K) -> DataFrame:
@@ -1692,8 +1849,127 @@ ORACLE: dict[str, str] = {
         SELECT (SELECT COUNT(DISTINCT vec_id) FROM ex)::BIGINT AS n_queries,
                (SELECT COUNT(*) FROM ex)::BIGINT AS n_exact_pairs,
                (SELECT COUNT(*) FROM hits)::BIGINT AS n_hits,
-               (SELECT COUNT(*) FROM hits)::DOUBLE
-                   / (SELECT COUNT(*) FROM ex) AS recall_at_k
+               CASE WHEN (SELECT COUNT(*) FROM ex) > 0
+                    THEN (SELECT COUNT(*) FROM hits)::DOUBLE
+                         / (SELECT COUNT(*) FROM ex)
+                    ELSE 1.0 END AS recall_at_k
+    """,
+    # multi-probe cell join: each vector co-assigned to its
+    # KNN_PROBE_CELLS nearest trained cells (ties toward the lower
+    # cell — the Spark side's stable argsort), candidate pairs from
+    # ANY shared cell (DISTINCT collapses multi-cell co-residency),
+    # exact top-k over the union
+    "ann_ivf_knn_join_probe": f"""
+        {_kmeans_ctes()},
+        pasn AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY cs DESC, cell ASC
+                ) AS pr FROM s{KMEANS_ITERS}
+            ) t WHERE pr <= {KNN_PROBE_CELLS}
+        ),
+        puniq AS (
+            SELECT DISTINCT ca.vec_id AS vec_id, cb.vec_id AS nbr_id
+            FROM pasn ca
+            JOIN pasn cb ON cb.cell = ca.cell AND cb.vec_id <> ca.vec_id
+        ),
+        ppairs AS (
+            SELECT u.vec_id, u.nbr_id,
+                   {_sql_cos("a.embedding", "b.embedding")} AS cos_sim
+            FROM puniq u
+            JOIN embeddings a ON a.vec_id = u.vec_id
+            JOIN embeddings b ON b.vec_id = u.nbr_id
+        ),
+        pranked AS (
+            SELECT vec_id, nbr_id, cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY cos_sim DESC, nbr_id ASC
+                   ) AS rank
+            FROM ppairs
+        )
+        SELECT vec_id, nbr_id, cos_sim, rank
+        FROM pranked WHERE rank <= {KNN_K}
+    """,
+    # cell-vs-probe recall side by side — the measurement that decides
+    # whether the second probed cell is worth the candidate work; the
+    # probe candidate set is a superset, so recall can only rise
+    "knn_recall_ivf_probe": f"""
+        {_kmeans_ctes()},
+        {_KNN_RANKED_CTES},
+        ex AS (
+            SELECT vec_id, nbr_id FROM ranked WHERE rank <= {KNN_K}
+        ),
+        asn AS (SELECT vec_id, cell FROM a{KMEANS_ITERS}),
+        cpairs AS (
+            SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+                   {_sql_cos("a.embedding", "b.embedding")} AS cos_sim
+            FROM embeddings a
+            JOIN asn ca ON ca.vec_id = a.vec_id
+            JOIN asn cb ON cb.cell = ca.cell AND cb.vec_id <> a.vec_id
+            JOIN embeddings b ON b.vec_id = cb.vec_id
+        ),
+        capx AS (
+            SELECT vec_id, nbr_id FROM (
+                SELECT vec_id, nbr_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY cos_sim DESC, nbr_id ASC
+                       ) AS rank
+                FROM cpairs
+            ) t WHERE rank <= {KNN_K}
+        ),
+        pasn AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY cs DESC, cell ASC
+                ) AS pr FROM s{KMEANS_ITERS}
+            ) t WHERE pr <= {KNN_PROBE_CELLS}
+        ),
+        puniq AS (
+            SELECT DISTINCT ca.vec_id AS vec_id, cb.vec_id AS nbr_id
+            FROM pasn ca
+            JOIN pasn cb ON cb.cell = ca.cell AND cb.vec_id <> ca.vec_id
+        ),
+        ppairs AS (
+            SELECT u.vec_id, u.nbr_id,
+                   {_sql_cos("a.embedding", "b.embedding")} AS cos_sim
+            FROM puniq u
+            JOIN embeddings a ON a.vec_id = u.vec_id
+            JOIN embeddings b ON b.vec_id = u.nbr_id
+        ),
+        papx AS (
+            SELECT vec_id, nbr_id FROM (
+                SELECT vec_id, nbr_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY cos_sim DESC, nbr_id ASC
+                       ) AS rank
+                FROM ppairs
+            ) t WHERE rank <= {KNN_K}
+        ),
+        chits AS (SELECT 1 FROM ex JOIN capx USING (vec_id, nbr_id)),
+        phits AS (SELECT 1 FROM ex JOIN papx USING (vec_id, nbr_id)),
+        base AS (
+            SELECT (SELECT COUNT(DISTINCT vec_id) FROM ex)::BIGINT
+                       AS n_queries,
+                   (SELECT COUNT(*) FROM ex)::BIGINT AS n_exact_pairs
+        )
+        SELECT 'cell' AS method, n_queries, n_exact_pairs,
+               (SELECT COUNT(*) FROM chits)::BIGINT AS n_hits,
+               CASE WHEN n_exact_pairs > 0
+                    THEN (SELECT COUNT(*) FROM chits)::DOUBLE
+                         / n_exact_pairs
+                    ELSE 1.0 END AS recall_at_k
+        FROM base
+        UNION ALL
+        SELECT 'probe' AS method, n_queries, n_exact_pairs,
+               (SELECT COUNT(*) FROM phits)::BIGINT AS n_hits,
+               CASE WHEN n_exact_pairs > 0
+                    THEN (SELECT COUNT(*) FROM phits)::DOUBLE
+                         / n_exact_pairs
+                    ELSE 1.0 END AS recall_at_k
+        FROM base
     """,
     # same ranked-neighbor definition; majority vote with ties toward
     # the smaller label (mirrors the Spark struct-max over
@@ -1736,5 +2012,7 @@ QUERIES = {
     "kmeans_train": q_kmeans_train,
     "ann_ivf_trained": q_ann_ivf_trained,
     "ann_ivf_knn_join": q_ann_ivf_knn_join,
+    "ann_ivf_knn_join_probe": q_ann_ivf_knn_join_probe,
     "knn_recall_ivf": q_knn_recall_ivf,
+    "knn_recall_ivf_probe": q_knn_recall_ivf_probe,
 }

@@ -29,48 +29,49 @@ def test_head_is_exactly_driver_cap():
 def test_rotation_keeps_new_and_changed_operators_in_window():
     # standing rule (VERDICT r3/r4): every operator added or changed
     # this round must sit inside the driver's 50-entry checked window
-    # the round it changes.  Round 10: SIX additions (kmv_merge,
-    # the banded IVF join + its recall row, the streaming CMS row,
-    # the bigram LM, vocab_drift), the changed entries (the knn_join
-    # auto dial, the persisted-centroid KMeans state, the Bloom
-    # sizing dial, the KMV shared-helper refactor), and the fourth
-    # re-certification sweep (the 8 oldest deferred rows — six with
-    # r4 evidence, two with r5).
+    # the round it changes.  Round 11: THREE additions (the
+    # multi-probe cell join, its cell-vs-probe recall row, the
+    # streaming Bloom pre-filter), the changed entries (the IVF join
+    # gained the probe branch, the recall row gained the zero guard,
+    # the batch Bloom row was refactored into the helpers the stream
+    # shares, the streaming CMS entry gained try/finally hygiene),
+    # and the fifth re-certification sweep (the 8 oldest deferred
+    # rows — r4/r5 evidence).
     must_be_checked = {
-        # r10 additions
-        "kmv_merge_ndistinct",     # per-source k-min sets merged
-                                   # union-then-take-k
-        "ann_ivf_knn_join",        # banded approx k-NN self-join over
-                                   # trained cells
-        "knn_recall_ivf",          # recall@k vs the exact join —
-                                   # hash-checked eval metric
-        "cms_stream_heavy_hitters",# continuous CMS through
-                                   # foreachBatch, batch-row oracle
-        "lm_score_bigram",         # interpolated bigram-LM NLL
-                                   # (Jelinek-Mercer, micro-nat sums)
-        "vocab_drift",             # corpus-comparison log-odds with
-                                   # Dirichlet prior (Monroe 2008)
-        # r10 changes
-        "knn_join",                # mode="auto" broadcast↔two-phase dial
-        "knn_join_twophase",       #   (the dial's fallback target)
-        "kmeans_train",            # trained centroids persist as a
-        "ann_ivf_trained",         #   state: parquet table
-        "bloom_dedup_precheck",    # bloom_geometry sizing dial
-        "kmv_ndistinct",           # pipeline/estimator refactored into
-                                   # the shared _kmv_minima helpers
-        # r10 re-certifications (oldest driver rows, r4/r5 evidence)
-        "fingerprint",
-        "frame_sample",
-        "quantile",
-        "agg_having",
-        "join_left",
-        "skew_safe_collect",
-        "agg_cube",
-        "set_except",
+        # r11 additions
+        "ann_ivf_knn_join_probe",  # multi-probe cell co-assignment —
+                                   # lifts the single-cell recall
+                                   # ceiling, still banded
+        "knn_recall_ivf_probe",    # cell-vs-probe recall@k side by
+                                   # side, hash-checked eval metric
+        "bloom_precheck_stream",   # continuous Bloom dedup pre-filter
+                                   # through foreachBatch (OR
+                                   # linearity, batch-row oracle)
+        # r11 changes
+        "ann_ivf_knn_join",        # probe_cells branch added (p=1
+                                   # path byte-identical)
+        "knn_recall_ivf",          # 0-pairs zero guard (recall := 1.0)
+        "bloom_dedup_precheck",    # split/set-bits/probe-verify
+                                   # refactor shared with the stream
+        "cms_stream_heavy_hitters",# try/finally stop+drop hygiene
+        # r11 re-certifications (oldest driver rows, r4/r5 evidence)
+        "ann_multiprobe",
+        "events_window_sliding",
+        "multimodal_meta",
+        "join_full",
+        "emb_centroid",
+        "events_retention",
+        "vocab_stats",
+        "text_normalize",
         # earlier rows that keep their green (family reps documented
         # at their _DEFER_PAST_CAP entries)
-        "hybrid_search_rrf",
-        "dedup_exact_stream",
+        "kmv_merge_ndistinct",
+        "lm_score_bigram",
+        "vocab_drift",
+        "knn_join",
+        "knn_join_twophase",
+        "ann_ivf_trained",
+        "agg_cube",
         "doc_novelty",
         "knn_join_stream",
         "join_asof",

@@ -1163,10 +1163,11 @@ def test_kmeans_centroids_synthetic_frame_skips_persistence(spark):
 
 
 def test_kmeans_centroids_filtered_frame_gets_own_state(spark):
-    # the state key includes the analyzed plan's semanticHash, not
-    # just inputFiles: a filtered frame over the SAME parquet must
-    # train its own matrix, never reuse (or poison) the whole-corpus
-    # one
+    # the state key includes the canonicalized-plan shape fingerprint
+    # (_plan_shape_fingerprint — md5 of the jvmId-stripped canonical
+    # plan JSON), not just inputFiles: a filtered frame over the SAME
+    # parquet must train its own matrix, never reuse (or poison) the
+    # whole-corpus one
     import os
 
     import numpy as np
@@ -1255,3 +1256,37 @@ def test_plan_fingerprint_stable_across_processes(spark, tmp_path):
     ).stdout
     other = [ln for ln in out.splitlines() if ln.startswith("FP=")][0][3:]
     assert other == here
+
+
+def test_ivf_probe_recall_strictly_above_single_cell(tables):
+    # VERDICT r10 item 2's acceptance: at the same k, probing the
+    # second-nearest cell must strictly beat the single-cell join —
+    # and because the probe candidate set is a superset of the cell
+    # one, hits can only grow
+    import simple_rust_query_engine_spark.pipeline.similarity as S
+
+    rows = {
+        r.method: r
+        for r in S.knn_recall_ivf_probe(tables["embeddings"]).collect()
+    }
+    assert rows["probe"].n_exact_pairs == rows["cell"].n_exact_pairs
+    assert rows["probe"].n_hits >= rows["cell"].n_hits
+    assert rows["probe"].recall_at_k > rows["cell"].recall_at_k
+
+
+def test_ivf_probe_all_cells_degenerates_to_exact(tables):
+    # probe_cells == n_cells co-assigns every vector to every cell, so
+    # the banded join sees every pair and must reproduce the exact
+    # k-NN join bit for bit (ids, ranks, cosines)
+    import simple_rust_query_engine_spark.pipeline.similarity as S
+
+    emb = tables["embeddings"]
+    exact = {
+        (r.vec_id, r.nbr_id, r.rank, r.cos_sim)
+        for r in S.knn_join(emb, mode="broadcast").collect()
+    }
+    allp = {
+        (r.vec_id, r.nbr_id, r.rank, r.cos_sim)
+        for r in S.ann_ivf_knn_join(emb, n_cells=4, probe_cells=4).collect()
+    }
+    assert allp == exact

@@ -798,6 +798,26 @@ def test_knn_recall_ivf_plan_and_single_cell_identity(spark, tables):
     assert row.n_hits == row.n_exact_pairs == row.n_queries * KNN_K
 
 
+def test_ann_ivf_knn_join_probe_plan_two_exchanges(spark):
+    # the multi-probe cell join adds exactly ONE exchange over the
+    # single-cell plan: the p-cell assignment and explode are map-only
+    # (Arrow UDF, matrix in closure), the per-cell top-k keeps the
+    # cell exchange, and the dedup + global exact top-k run in a
+    # second Arrow kernel behind a vec_id exchange — never a
+    # distinct-then-Window (two exchanges + a sort), never a
+    # broadcast, never all-pairs across cells.  One corpus scan.
+    plan = (
+        _q(spark, "ann_ivf_knn_join_probe")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("FlatMapGroupsInPandas") == 2, plan
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "BroadcastExchange" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_cms_verify_plan_shuffles_candidates_only(spark):
     # the RETURNED plan is the verify stage (the sketch pass ran
     # eagerly at construction, merging d*w counter cells): the single

@@ -664,3 +664,169 @@ def test_stream_cms_restart_resumes_from_checkpoint(
         assert got_hh == want
     finally:
         spark.sql("DROP TABLE IF EXISTS t_cms_restart")
+
+
+def _bloom_batch_positions(docs):
+    """The batch-built filter's set-bit positions over the existing
+    side — the ground truth the accumulated stream bits must equal."""
+    from pyspark.sql import functions as F
+
+    from simple_rust_query_engine_spark.operators.sketch import (
+        BLOOM_M,
+        CMS_D,
+        _bloom_set_bits_df,
+        _bloom_split,
+        _cms_bucket_py,
+        _kmv_hash,
+    )
+
+    existing, _ = _bloom_split(docs)
+    return {
+        r.pos
+        for r in _bloom_set_bits_df(
+            existing.select(_kmv_hash(F.col("text")).alias("h")),
+            _cms_bucket_py,
+            BLOOM_M,
+            CMS_D,
+        ).collect()
+    }
+
+
+def test_stream_bloom_accumulates_and_replay_is_idempotent(
+    spark, tmp_path_factory, tables
+):
+    # OR linearity, exercised for real: documents split into 3 files,
+    # one per trigger — after ALL batches the accumulated DISTINCT
+    # positions must equal the batch-built filter bit for bit (so the
+    # probe/verify tail and its oracle carry over verbatim), and a
+    # hand-replayed batch (foreachBatch is at-least-once) must change
+    # nothing because distinct absorbs identical (batch_id, pos) rows.
+    from pyspark.sql import functions as F
+
+    from simple_rust_query_engine_spark.streaming.sketch import (
+        stream_bloom_bits,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    out = tmp_path_factory.mktemp("docs_split_bloom")
+    n = t.num_rows
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        path = str(out / f"documents-{i}.parquet")
+        pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]), path)
+        stamp = 1_700_000_000 + i * 60
+        os.utime(path, (stamp, stamp))
+
+    bits_dir = tmp_path_factory.mktemp("bloom_bits")
+    q = stream_bloom_bits(
+        spark,
+        str(out),
+        "t_bloom_bits",
+        str(bits_dir / "bits"),
+        query_name="t_bloom_stream",
+        glob="documents-*.parquet",
+        max_files_per_trigger=1,
+    )
+    q.processAllAvailable()
+    n_batches = len(_batches_with_input(q))
+    q.stop()
+    try:
+        assert n_batches >= 3
+        want = _bloom_batch_positions(tables["documents"])
+
+        def got():
+            return {
+                r.pos
+                for r in spark.table("t_bloom_bits")
+                .select("pos").distinct().collect()
+            }
+
+        assert got() == want
+
+        # REPLAY: re-append one batch's rows verbatim
+        replay = spark.table("t_bloom_bits").filter(F.col("batch_id") == 0)
+        replay.write.mode("append").saveAsTable("t_bloom_bits")
+        spark.catalog.refreshTable("t_bloom_bits")
+        assert got() == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bloom_bits")
+
+
+def test_stream_bloom_restart_resumes_from_checkpoint(
+    spark, tmp_path_factory, tables
+):
+    # production restart: ingest files 0-1 with a checkpoint, stop, a
+    # new file arrives, restart on the SAME checkpoint/table.
+    # Committed batches must NOT replay (bit rows stay duplicate-free
+    # without the defensive distinct) and the accumulated filter must
+    # equal the batch-built one — and the full streamed entry's
+    # soundness guarantee must hold on the final probe.
+    from simple_rust_query_engine_spark.streaming.sketch import (
+        accumulated_bloom_bitset,
+        stream_bloom_bits,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    out = tmp_path_factory.mktemp("docs_bloom_restart")
+    n = t.num_rows
+    cuts = [0, n // 3, 2 * n // 3, n]
+    slices = [
+        (
+            str(out / f"documents-{i}.parquet"),
+            t.slice(cuts[i], cuts[i + 1] - cuts[i]),
+        )
+        for i in range(3)
+    ]
+    for i in range(2):
+        pq.write_table(slices[i][1], slices[i][0])
+        os.utime(slices[i][0], (1_700_000_000 + i * 60,) * 2)
+
+    base = tmp_path_factory.mktemp("bloom_restart_state")
+    kwargs = dict(
+        glob="documents-*.parquet",
+        max_files_per_trigger=1,
+        checkpoint_location=str(base / "ckpt"),
+    )
+    try:
+        q = stream_bloom_bits(
+            spark, str(out), "t_bloom_restart", str(base / "bits"),
+            query_name="t_bloom_restart_a", **kwargs,
+        )
+        q.processAllAvailable()
+        q.stop()
+        n_after_two = spark.table("t_bloom_restart").count()
+
+        pq.write_table(slices[2][1], slices[2][0])
+        os.utime(slices[2][0], (1_700_000_000 + 180,) * 2)
+        q = stream_bloom_bits(
+            spark, str(out), "t_bloom_restart", str(base / "bits"),
+            query_name="t_bloom_restart_b", **kwargs,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        got = spark.table("t_bloom_restart")
+        assert got.count() == got.distinct().count()  # no replay
+        assert got.count() >= n_after_two  # the new file landed
+        bitset = accumulated_bloom_bitset(spark, "t_bloom_restart")
+        want = _bloom_batch_positions(tables["documents"])
+        import numpy as np
+
+        assert set(np.flatnonzero(bitset).tolist()) == want
+
+        # the streamed filter probes soundly: no false negatives
+        from simple_rust_query_engine_spark.operators.sketch import (
+            BLOOM_M,
+            CMS_D,
+            _bloom_probe_verify,
+            _bloom_split,
+            _cms_bucket_py,
+        )
+
+        existing, batch = _bloom_split(tables["documents"])
+        res = _bloom_probe_verify(
+            existing, batch, bitset, _cms_bucket_py, BLOOM_M, CMS_D
+        )
+        assert res.filter("NOT sound").count() == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bloom_restart")
