@@ -1290,3 +1290,83 @@ def test_ivf_probe_all_cells_degenerates_to_exact(tables):
         for r in S.ann_ivf_knn_join(emb, n_cells=4, probe_cells=4).collect()
     }
     assert allp == exact
+
+
+def test_bpe_train_batched_matches_python_batched_reference(tables):
+    # VERDICT r10 item 7: batch_m applies the top-m SYMBOL-DISJOINT
+    # merges per round (greedy in rank order, round-start counts).
+    # The distributed trainer must match a pure-Python batched
+    # reference merge-for-merge at every m — and at m=1 both must
+    # reduce to the sequential reference the earlier test pins.
+    from collections import Counter
+
+    from simple_rust_query_engine_spark.pipeline.text import (
+        bpe_train,
+        word_counts,
+    )
+
+    docs = tables["documents"]
+    wc = {
+        r.word: r.cnt for r in word_counts(docs).collect() if len(r.word) >= 2
+    }
+
+    def py_bpe_batched(wc, n, m):
+        state = {w: tuple(w) for w in wc}
+        merges, batches = [], []
+        while len(merges) < n:
+            take = min(m, n - len(merges))
+            counts = Counter()
+            for w, syms in state.items():
+                for i in range(len(syms) - 1):
+                    counts[(syms[i], syms[i + 1])] += wc[w]
+            if not counts:
+                break
+            top = sorted(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )[:m]
+            used, accepted = set(), []
+            for (a, b), c in top:
+                if len(accepted) >= take:
+                    break
+                if a in used or b in used:
+                    continue
+                accepted.append((a, b, c))
+                used.update((a, b))
+            merges.extend(accepted)
+            batches.append(accepted)
+            nxt = {}
+            for w, syms in state.items():
+                xs = list(syms)
+                for a, b, _ in accepted:
+                    out, i = [], 0
+                    while i < len(xs):
+                        if i + 1 < len(xs) and xs[i] == a and xs[i + 1] == b:
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(xs[i])
+                            i += 1
+                    xs = out
+                if len(xs) >= 2:
+                    nxt[w] = tuple(xs)
+            state = nxt
+        return merges, batches
+
+    for m in (1, 2, 4):
+        want, batches = py_bpe_batched(wc, 8, m)
+        got = bpe_train(docs, n_merges=8, batch_m=m)
+        assert got == want, (m, got, want)
+        # contract on the reference's batch structure (a round may
+        # accept FEWER than m pairs when candidates overlap): within
+        # each batch, merges are symbol-disjoint with non-increasing
+        # counts, and every batch accepts at least one pair
+        for batch in batches:
+            assert batch
+            syms = [s for a, b, _ in batch for s in (a, b)]
+            assert len(syms) == len(set(syms))
+            cnts = [c for _, _, c in batch]
+            assert cnts == sorted(cnts, reverse=True)
+    # m=1 batched == the sequential reference semantics
+    assert bpe_train(docs, n_merges=8, batch_m=1) == bpe_train(
+        docs, n_merges=8
+    )
