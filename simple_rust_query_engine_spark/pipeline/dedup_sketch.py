@@ -570,7 +570,13 @@ def ngram_shingles_udf(n: int = 3):
 JACCARD_T = 0.5
 
 
-def ngram_jaccard_pairs(d: DataFrame) -> DataFrame:
+def _ngram_candidates(
+    d: DataFrame, positional_filter: bool = True
+) -> "tuple[DataFrame, DataFrame]":
+    """(shingle-array barrier, candidate pair set) — the generation
+    half of ``ngram_jaccard_pairs``, split out so the measured A/B
+    (docs/AB_R11_ppjoin.jsonl) counts candidates through the
+    PRODUCTION code path instead of a drifting copy."""
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.5), computed
     with the AllPairs/PPJoin prefix filter so it scales:
 
@@ -663,12 +669,26 @@ def ngram_jaccard_pairs(d: DataFrame) -> DataFrame:
     lenf = (F.col("na") >= F.lit(JACCARD_T) * F.col("nb")) & (
         F.col("nb") >= F.lit(JACCARD_T) * F.col("na")
     )
+    # ``positional_filter=False`` exists ONLY for the measured A/B
+    # (docs/AB_R11_ppjoin.jsonl): prefix + length filters alone vs
+    # PPJoin proper.  The result set is identical either way (the
+    # verify is exact); only the candidate count and runtime move.
+    match_pred = (F.col("pa") < F.col("pb")) & lenf
+    if positional_filter:
+        match_pred = match_pred & (ubound >= req - F.lit(1e-9))
     cand = (
         pa.join(pb, "shingle")
-        .filter((F.col("pa") < F.col("pb")) & lenf & (ubound >= req - F.lit(1e-9)))
+        .filter(match_pred)
         .select(F.col("pa").alias("doc_a"), F.col("pb").alias("doc_b"))
         .distinct()
     )
+    return arrs, cand
+
+
+def ngram_jaccard_pairs(
+    d: DataFrame, positional_filter: bool = True
+) -> DataFrame:
+    arrs, cand = _ngram_candidates(d, positional_filter)
     aa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     bb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     common = F.size(F.array_intersect("sh_a", "sh_b"))
