@@ -67,7 +67,6 @@ def _done() -> set:
 
 
 def run_scale(spark, qs, names, sf_dir, scale, done):
-    cold, steady, rows = {}, {}, {}
     for name in names:
         if (scale, name) in done:
             continue  # resumable: already recorded in a prior run
@@ -94,7 +93,6 @@ def run_scale(spark, qs, names, sf_dir, scale, done):
         rec["canary"] = bench._canary_sec()
         with open(RAW, "a") as f:
             f.write(json.dumps(rec) + "\n")
-    return cold, steady, rows
 
 
 def main():
@@ -142,7 +140,7 @@ def main():
         "cold_growth_ratio": ratios,
         "steady_growth_ratio": steady_ratios,
         "errors": {
-            r["name"]: r["error"]
+            f"{r['scale']}:{r['name']}": r["error"]
             for r in recs
             if r.get("error") and (r["scale"], r["name"]) not in by
         },

@@ -577,41 +577,7 @@ def _ngram_candidates(
     half of ``ngram_jaccard_pairs``, split out so the measured A/B
     (docs/AB_R11_ppjoin.jsonl) counts candidates through the
     PRODUCTION code path instead of a drifting copy."""
-    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5), computed
-    with the AllPairs/PPJoin prefix filter so it scales:
 
-    1. candidate generation runs on xxhash64(shingle) longs (hashed
-       post-explode, inside whole-stage codegen — hashing inside an
-       interpreted ``transform`` lambda measured 4× slower), never on
-       30-char strings;
-    2. rank each doc's shingles by global document frequency
-       (rarest first — a canonical total order);
-    3. candidates come from a prefix-to-prefix self-join (prefix =
-       first ``|X| - ceil(t·|X|) + 1`` shingles in df order) — the
-       high-DF shingles that drive the quadratic blowup of a naive
-       self-join never generate candidates.  ``pa < pb`` keeps one
-       orientation per unordered pair, halving the enumerated
-       matches;
-    4. the PPJoin positional filter and the symmetric length filter
-       (``t·|B| <= |A| <= |B|/t``) are applied per matched row
-       BEFORE the pair-distinct — the pair requirement ``overlap >=
-       t/(1+t)(na+nb)`` is constant per pair, so any-row-passes ⟺
-       max-over-rows-passes, and filtering first shrinks the
-       distinct's shuffle.  All conditions are CONJUNCTIVE
-       two-column predicates: a variant with disjunctive conditions
-       (shorter-side orientation, a pushdown-guarded PPJoin
-       indexing-prefix bound) measured ~2× slower end-to-end;
-    5. exact verify via array_intersect on the per-doc string shingle
-       arrays — checkpoint stats let Spark auto-broadcast them at
-       bench scale; at cluster scale AQE falls back to a shuffled
-       join.
-
-    Output is identical to the naive all-pairs join (the DuckDB
-    oracle IS the naive string-level join) — only the plan differs.
-    A hash collision in candidate generation can only ADD a
-    candidate; the string-level verify removes it, so the result is
-    collision-proof.
-    """
     from pyspark.sql.window import Window
 
     # hard barrier: the shingle arrays feed three consumers (explode
@@ -688,6 +654,41 @@ def _ngram_candidates(
 def ngram_jaccard_pairs(
     d: DataFrame, positional_filter: bool = True
 ) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5), computed
+    with the AllPairs/PPJoin prefix filter so it scales:
+
+    1. candidate generation runs on xxhash64(shingle) longs (hashed
+       post-explode, inside whole-stage codegen — hashing inside an
+       interpreted ``transform`` lambda measured 4× slower), never on
+       30-char strings;
+    2. rank each doc's shingles by global document frequency
+       (rarest first — a canonical total order);
+    3. candidates come from a prefix-to-prefix self-join (prefix =
+       first ``|X| - ceil(t·|X|) + 1`` shingles in df order) — the
+       high-DF shingles that drive the quadratic blowup of a naive
+       self-join never generate candidates.  ``pa < pb`` keeps one
+       orientation per unordered pair, halving the enumerated
+       matches;
+    4. the PPJoin positional filter and the symmetric length filter
+       (``t·|B| <= |A| <= |B|/t``) are applied per matched row
+       BEFORE the pair-distinct — the pair requirement ``overlap >=
+       t/(1+t)(na+nb)`` is constant per pair, so any-row-passes ⟺
+       max-over-rows-passes, and filtering first shrinks the
+       distinct's shuffle.  All conditions are CONJUNCTIVE
+       two-column predicates: a variant with disjunctive conditions
+       (shorter-side orientation, a pushdown-guarded PPJoin
+       indexing-prefix bound) measured ~2× slower end-to-end;
+    5. exact verify via array_intersect on the per-doc string shingle
+       arrays — checkpoint stats let Spark auto-broadcast them at
+       bench scale; at cluster scale AQE falls back to a shuffled
+       join.
+
+    Output is identical to the naive all-pairs join (the DuckDB
+    oracle IS the naive string-level join) — only the plan differs.
+    A hash collision in candidate generation can only ADD a
+    candidate; the string-level verify removes it, so the result is
+    collision-proof.
+    """
     arrs, cand = _ngram_candidates(d, positional_filter)
     aa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     bb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))

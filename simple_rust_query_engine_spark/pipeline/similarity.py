@@ -1350,10 +1350,6 @@ def ann_ivf_knn_join(
     inside every cell it shares with the query, because its
     cell-local competitor set is a subset of the global union."""
     C = kmeans_centroids(emb, n_cells, n_iters)
-    assign = _cell_assign_udf(C)
-    cells = emb.select("vec_id", "embedding").withColumn(
-        "cell", assign(F.col("embedding"))
-    )
 
     def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         ids_raw = pdf["vec_id"].to_numpy().astype(np.int64)
@@ -1386,6 +1382,10 @@ def ann_ivf_knn_join(
         )
 
     if probe_cells <= 1:
+        assign = _cell_assign_udf(C)
+        cells = emb.select("vec_id", "embedding").withColumn(
+            "cell", assign(F.col("embedding"))
+        )
         return cells.groupBy("cell").applyInPandas(cell_topk, KNN_SCHEMA)
 
     assign_p = _cell_assign_topp_udf(C, probe_cells)

@@ -842,7 +842,13 @@ def bpe_train(
             if r.a in used or r.b in used:
                 continue  # overlaps an accepted merge — next round
             accepted.append((r.a, r.b, int(r.pair_count)))
-            used.update((r.a, r.b))
+            # the FORMED symbol counts as used too: a later candidate
+            # whose symbol equals a+b would consume occurrences the
+            # earlier merge just created, making the batch
+            # order-dependent — with formed symbols excluded, no
+            # accepted merge can create/destroy another's pairs and
+            # the batch genuinely commutes
+            used.update((r.a, r.b, r.a + r.b))
         merges.extend(accepted)
         merge_udf = _bpe_merge_multi_udf([(a, b) for a, b, _ in accepted])
         # fully-merged words (size 1 after the merge) can never join a

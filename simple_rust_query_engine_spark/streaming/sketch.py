@@ -160,9 +160,13 @@ def q_cms_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # as the ingest-stream entries: repeated driver/bench
         # invocations must not accumulate per-run tables; the external
         # files live under the per-process run dir and are removed at
-        # interpreter exit)
-        q.stop()
-        spark.sql(f"DROP TABLE IF EXISTS {run}")
+        # interpreter exit).  stop() can itself raise on a query that
+        # died mid-stream — the nested finally keeps the DROP
+        # unconditional either way
+        try:
+            q.stop()
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {run}")
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return _cms_extract(
         _cms_tokens(docs), cms, HH_K, CMS_W, CMS_D, HH_PHI_DENOM
@@ -302,9 +306,13 @@ def q_bloom_precheck_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # stop + drop even on failure (catalog hygiene: repeated
         # driver/bench invocations must not accumulate per-run
         # tables; the filter is now m collected booleans and the
-        # returned frame no longer references the run table)
-        q.stop()
-        spark.sql(f"DROP TABLE IF EXISTS {run}")
+        # returned frame no longer references the run table).  stop()
+        # can itself raise on a dead query — nested finally keeps the
+        # DROP unconditional
+        try:
+            q.stop()
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {run}")
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     existing, batch = _bloom_split(docs)
     return _bloom_probe_verify(
