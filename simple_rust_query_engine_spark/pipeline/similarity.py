@@ -925,6 +925,7 @@ def knn_join(
     chunk: int = 512,
     mode: str = "auto",
     index_budget_bytes: int = KNN_INDEX_BUDGET_BYTES,
+    min_tasks: int | None = None,
 ) -> DataFrame:
     """EXACT k-nearest-neighbor self-join: for every vector, its ``k``
     most-cosine-similar neighbors with a dense rank — the
@@ -978,9 +979,18 @@ def knn_join(
                 index_budget_bytes=index_budget_bytes,
             )
     bc = knn_index(emb)
-    return emb.select("vec_id", "embedding").mapInPandas(
-        knn_score_fn(bc, k, chunk), KNN_SCHEMA
-    )
+    probe = emb.select("vec_id", "embedding")
+    if min_tasks is not None and probe.rdd.getNumPartitions() < min_tasks:
+        # the kernel is COMPUTE-bound (n·dim FLOPs per probe row), so
+        # its parallelism is the probe side's partition count — a
+        # corpus arriving as a handful of parquet splits strands the
+        # rest of the cluster (sf1 soak: 20k vectors in ONE file ⇒ 2
+        # tasks on 32 cores).  The dial trades one round-robin
+        # exchange for full-width compute; default None keeps the
+        # plan map-only (at 100 TB input splits already outnumber
+        # cores — the dial is for compact/compacted inputs)
+        probe = probe.repartition(min_tasks)
+    return probe.mapInPandas(knn_score_fn(bc, k, chunk), KNN_SCHEMA)
 
 
 KNN_SCHEMA = "vec_id long, nbr_id long, cos_sim double, rank long"

@@ -1370,3 +1370,25 @@ def test_bpe_train_batched_matches_python_batched_reference(tables):
     assert bpe_train(docs, n_merges=8, batch_m=1) == bpe_train(
         docs, n_merges=8
     )
+
+
+def test_knn_join_min_tasks_dial(tables):
+    # the parallelism dial (sf1 soak follow-up: a compact corpus in
+    # one parquet file strands the cluster on the compute-bound
+    # kernel): identical output, exactly one extra round-robin
+    # exchange, default stays map-only
+    import simple_rust_query_engine_spark.pipeline.similarity as S
+
+    emb = tables["embeddings"]
+    base = S.knn_join(emb, mode="broadcast")
+    dial = S.knn_join(emb, mode="broadcast", min_tasks=8)
+    assert {tuple(r) for r in base.collect()} == {
+        tuple(r) for r in dial.collect()
+    }
+    base_plan = base._jdf.queryExecution().executedPlan().toString()
+    dial_plan = dial._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in base_plan, base_plan
+    # executed AQE plans print Final + Initial sections — the exchange
+    # appears in each; assert presence in the dial plan and absence in
+    # the default plan (the contract, not the section count)
+    assert "roundrobinpartitioning" in dial_plan.lower(), dial_plan
