@@ -959,12 +959,29 @@ def knn_join(
     ``chunk`` (the scoring tile is chunk × index, accumulated per
     dimension).  At 10⁹+ vectors prefer the PRUNED candidate sets
     (IVF cell / LSH bucket union, see ``ann_ivf``/``ann_lsh``) when
-    approximate recall suffices."""
+    approximate recall suffices.
+
+    ``min_tasks`` — parallelism dial for COMPACT inputs: the kernel
+    is compute-bound (n·dim FLOPs per probe row), so its parallelism
+    is the probe side's partition count, and a corpus arriving as a
+    handful of parquet splits strands the rest of the cluster
+    (measured, sf1 soak: 20k vectors in one file ⇒ 2 tasks on 32
+    cores, 106–119 s; with min_tasks=32, 9.4–11.5 s — identical
+    output, docs/AB_R11_knn_min_tasks.jsonl).  Set it to the core
+    count to trade ONE round-robin exchange for full-width compute;
+    the default None keeps the plan map-only (the plan pin), which is
+    already right at 100 TB where input splits outnumber cores.
+    Threaded through both delegating modes (twophase applies it to
+    the shared probe side every tile pass maps over)."""
     if mode not in ("auto", "broadcast", "twophase"):
         raise ValueError(f"unknown knn_join mode {mode!r}")
     if mode == "twophase":
         return knn_join_twophase(
-            emb, k, chunk=chunk, index_budget_bytes=index_budget_bytes
+            emb,
+            k,
+            chunk=chunk,
+            index_budget_bytes=index_budget_bytes,
+            min_tasks=min_tasks,
         )
     if mode == "auto":
         n, dim = _knn_geometry(emb)
@@ -977,6 +994,7 @@ def knn_join(
                 tiles=tiles,
                 chunk=chunk,
                 index_budget_bytes=index_budget_bytes,
+                min_tasks=min_tasks,
             )
     bc = knn_index(emb)
     probe = emb.select("vec_id", "embedding")
@@ -1157,6 +1175,7 @@ def knn_join_twophase(
     tiles: int = KNN_TILES,
     chunk: int = 512,
     index_budget_bytes: int | None = None,
+    min_tasks: int | None = None,
 ) -> DataFrame:
     """EXACT k-NN self-join WITHOUT a full-corpus broadcast — the
     scale fallback ``knn_join``'s docstring names for when the index
@@ -1247,11 +1266,17 @@ def knn_join_twophase(
                 "(ann_ivf_knn_join)",
                 stacklevel=2,
             )
-        return knn_join(emb, k, chunk, mode="broadcast")
+        return knn_join(emb, k, chunk, mode="broadcast", min_tasks=min_tasks)
+    probe = emb.select("vec_id", "embedding")
+    if min_tasks is not None and probe.rdd.getNumPartitions() < min_tasks:
+        # same parallelism dial as knn_join: every tile pass maps over
+        # the probe side, so a compact input strands the kernel
+        # tiles× over (see knn_join's min_tasks comment)
+        probe = probe.repartition(min_tasks)
     cand = None
     for t in range(tiles):
         bc = knn_index(emb, tile=(t, tiles))
-        part = emb.select("vec_id", "embedding").mapInPandas(
+        part = probe.mapInPandas(
             knn_score_fn(bc, k, chunk), KNN_SCHEMA
         )
         # the per-tile rank is meaningless globally — drop it

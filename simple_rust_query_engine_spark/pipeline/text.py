@@ -847,12 +847,18 @@ def bpe_train(
             # component-disjointness keeps every accepted merge's
             # round-start count exact: merging (a,b) can only change
             # counts of pairs touching a, b, or the formed a+b, and a
-            # candidate whose component equals an accepted a+b cannot
-            # be live in the same round (the symbol a+b only exists if
-            # (a,b) merged in an EARLIER round, after which no merge
-            # ever recreates an (a,b) adjacency — concatenations never
-            # delete symbols; brute-force simulation over ~16k random
-            # corpora in review found zero reachable collisions).
+            # candidate whose component equals the string a+b cannot
+            # be live in the same round.  Structurally: for the
+            # symbol a+b to exist, SOME merge (p,q) with p+q == a+b
+            # fused the underlying character window earlier — but the
+            # live pair (a,b) needs that same character window
+            # un-fused elsewhere, and merges apply globally in one
+            # rank order, so whichever of the overlapping merges
+            # ranked first consumed every window the other needed
+            # (concatenations never delete or re-split symbols, so a
+            # consumed window never reappears).  Brute-force
+            # simulation over ~16k random corpora in review found
+            # zero reachable collisions, matching the argument.
             # Application order is rank order regardless (see
             # _bpe_merge_multi_udf), so the result is deterministic
             # independent of this argument.
