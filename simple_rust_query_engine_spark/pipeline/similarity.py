@@ -919,6 +919,21 @@ def knn_index_bytes(n: int, dim: int) -> int:
     return n * (dim * 8 + 16)
 
 
+def _apply_min_tasks(probe: DataFrame, min_tasks: int | None) -> DataFrame:
+    """The parallelism dial, one definition for both exact paths: when
+    the probe side has fewer partitions than ``min_tasks``, insert one
+    round-robin exchange so the compute-bound kernel gets full width;
+    otherwise leave the plan untouched.  The partition-count read
+    (``.rdd.getNumPartitions()``) plans the frame and, under AQE with
+    a shuffled upstream, can execute upstream stages eagerly — an
+    acceptable cost for an OPT-IN dial whose use case is a compact
+    FILE input (a plain scan plans instantly); leave the default None
+    on derived/shuffled frames."""
+    if min_tasks is not None and probe.rdd.getNumPartitions() < min_tasks:
+        probe = probe.repartition(min_tasks)
+    return probe
+
+
 def knn_join(
     emb: DataFrame,
     k: int = KNN_K,
@@ -997,17 +1012,7 @@ def knn_join(
                 min_tasks=min_tasks,
             )
     bc = knn_index(emb)
-    probe = emb.select("vec_id", "embedding")
-    if min_tasks is not None and probe.rdd.getNumPartitions() < min_tasks:
-        # the kernel is COMPUTE-bound (n·dim FLOPs per probe row), so
-        # its parallelism is the probe side's partition count — a
-        # corpus arriving as a handful of parquet splits strands the
-        # rest of the cluster (sf1 soak: 20k vectors in ONE file ⇒ 2
-        # tasks on 32 cores).  The dial trades one round-robin
-        # exchange for full-width compute; default None keeps the
-        # plan map-only (at 100 TB input splits already outnumber
-        # cores — the dial is for compact/compacted inputs)
-        probe = probe.repartition(min_tasks)
+    probe = _apply_min_tasks(emb.select("vec_id", "embedding"), min_tasks)
     return probe.mapInPandas(knn_score_fn(bc, k, chunk), KNN_SCHEMA)
 
 
@@ -1199,7 +1204,12 @@ def knn_join_twophase(
     a per-key rank keeps the global top-k.  Plan pinned: ``tiles``
     MapInPandas nodes, exactly one hashpartitioning exchange, zero
     BroadcastExchange (the per-tile indexes are task broadcasts, never
-    plan-side joins).
+    plan-side joins).  ``min_tasks`` (default None — plan unchanged)
+    is the same parallelism dial as ``knn_join``'s, applied once to
+    the shared probe side every tile pass maps over: a compact input
+    strands the compute-bound kernel tiles× over, and the dial adds
+    ONE round-robin exchange to fix it (see ``knn_join``'s docstring
+    for the measured sf1 numbers).
 
     The precondition is ENFORCED, not just documented: every tile
     must be empty (harmless — it contributes no candidates) or hold
@@ -1267,12 +1277,7 @@ def knn_join_twophase(
                 stacklevel=2,
             )
         return knn_join(emb, k, chunk, mode="broadcast", min_tasks=min_tasks)
-    probe = emb.select("vec_id", "embedding")
-    if min_tasks is not None and probe.rdd.getNumPartitions() < min_tasks:
-        # same parallelism dial as knn_join: every tile pass maps over
-        # the probe side, so a compact input strands the kernel
-        # tiles× over (see knn_join's min_tasks comment)
-        probe = probe.repartition(min_tasks)
+    probe = _apply_min_tasks(emb.select("vec_id", "embedding"), min_tasks)
     cand = None
     for t in range(tiles):
         bc = knn_index(emb, tile=(t, tiles))
