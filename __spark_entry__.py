@@ -498,7 +498,9 @@ _DEFER_PAST_CAP = (
                             #   against arbitrary source layouts
                             #   (test_property: cms_merge linearity)
     # ---- round 11 ----
-    # ELEVEN entries enter the window this round: the r11
+    # FOURTEEN entries enter the window this round (eleven here plus
+    # the three late additions pii_redact / split_by_cluster /
+    # tfidf_topterms documented at the end of this tuple): the r11
     # RE-CERTIFICATION sweep (the 8 oldest deferred rows —
     # ann_multiprobe, events_window_sliding, multimodal_meta,
     # join_full, emb_centroid, events_retention, vocab_stats,
@@ -559,6 +561,26 @@ _DEFER_PAST_CAP = (
                             #   both recall rows) exercise the
                             #   training loop; r10-touched
                             #   (persistence), green
+    # (r11 late additions pii_redact / split_by_cluster /
+    # tfidf_topterms enter the window; three r10-green unchanged
+    # siblings defer:)
+    "semantic_dedup",       # → the embedding-cosine family keeps SIX
+                            #   in-window reps (knn_join,
+                            #   knn_join_twophase, both ivf cell-join
+                            #   rows, both recall rows); r10-green
+    "pack_sequences",       # → the pack/layout family stays checked
+                            #   via token_budget_mixture (the same
+                            #   per-shard cumulative-token window
+                            #   core) and the NEW split_by_cluster;
+                            #   r10-green
+    "events_window_stream", # → the streaming family keeps SIX
+                            #   in-window reps (events_window_sliding
+                            #   covers the batch window semantics;
+                            #   decontaminate_stream, both dedup
+                            #   ingest streams, knn_join_stream,
+                            #   cms_stream_heavy_hitters,
+                            #   bloom_precheck_stream cover the
+                            #   engine); r10-green
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

@@ -126,6 +126,7 @@ from .dedup_state import (  # noqa: F401
     q_dedup_survivors,
     q_dup_cluster_sizes,
     q_ngram_jaccard,
+    q_split_by_cluster,
 )
 from .dedup_spans import (  # noqa: F401
     DUP_FRAC_T,
@@ -200,6 +201,9 @@ QUERIES_SPARK = {
     "cross_source_overlap": q_cross_source_overlap,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "dedup_cc_incr": q_dedup_cc_incr,
+    # leakage-free holdout over the CC labels (r11) — the generic
+    # splitter lives in pack.py; the composition reads label STATE
+    "split_by_cluster": q_split_by_cluster,
     "dedup_keep_best": q_dedup_keep_best,
     "pipeline_incr_stateful": q_pipeline_incr_stateful,
 }

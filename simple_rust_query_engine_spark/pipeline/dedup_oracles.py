@@ -552,3 +552,42 @@ def _pipeline_incr_stateful_oracle() -> str:
 
 
 ORACLE["pipeline_incr_stateful"] = _pipeline_incr_stateful_oracle()
+
+
+def _split_by_cluster_oracle() -> str:
+    """dedup_cc's from-scratch label CTEs + pack.py's holdout hash
+    applied to the LABEL — constants imported from pack so the two
+    splitters can never desynchronize."""
+    from .pack import MIX_MOD, SPLIT_A, SPLIT_B, SPLIT_TRAIN
+
+    label = "LEAST(d.doc_id, COALESCE(l.mn, d.doc_id))"
+    return f"""
+        WITH RECURSIVE
+        {SQL_NGRAM_PAIR_CTES},
+        edges AS (
+            SELECT doc_a, doc_b FROM pairs
+            JOIN cnt ca ON doc_a = ca.doc_id
+            JOIN cnt cb ON doc_b = cb.doc_id
+            WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common)
+                  >= {JACCARD_T}
+        ),
+        bidir AS (
+            SELECT doc_a AS src, doc_b AS dst FROM edges
+            UNION SELECT doc_b, doc_a FROM edges
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM bidir
+            UNION
+            SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+        ),
+        lab AS (SELECT src AS doc_id, MIN(dst) AS mn FROM reach GROUP BY src)
+        SELECT d.doc_id,
+               {label} AS cluster_id,
+               CASE WHEN ({label} % {MIX_MOD} * {SPLIT_A} + {SPLIT_B})
+                         % {MIX_MOD} < {int(SPLIT_TRAIN * MIX_MOD)}
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+    """
+
+
+ORACLE["split_by_cluster"] = _split_by_cluster_oracle()

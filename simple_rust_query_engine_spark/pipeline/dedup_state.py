@@ -351,6 +351,21 @@ def q_dedup_cc(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_by_cluster(spark, sf_dir: str) -> DataFrame:
+    """Leakage-free train/test split over the NEAR-dup components:
+    ``split_by_cluster`` (the generic label-hashing splitter in
+    ``pack.py``) fed with ``dedup_cc``'s persisted labels — the
+    production composition: a per-doc split (``train_test_split``)
+    would strand near-copies of a training document in the test set,
+    silently inflating every eval built on the holdout.
+
+    Plan: scan of the persisted bucketed label state + a map-only
+    CASE — the split costs nothing beyond what dedup already paid."""
+    from .pack import split_by_cluster
+
+    return split_by_cluster(q_dedup_cc(spark, sf_dir))
+
+
 def q_dup_cluster_sizes(spark, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER-SIZE distribution — the corpus-health report a
     dedup run ends with (how much of the corpus is duplicated, and in

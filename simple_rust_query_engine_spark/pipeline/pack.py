@@ -199,6 +199,38 @@ def train_test_split(
     return docs.select("doc_id", key_col, split.alias("split"))
 
 
+def split_by_cluster(
+    labeled: DataFrame,
+    train_frac: float = SPLIT_TRAIN,
+    label_col: str = "label",
+) -> DataFrame:
+    """Leakage-free holdout split: hash the duplicate CLUSTER, not the
+    document.  ``train_test_split`` assigns per-doc, so copies and
+    near-copies of one document straddle the train/test boundary —
+    the held-out half is then memorized verbatim by training and
+    every eval number built on it is inflated.  This takes any
+    ``(doc_id, label)`` cluster assignment — ``dedup_cc``'s near-dup
+    components in the driver row; an exact content digest works too —
+    and hashes the LABEL, so whole clusters land on one side and test
+    docs are guaranteed content-unseen in train.
+
+    Uses the SAME affine constants as ``train_test_split``, so a
+    singleton cluster (the common case) gets the identical assignment
+    (its label IS its doc_id under the min-reachable-id convention) —
+    cluster-awareness changes only the docs that actually have copies.
+
+    Scale: map-only over the label table; the cluster structure is
+    whatever the labeler already paid for — no new shuffle, no
+    cluster map on the driver."""
+    bucket = _affine_bucket(F.col(label_col), SPLIT_A, SPLIT_B)
+    split = F.when(
+        bucket < F.lit(int(train_frac * MIX_MOD)), F.lit("train")
+    ).otherwise(F.lit("test"))
+    return labeled.select(
+        "doc_id", F.col(label_col).alias("cluster_id"), split.alias("split")
+    )
+
+
 STRAT_K = 25             # sampled docs per stratum
 STRAT_SALT = "strat"     # sampling-order salt — change to resample
 STRAT_BUCKETS = 32       # pre-prune fan-out (see stratified_sample)

@@ -20,7 +20,7 @@ splits.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # shared deterministic constants (mirrored in the oracle SQL)
@@ -158,6 +158,38 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         out = out.withColumn(f"n_{name}", F.regexp_count(redacted, F.lit(pat)))
         redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
     return out.withColumn(f"{text_col}_redacted", redacted)
+
+
+def q_pii_redact(t: dict) -> DataFrame:
+    """Driver row for ``redact_pii``: the synthetic corpus contains no
+    PII, so the query first CONCATENATES deterministic pseudo-PII
+    derived from doc_id — an email, a phone, an SSN-shaped string,
+    identically constructed in the oracle SQL — then redacts.  The
+    hash check therefore verifies the actual regex semantics across
+    engines (match boundaries, the progressive count-then-redact
+    order, global replace), not a trivial no-op pass over PII-free
+    text."""
+    d = t["documents"]
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn "),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return redact_pii(
+        d.select("doc_id", "source", injected.alias("text"))
+    ).select(
+        "doc_id", "source", "n_email", "n_phone", "n_ssn", "text_redacted"
+    )
 
 
 def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -311,6 +343,76 @@ def vocab_stats(docs: DataFrame, k: int = VOCAB_K) -> DataFrame:
 
 def q_vocab_stats(t: dict) -> DataFrame:
     return vocab_stats(t["documents"])
+
+
+TFIDF_K = 20
+
+
+def tfidf_topterms(docs: DataFrame, k: int = TFIDF_K) -> DataFrame:
+    """Characteristic terms per source: top-``k`` tokens by TF-IDF
+    where tf counts within the source and df counts SOURCES containing
+    the token — the "what makes this crawl different" report that
+    pairs with ``vocab_drift`` (pairwise log-odds) for corpus triage.
+
+    The score is integer micro-nats — ``tf × round(ln((n_src+1)/
+    (df_src+1))·1e6)`` — quantizing the ONE float (the idf of each
+    distinct df value) before the integer multiply, the same
+    determinism discipline as ``lm_score``; +1 smoothing keeps
+    everywhere-present tokens at exactly 0 rather than a sign flip.
+
+    Scale: tf is a plain (source, token) groupBy — map-side partial
+    counts absorb the Zipf head before the shuffle; the aggregated
+    source×vocab table sits behind a materialize barrier so df_src
+    derives from it WITHOUT a second corpus scan (Catalyst would
+    otherwise inline the explode+agg subtree into both consumers —
+    the corpus, not the vocab, is what must be read once at 100 TB);
+    n_src rides in as a broadcast 1-row aggregate.  The final
+    per-source window runs over the post-aggregation table — bounded
+    by vocabulary, not corpus, size — with WindowGroupLimit pruning
+    to k map-side."""
+    from .dedup_core import materialize
+
+    toks = tokens(F.col("text"))
+    tf = materialize(
+        docs.select("source", F.explode(toks).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_src = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_src"))
+    # from tf, not docs: a third corpus scan for one number would be
+    # absurd at scale, and the value is identical (string_split emits
+    # at least one token — the empty string — for every row, so every
+    # source present in documents is present in tf)
+    n = tf.agg(F.countDistinct("source").alias("n_src"))
+    idf_micro = F.round(
+        F.log(
+            (F.col("n_src") + F.lit(1)).cast("double")
+            / (F.col("df_src") + F.lit(1))
+        )
+        * 1e6
+    ).cast("long")
+    scored = (
+        tf.join(df_src, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "token",
+            "tf",
+            "df_src",
+            (F.col("tf") * idf_micro).alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("score_micro").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def q_tfidf_topterms(t: dict) -> DataFrame:
+    return tfidf_topterms(t["documents"])
 
 
 def q_fingerprint(t: dict) -> DataFrame:
@@ -1328,6 +1430,73 @@ ORACLE: dict[str, str] = {
         )
         SELECT doc_id, lang, avg_nll, rank FROM ranked WHERE rank <= {QS_K}
     """,
+    # pseudo-PII injected identically on both sides, then the
+    # progressive count-then-redact ladder mirrored stage for stage
+    # (n_phone counts the EMAIL-redacted string, n_ssn the
+    # phone-redacted one — redact_pii's documented semantics)
+    "pii_redact": f"""
+        WITH injected AS (
+            SELECT doc_id, source,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or 555-'
+                        || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                        || '-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        || ' ssn '
+                        || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                        || '-'
+                        || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                        || '-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       AS t0
+            FROM documents
+        ), s1 AS (
+            SELECT doc_id, source,
+                   len(regexp_extract_all(t0,
+                       '{PII_PATTERNS["email"]}'))::INT AS n_email,
+                   regexp_replace(t0,
+                       '{PII_PATTERNS["email"]}', '<EMAIL>', 'g') AS t1
+            FROM injected
+        ), s2 AS (
+            SELECT doc_id, source, n_email,
+                   len(regexp_extract_all(t1,
+                       '{PII_PATTERNS["phone"]}'))::INT AS n_phone,
+                   regexp_replace(t1,
+                       '{PII_PATTERNS["phone"]}', '<PHONE>', 'g') AS t2
+            FROM s1
+        )
+        SELECT doc_id, source, n_email, n_phone,
+               len(regexp_extract_all(t2,
+                   '{PII_PATTERNS["ssn"]}'))::INT AS n_ssn,
+               regexp_replace(t2,
+                   '{PII_PATTERNS["ssn"]}', '<SSN>', 'g') AS text_redacted
+        FROM s2
+    """,
+    "tfidf_topterms": f"""
+        WITH tf AS (
+            SELECT source, t AS token, COUNT(*) AS tf
+            FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+                  FROM documents)
+            GROUP BY 1, 2
+        ), df AS (
+            SELECT token, COUNT(*) AS df_src FROM tf GROUP BY token
+        ), ns AS (
+            SELECT COUNT(DISTINCT source) AS n_src FROM documents
+        ), scored AS (
+            SELECT tf.source, tf.token, tf.tf, df.df_src,
+                   tf.tf * CAST(ROUND(ln((ns.n_src + 1.0) / (df.df_src + 1.0))
+                                      * 1000000) AS BIGINT) AS score_micro
+            FROM tf JOIN df USING (token), ns
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                          PARTITION BY source
+                          ORDER BY score_micro DESC, token ASC
+                      ) AS rank
+            FROM scored
+        )
+        SELECT source, token, tf, df_src, score_micro, rank
+        FROM ranked WHERE rank <= {TFIDF_K}
+    """,
     "vocab_stats": f"""
         WITH tf AS (
             SELECT t AS token, COUNT(*) AS tf
@@ -1387,6 +1556,8 @@ QUERIES = {
     "text_normalize": q_text_normalize,
     "chunk_documents": q_chunk_documents,
     "vocab_stats": q_vocab_stats,
+    "tfidf_topterms": q_tfidf_topterms,
+    "pii_redact": q_pii_redact,
     "len_histogram": q_len_histogram,
     "doc_repetition": q_doc_repetition,
     "lm_score": q_lm_score,

@@ -39,6 +39,13 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
     # rows — r4/r5 evidence).
     must_be_checked = {
         # r11 additions
+        "pii_redact",              # regex redaction kernel, semantics
+                                   # hash-checked via injected
+                                   # pseudo-PII
+        "split_by_cluster",        # leakage-free holdout split by
+                                   # exact-dup cluster label
+        "tfidf_topterms",          # per-source characteristic terms,
+                                   # integer micro-nat scores
         "ann_ivf_knn_join_probe",  # multi-probe cell co-assignment —
                                    # lifts the single-cell recall
                                    # ceiling, still banded
