@@ -221,6 +221,36 @@ SQL_SPAN_CTES = f"""whdoc AS (
         )"""
 
 
+#: CC label CTEs shared by dedup_cc / dedup_keep_best /
+#: dup_cluster_sizes / split_by_cluster — ONE definition of
+#: edges → bidirectional closure → min-reachable-id label, for the
+#: same reason SQL_NGRAM_PAIR_CTES exists: a change to the label
+#: convention (reach seeding, the COALESCE fallback) must not be
+#: able to desynchronize one consumer's oracle.  Requires WITH
+#: RECURSIVE on the consuming statement.
+SQL_CC_LABEL_CTES = f"""{SQL_NGRAM_PAIR_CTES},
+        edges AS (
+            SELECT doc_a, doc_b FROM pairs
+            JOIN cnt ca ON doc_a = ca.doc_id
+            JOIN cnt cb ON doc_b = cb.doc_id
+            WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common)
+                  >= {JACCARD_T}
+        ),
+        bidir AS (
+            SELECT doc_a AS src, doc_b AS dst FROM edges
+            UNION SELECT doc_b, doc_a FROM edges
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM bidir
+            UNION
+            SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+        ),
+        lab AS (SELECT src AS doc_id, MIN(dst) AS mn FROM reach GROUP BY src)"""
+
+#: the label expression over documents d LEFT JOIN lab l
+SQL_CC_LABEL_EXPR = "LEAST(d.doc_id, COALESCE(l.mn, d.doc_id))"
+
+
 ORACLE: dict[str, str] = {
     "dup_spans": f"""
         WITH {SQL_SPAN_CTES}
@@ -360,25 +390,9 @@ ORACLE: dict[str, str] = {
     """,
     "dedup_cc": f"""
         WITH RECURSIVE
-        {SQL_NGRAM_PAIR_CTES},
-        edges AS (
-            SELECT doc_a, doc_b FROM pairs
-            JOIN cnt ca ON doc_a = ca.doc_id
-            JOIN cnt cb ON doc_b = cb.doc_id
-            WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common) >= {JACCARD_T}
-        ),
-        bidir AS (
-            SELECT doc_a AS src, doc_b AS dst FROM edges
-            UNION SELECT doc_b, doc_a FROM edges
-        ),
-        reach(src, dst) AS (
-            SELECT src, dst FROM bidir
-            UNION
-            SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
-        ),
-        lab AS (SELECT src AS doc_id, MIN(dst) AS mn FROM reach GROUP BY src)
+        {SQL_CC_LABEL_CTES}
         SELECT d.doc_id,
-               LEAST(d.doc_id, COALESCE(l.mn, d.doc_id)) AS label
+               {SQL_CC_LABEL_EXPR} AS label
         FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
     """,
     "dedup_survivors": f"""
@@ -391,26 +405,10 @@ ORACLE: dict[str, str] = {
     # Spark window)
     "dedup_keep_best": f"""
         WITH RECURSIVE
-        {SQL_NGRAM_PAIR_CTES},
-        edges AS (
-            SELECT doc_a, doc_b FROM pairs
-            JOIN cnt ca ON doc_a = ca.doc_id
-            JOIN cnt cb ON doc_b = cb.doc_id
-            WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common) >= {JACCARD_T}
-        ),
-        bidir AS (
-            SELECT doc_a AS src, doc_b AS dst FROM edges
-            UNION SELECT doc_b, doc_a FROM edges
-        ),
-        reach(src, dst) AS (
-            SELECT src, dst FROM bidir
-            UNION
-            SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
-        ),
-        lab AS (SELECT src AS doc_id, MIN(dst) AS mn FROM reach GROUP BY src),
+        {SQL_CC_LABEL_CTES},
         labeled AS (
             SELECT d.doc_id,
-                   LEAST(d.doc_id, COALESCE(l.mn, d.doc_id)) AS label,
+                   {SQL_CC_LABEL_EXPR} AS label,
                    len(list_distinct(string_split(d.text, ' ')))::INT
                        AS uniq_tokens
             FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
@@ -435,27 +433,10 @@ ORACLE["dedup_cc_incr"] = ORACLE["dedup_cc"]
 # HUGEINT in DuckDB — cast back so the schema matches Spark's long.
 ORACLE["dup_cluster_sizes"] = f"""
         WITH RECURSIVE
-        {SQL_NGRAM_PAIR_CTES},
-        edges AS (
-            SELECT doc_a, doc_b FROM pairs
-            JOIN cnt ca ON doc_a = ca.doc_id
-            JOIN cnt cb ON doc_b = cb.doc_id
-            WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common)
-                  >= {JACCARD_T}
-        ),
-        bidir AS (
-            SELECT doc_a AS src, doc_b AS dst FROM edges
-            UNION SELECT doc_b, doc_a FROM edges
-        ),
-        reach(src, dst) AS (
-            SELECT src, dst FROM bidir
-            UNION
-            SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
-        ),
-        lab AS (SELECT src AS doc_id, MIN(dst) AS mn FROM reach GROUP BY src),
+        {SQL_CC_LABEL_CTES},
         labeled AS (
             SELECT d.doc_id,
-                   LEAST(d.doc_id, COALESCE(l.mn, d.doc_id)) AS label
+                   {SQL_CC_LABEL_EXPR} AS label
             FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
         ),
         sz AS (
@@ -560,30 +541,13 @@ def _split_by_cluster_oracle() -> str:
     splitters can never desynchronize."""
     from .pack import MIX_MOD, SPLIT_A, SPLIT_B, SPLIT_TRAIN
 
-    label = "LEAST(d.doc_id, COALESCE(l.mn, d.doc_id))"
     return f"""
         WITH RECURSIVE
-        {SQL_NGRAM_PAIR_CTES},
-        edges AS (
-            SELECT doc_a, doc_b FROM pairs
-            JOIN cnt ca ON doc_a = ca.doc_id
-            JOIN cnt cb ON doc_b = cb.doc_id
-            WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common)
-                  >= {JACCARD_T}
-        ),
-        bidir AS (
-            SELECT doc_a AS src, doc_b AS dst FROM edges
-            UNION SELECT doc_b, doc_a FROM edges
-        ),
-        reach(src, dst) AS (
-            SELECT src, dst FROM bidir
-            UNION
-            SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
-        ),
-        lab AS (SELECT src AS doc_id, MIN(dst) AS mn FROM reach GROUP BY src)
+        {SQL_CC_LABEL_CTES}
         SELECT d.doc_id,
-               {label} AS cluster_id,
-               CASE WHEN ({label} % {MIX_MOD} * {SPLIT_A} + {SPLIT_B})
+               {SQL_CC_LABEL_EXPR} AS cluster_id,
+               CASE WHEN ({SQL_CC_LABEL_EXPR} % {MIX_MOD} * {SPLIT_A}
+                          + {SPLIT_B})
                          % {MIX_MOD} < {int(SPLIT_TRAIN * MIX_MOD)}
                     THEN 'train' ELSE 'test' END AS split
         FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id

@@ -192,11 +192,20 @@ def train_test_split(
     rank, a shuffle this map-only operator refuses to pay).  Output
     keeps ``key_col`` so downstream can audit per-stratum balance with
     one groupBy."""
-    bucket = _affine_bucket(F.col("doc_id"), SPLIT_A, SPLIT_B)
-    split = F.when(
+    split = _holdout_split(F.col("doc_id"), train_frac)
+    return docs.select("doc_id", key_col, split.alias("split"))
+
+
+def _holdout_split(key, train_frac: float = SPLIT_TRAIN):
+    """The ONE train/test assignment expression, shared by the per-doc
+    and per-cluster splitters — ``split_by_cluster``'s documented
+    singleton-agreement guarantee (a doc whose label is its own id
+    gets the identical assignment) depends on the two expressions
+    staying byte-identical, so they must not be two copies."""
+    bucket = _affine_bucket(key, SPLIT_A, SPLIT_B)
+    return F.when(
         bucket < F.lit(int(train_frac * MIX_MOD)), F.lit("train")
     ).otherwise(F.lit("test"))
-    return docs.select("doc_id", key_col, split.alias("split"))
 
 
 def split_by_cluster(
@@ -222,10 +231,7 @@ def split_by_cluster(
     Scale: map-only over the label table; the cluster structure is
     whatever the labeler already paid for — no new shuffle, no
     cluster map on the driver."""
-    bucket = _affine_bucket(F.col(label_col), SPLIT_A, SPLIT_B)
-    split = F.when(
-        bucket < F.lit(int(train_frac * MIX_MOD)), F.lit("train")
-    ).otherwise(F.lit("test"))
+    split = _holdout_split(F.col(label_col), train_frac)
     return labeled.select(
         "doc_id", F.col(label_col).alias("cluster_id"), split.alias("split")
     )

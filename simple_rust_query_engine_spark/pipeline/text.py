@@ -366,7 +366,8 @@ def tfidf_topterms(docs: DataFrame, k: int = TFIDF_K) -> DataFrame:
     derives from it WITHOUT a second corpus scan (Catalyst would
     otherwise inline the explode+agg subtree into both consumers —
     the corpus, not the vocab, is what must be read once at 100 TB);
-    n_src rides in as a broadcast 1-row aggregate.  The final
+    n_src rides in as a broadcast 1-row aggregate over a
+    column-pruned source-only scan.  The final
     per-source window runs over the post-aggregation table — bounded
     by vocabulary, not corpus, size — with WindowGroupLimit pruning
     to k map-side."""
@@ -379,11 +380,13 @@ def tfidf_topterms(docs: DataFrame, k: int = TFIDF_K) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_src = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_src"))
-    # from tf, not docs: a third corpus scan for one number would be
-    # absurd at scale, and the value is identical (string_split emits
-    # at least one token — the empty string — for every row, so every
-    # source present in documents is present in tf)
-    n = tf.agg(F.countDistinct("source").alias("n_src"))
+    # from docs, matching the oracle's COUNT(DISTINCT source) FROM
+    # documents exactly — deriving it from tf would silently drop a
+    # source whose every text is NULL (explode(split(NULL)) emits no
+    # rows; DuckDB would still count the source).  The cost is a
+    # column-pruned scan of ONE dictionary-encoded column, not a
+    # second pass over the text
+    n = docs.agg(F.countDistinct("source").alias("n_src"))
     idf_micro = F.round(
         F.log(
             (F.col("n_src") + F.lit(1)).cast("double")

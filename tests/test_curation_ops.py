@@ -137,11 +137,15 @@ def test_tfidf_rank_contract(tables):
 
 
 def test_tfidf_plan_reads_corpus_once(tables):
-    # the materialize barrier is the point: tf feeds three consumers
-    # (tf leg, df_src leg, n_src) off ONE corpus scan, and the final
-    # window carries map-side WindowGroupLimit pruning
+    # the materialize barrier is the point: tf feeds the tf and
+    # df_src legs off ONE corpus scan; the only FileScan left is the
+    # n_src leg's column-pruned source-only read (matching the
+    # oracle's COUNT(DISTINCT source) FROM documents — NULL-text
+    # sources must still count); the final window carries map-side
+    # WindowGroupLimit pruning
     df = tfidf_topterms(tables["documents"])
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("FileScan parquet") == 0, plan  # behind barrier
+    assert plan.count("FileScan parquet") == 1, plan  # tf behind barrier
+    assert "ReadSchema: struct<source:string>" in plan, plan
     assert "WindowGroupLimit" in plan, plan
     assert "BroadcastHashJoin" in plan, plan

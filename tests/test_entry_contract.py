@@ -43,7 +43,8 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
                                    # hash-checked via injected
                                    # pseudo-PII
         "split_by_cluster",        # leakage-free holdout split by
-                                   # exact-dup cluster label
+                                   # near-dup component label
+                                   # (dedup_cc's labels)
         "tfidf_topterms",          # per-source characteristic terms,
                                    # integer micro-nat scores
         "ann_ivf_knn_join_probe",  # multi-probe cell co-assignment —
