@@ -498,9 +498,10 @@ _DEFER_PAST_CAP = (
                             #   against arbitrary source layouts
                             #   (test_property: cms_merge linearity)
     # ---- round 11 ----
-    # FOURTEEN entries enter the window this round (eleven here plus
-    # the three late additions pii_redact / split_by_cluster /
-    # tfidf_topterms documented at the end of this tuple): the r11
+    # SEVENTEEN entries enter the window this round (eleven here plus
+    # the six late additions pii_redact / split_by_cluster /
+    # tfidf_topterms / pq_encode / ann_pq / knn_recall_pq documented
+    # at the end of this tuple): the r11
     # RE-CERTIFICATION sweep (the 8 oldest deferred rows —
     # ann_multiprobe, events_window_sliding, multimodal_meta,
     # join_full, emb_centroid, events_retention, vocab_stats,
@@ -581,6 +582,31 @@ _DEFER_PAST_CAP = (
                             #   cms_stream_heavy_hitters,
                             #   bloom_precheck_stream cover the
                             #   engine); r10-green
+    # (r11 late additions pq_encode / ann_pq / ann_pq_rerank /
+    # knn_recall_pq — the product-quantization family — enter the
+    # window; four r10-green unchanged core-relational siblings
+    # defer, each pinned by plan tests independent of the driver
+    # rotation:)
+    "topk",                 # → TakeOrderedAndProject pinned by
+                            #   test_plans.test_topk_is_take_ordered;
+                            #   two-phase top-k family in-window via
+                            #   quality_topk; r10-green
+    "distinct",             # → agg-rewrite semantics in-window via
+                            #   agg_grouped; distinct-as-dedup via
+                            #   bloom_dedup_precheck's verify tail;
+                            #   set-op family pinned in golden tests;
+                            #   r10-green
+    "join_inner",           # → broadcast equi-join stays checked via
+                            #   flagship + join_full (outer extension
+                            #   of the same path); broadcast pin
+                            #   test_plans.test_small_dim_join_is_
+                            #   broadcast; r10-green
+    "filter_predicate",     # → pushdown pinned by test_plans.
+                            #   test_predicate_pushdown_reaches_scan;
+                            #   the Kleene filter semantics stay
+                            #   checked via tpch_q1 + agg_having's
+                            #   filter-over-agg (golden tests pin the
+                            #   null-row drop); r10-green
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

@@ -648,6 +648,253 @@ def _ann_ivf_trained_oracle(
     """
 
 
+# ------------------------------------------- product quantization
+# Jégou, Douze & Schmid 2011 (public): compress each vector to M
+# subspace code ids against per-subspace trained codebooks, and score
+# queries with asymmetric distance computation (ADC) — the query stays
+# raw, each candidate costs M table lookups instead of a dim-wide
+# fold.  THE memory story for billion-vector ANN: the index is M
+# small ints per vector + M×K×(dim/M) codebook floats, ~16 bytes/vec
+# here vs 512 for raw float64 — the difference between "index fits on
+# one executor" and "index does not fit in the cluster" at 10⁹ rows.
+PQ_M = 4       # subspaces (dim 64 → 16 dims each)
+PQ_K = 8       # codewords per subspace (3-bit codes at driver scale)
+PQ_ITERS = 2   # Lloyd's per codebook — determinism over convergence
+PQ_TOPK = 5
+
+
+def pq_codebooks(
+    emb: DataFrame, n_sub: int = PQ_M, k: int = PQ_K,
+    iters: int = PQ_ITERS,
+) -> tuple[list, int]:
+    """Train the M per-subspace codebooks: each is the SAME
+    deterministic distributed Lloyd's loop as ``kmeans_centroids``
+    (first-K seed, cosine assignment with ties to the lower cell,
+    6dp-rounded means, persisted ``state:`` table per plan
+    fingerprint) run over a SLICED view of the corpus — one
+    column-slice select per subspace, so PQ training reuses the
+    already-oracle-proven trainer verbatim instead of a second
+    implementation.  Returns (codebooks, subdim)."""
+    _, dim = _knn_geometry(emb)
+    subdim = dim // n_sub
+    books = []
+    for m in range(n_sub):
+        sub = emb.select(
+            "vec_id",
+            F.slice("embedding", m * subdim + 1, subdim).alias("embedding"),
+        )
+        books.append(kmeans_centroids(sub, k, iters))
+    return books, subdim
+
+
+def _pq_fold_assign(sub: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """argmax-cosine code per row, dims folded left-to-right — the
+    same arithmetic as ``_cell_assign_udf`` (shared tie convention:
+    np.argmax takes the LOWEST winning cell)."""
+    n_cells, subdim = C.shape
+    c_nrm2 = np.zeros(n_cells)
+    v_nrm2 = np.zeros(len(sub))
+    dot = np.zeros((len(sub), n_cells))
+    for d in range(subdim):
+        c_nrm2 = c_nrm2 + C[:, d] * C[:, d]
+        v_nrm2 = v_nrm2 + sub[:, d] * sub[:, d]
+        dot = dot + np.outer(sub[:, d], C[:, d])
+    cos = dot / np.sqrt(v_nrm2)[:, None] / np.sqrt(c_nrm2)[None, :]
+    return np.argmax(cos, axis=1).astype("int32")
+
+
+def _pq_codes_udf(books: list):
+    """Arrow kernel: the full M-subspace encode in ONE map-only pass
+    (an assignment per subspace then M-1 joins would shuffle the
+    corpus M-1 times for no reason).  Emits array<int> of length M."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def codes(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype="object")
+        A = np.stack(embs.to_numpy()).astype(np.float64)
+        cols = []
+        lo = 0
+        for C in books:
+            subdim = C.shape[1]
+            cols.append(_pq_fold_assign(A[:, lo:lo + subdim], C))
+            lo += subdim
+        out = np.stack(cols, axis=1)
+        return pd.Series([row.tolist() for row in out])
+
+    return codes
+
+
+def pq_encode(emb: DataFrame, books: list | None = None) -> DataFrame:
+    """The compressed index: (vec_id, m, code) — M small ints per
+    vector.  Map-only over the corpus (plan-pinned); at 100 TB this
+    IS the full pass PQ exists to make affordable, and the output is
+    what a deployment persists (bucketed by code for IVF-PQ
+    composition)."""
+    if books is None:
+        books, _ = pq_codebooks(emb)
+    codes = _pq_codes_udf(books)
+    return emb.select("vec_id", codes("embedding").alias("codes")).select(
+        "vec_id", F.posexplode("codes").alias("m", "code")
+    )
+
+
+def q_pq_encode(t: dict) -> DataFrame:
+    return pq_encode(t["embeddings"])
+
+
+def _pq_adc_udf(books: list, q: "np.ndarray"):
+    """ADC scoring kernel: precompute the M lookup tables
+    LUT[m][cell] = dot(q_m, codeword) driver-side (M×K scalars — the
+    per-query cost of PQ), then each candidate's approximate inner
+    product is the sum of its M lookups, accumulated in subspace
+    order (float addition order is part of the oracle contract)."""
+    from pyspark.sql.functions import pandas_udf
+
+    luts = []
+    lo = 0
+    for C in books:
+        subdim = C.shape[1]
+        qs = q[lo:lo + subdim]
+        lut = np.zeros(C.shape[0])
+        for d in range(subdim):  # left-to-right fold, oracle order
+            lut = lut + qs[d] * C[:, d]
+        luts.append(lut)
+        lo += subdim
+
+    @pandas_udf("double")
+    def adc(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(embs.to_numpy()).astype(np.float64)
+        score = np.zeros(len(A))
+        lo2 = 0
+        for C, lut in zip(books, luts):
+            subdim = C.shape[1]
+            code = _pq_fold_assign(A[:, lo2:lo2 + subdim], C)
+            score = score + lut[code]
+            lo2 += subdim
+        return pd.Series(np.round(score, 6))
+
+    return adc
+
+
+def ann_pq_topk(
+    emb: DataFrame, query_vec_id: int = 0, k: int = PQ_TOPK
+) -> DataFrame:
+    """Top-k by PQ-approximate inner product: dot(q, v) ≈
+    Σ_m dot(q_m, codeword_m(v)) — candidates are scored from their
+    codes alone.  Map-only scan + TakeOrdered; at scale the encode is
+    persisted state and this pass touches M ints per row, which is
+    the entire point of the method."""
+    books, _ = pq_codebooks(emb)
+    q = np.asarray(
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .collect()[0][0],
+        dtype=np.float64,
+    )
+    adc = _pq_adc_udf(books, q)
+    return (
+        emb.filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", adc("embedding").alias("adc_score"))
+        .orderBy(F.col("adc_score").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def q_ann_pq(t: dict) -> DataFrame:
+    return ann_pq_topk(t["embeddings"])
+
+
+PQ_RERANK = 20  # exact re-rank depth (candidates per query)
+
+
+def ann_pq_rerank_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = PQ_TOPK,
+    r: int = PQ_RERANK,
+) -> DataFrame:
+    """The production two-stage retrieval: PQ-ADC shortlists the top
+    ``r`` candidates from codes alone, then ONLY those ``r`` raw
+    vectors are re-scored with the exact fold cosine and the top-k is
+    taken — recall recovers toward exact while the full-corpus pass
+    still touches M ints per row.  Any exact-global-top-k vector that
+    reaches the shortlist always survives the re-rank, so recall is
+    monotonically ≥ the pure-ADC row at the same k (pinned).
+
+    Scale: the shortlist is r rows (broadcast), the re-score is a
+    broadcast semi-join + map-only fold over r vectors — per-query
+    cost independent of corpus size beyond the code scan."""
+    cand = ann_pq_topk(emb, query_vec_id, r).select("vec_id")
+    q = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(
+            F.col("embedding").alias("q_emb"),
+            _norm(F.col("embedding")).alias("q_nrm"),
+        )
+    )
+    return (
+        emb.join(F.broadcast(cand), "vec_id")
+        .withColumn("nrm", _norm(F.col("embedding")))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (
+                _dots(F.col("q_emb"), F.col("embedding"))
+                / F.col("q_nrm")
+                / F.col("nrm")
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def q_ann_pq_rerank(t: dict) -> DataFrame:
+    return ann_pq_rerank_topk(t["embeddings"])
+
+
+def knn_recall_pq(
+    emb: DataFrame, query_vec_id: int = 0, k: int = PQ_TOPK
+) -> DataFrame:
+    """Recall@k of the PQ-ADC ranking AND its exact-rerank upgrade
+    against the exact brute-force top-k, side by side — the honest
+    price tag of the ~32× compression and the measured payback of the
+    re-rank stage, in one hash-checked metric row (the
+    ``knn_recall_ivf_probe`` pattern)."""
+    exact = ann_brute_topk(emb, query_vec_id, k).select("vec_id")
+    adc_hits = (
+        ann_pq_topk(emb, query_vec_id, k)
+        .select("vec_id")
+        .join(exact, "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_hits_adc"))
+    )
+    rr_hits = (
+        ann_pq_rerank_topk(emb, query_vec_id, k)
+        .select("vec_id")
+        .join(exact, "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_hits_rerank"))
+    )
+    return adc_hits.crossJoin(rr_hits).select(
+        F.lit(k).alias("k"),
+        "n_hits_adc",
+        F.round(F.col("n_hits_adc").cast("double") / k, 6).alias(
+            "recall_adc"
+        ),
+        "n_hits_rerank",
+        F.round(F.col("n_hits_rerank").cast("double") / k, 6).alias(
+            "recall_rerank"
+        ),
+    )
+
+
+def q_knn_recall_pq(t: dict) -> DataFrame:
+    return knn_recall_pq(t["embeddings"])
+
+
 def q_ann_brute(t: dict) -> DataFrame:
     return ann_brute_topk(t["embeddings"], query_vec_id=0, k=10)
 
@@ -1725,8 +1972,192 @@ _IVF_ORACLE = f"""
     ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
 """
 
+def _sql_dot_n(a: str, b: str, n: int) -> str:
+    """Left-fold dot product over the first ``n`` list elements — the
+    subspace-width twin of ``_sql_dot`` (which hardcodes the full
+    64-dim corpus width)."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {n + 1}), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (acc, x) -> acc + x)"
+    )
+
+
+def _sql_cos_n(a: str, b: str, n: int) -> str:
+    return (
+        f"{_sql_dot_n(a, b, n)} / sqrt({_sql_dot_n(a, a, n)})"
+        f" / sqrt({_sql_dot_n(b, b, n)})"
+    )
+
+
+#: corpus embedding width assumed by every fold in this file
+_PQ_DIM = 64
+_PQ_SUBDIM = _PQ_DIM // PQ_M
+
+
+def _pq_chain(m: int, K: int = PQ_K, iters: int = PQ_ITERS) -> str:
+    """One subspace's codebook training chain: ``_kmeans_ctes``'s
+    exact trajectory (first-K seed → cosine assignment, ties to the
+    lower cell → 6dp-rounded means → empty cells coalesce) over the
+    ``list_slice`` of subspace ``m``, CTE names prefixed ``p{m}`` so
+    the M chains coexist in one statement."""
+    lo = m * _PQ_SUBDIM + 1
+    hi = lo + _PQ_SUBDIM - 1
+    sl = f"list_slice(embedding, {lo}, {hi})"
+    dims = f"(SELECT unnest(range(1, {_PQ_SUBDIM + 1})) AS i)"
+    parts = [
+        f"p{m}c0 AS (SELECT vec_id AS cell, {sl} AS c_emb "
+        f"FROM embeddings WHERE vec_id < {K})"
+    ]
+    for i in range(iters + 1):
+        parts.append(
+            f"p{m}s{i} AS (SELECT v.vec_id, c.cell, "
+            f"{_sql_cos_n('v_emb', 'c_emb', _PQ_SUBDIM)} AS cs "
+            f"FROM (SELECT vec_id, {sl} AS v_emb FROM embeddings) v "
+            f"CROSS JOIN p{m}c{i} c)"
+        )
+        parts.append(
+            f"p{m}a{i} AS (SELECT vec_id, cell FROM ("
+            f"SELECT vec_id, cell, ROW_NUMBER() OVER ("
+            f"PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rn "
+            f"FROM p{m}s{i}) t WHERE rn = 1)"
+        )
+        if i == iters:
+            break
+        parts.append(
+            f"p{m}n{i} AS (SELECT a.cell, d.i AS di, "
+            f"ROUND(AVG(e.embedding[{lo - 1} + d.i]::DOUBLE), 6) AS val "
+            f"FROM p{m}a{i} a JOIN embeddings e ON e.vec_id = a.vec_id "
+            f"CROSS JOIN {dims} d GROUP BY a.cell, d.i)"
+        )
+        parts.append(
+            f"p{m}c{i + 1} AS (SELECT p.cell, "
+            f"list(COALESCE(n.val, p.c_emb[d.i]::DOUBLE) ORDER BY d.i) "
+            f"AS c_emb FROM p{m}c{i} p CROSS JOIN {dims} d "
+            f"LEFT JOIN p{m}n{i} n ON n.cell = p.cell AND n.di = d.i "
+            f"GROUP BY p.cell)"
+        )
+    return ",\n        ".join(parts)
+
+
+def _pq_all_chains() -> str:
+    return ",\n        ".join(_pq_chain(m) for m in range(PQ_M))
+
+
+def _pq_encode_oracle() -> str:
+    it = PQ_ITERS
+    selects = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, cell::INT AS code FROM p{m}a{it}"
+        for m in range(PQ_M)
+    )
+    return f"""
+        WITH {_pq_all_chains()}
+        {selects}
+    """
+
+
+def _pq_adc_core() -> str:
+    """Shared CTE tail for the ADC rows: per-subspace LUT (query
+    subvector · codeword, the left fold) + the per-vector sum of its
+    M lookups in subspace order, rounded 6dp like the kernel."""
+    it = PQ_ITERS
+    q_cols = ", ".join(
+        f"list_slice(embedding, {m * _PQ_SUBDIM + 1}, "
+        f"{(m + 1) * _PQ_SUBDIM}) AS q{m}"
+        for m in range(PQ_M)
+    )
+    luts = ",\n        ".join(
+        f"lut{m} AS (SELECT c.cell, "
+        f"{_sql_dot_n(f'q.q{m}', 'c.c_emb', _PQ_SUBDIM)} AS part "
+        f"FROM p{m}c{it} c, q)"
+        for m in range(PQ_M)
+    )
+    joins = " ".join(
+        f"JOIN p{m}a{it} a{m} ON a{m}.vec_id = b.vec_id "
+        f"JOIN lut{m} l{m} ON l{m}.cell = a{m}.cell"
+        for m in range(PQ_M)
+    )
+    score = " + ".join(f"l{m}.part" for m in range(PQ_M))
+    return f"""{_pq_all_chains()},
+        q AS (SELECT {q_cols} FROM embeddings WHERE vec_id = 0),
+        {luts},
+        adc AS (
+            SELECT b.vec_id, ROUND({score}, 6) AS adc_score
+            FROM embeddings b {joins}
+            WHERE b.vec_id <> 0
+        )"""
+
+
+def _ann_pq_oracle() -> str:
+    return f"""
+        WITH {_pq_adc_core()}
+        SELECT vec_id, adc_score FROM adc
+        ORDER BY adc_score DESC, vec_id ASC LIMIT {PQ_TOPK}
+    """
+
+
+def _ann_pq_rerank_oracle() -> str:
+    return f"""
+        WITH {_pq_adc_core()},
+        cand AS (
+            SELECT vec_id FROM adc
+            ORDER BY adc_score DESC, vec_id ASC LIMIT {PQ_RERANK}
+        )
+        SELECT b.vec_id AS vec_id, {_SQL_COS} AS cos_sim
+        FROM (SELECT embedding AS a_emb FROM embeddings
+              WHERE vec_id = 0) qx,
+             (SELECT vec_id, embedding AS b_emb FROM embeddings) b
+        JOIN cand ON cand.vec_id = b.vec_id
+        ORDER BY cos_sim DESC, b.vec_id ASC LIMIT {PQ_TOPK}
+    """
+
+
+def _knn_recall_pq_oracle() -> str:
+    return f"""
+        WITH {_pq_adc_core()},
+        approx AS (
+            SELECT vec_id FROM adc
+            ORDER BY adc_score DESC, vec_id ASC LIMIT {PQ_TOPK}
+        ),
+        cand AS (
+            SELECT vec_id FROM adc
+            ORDER BY adc_score DESC, vec_id ASC LIMIT {PQ_RERANK}
+        ),
+        rr AS (
+            SELECT b.vec_id FROM
+                (SELECT embedding AS a_emb FROM embeddings
+                 WHERE vec_id = 0) qx,
+                (SELECT vec_id, embedding AS b_emb FROM embeddings) b
+            JOIN cand ON cand.vec_id = b.vec_id
+            ORDER BY {_SQL_COS} DESC, b.vec_id ASC LIMIT {PQ_TOPK}
+        ),
+        exact AS (
+            SELECT b.vec_id, {_SQL_COS} AS cos_sim
+            FROM (SELECT embedding AS a_emb FROM embeddings
+                  WHERE vec_id = 0) qx,
+                 (SELECT vec_id, embedding AS b_emb FROM embeddings
+                  WHERE vec_id <> 0) b
+            ORDER BY cos_sim DESC, vec_id ASC LIMIT {PQ_TOPK}
+        )
+        SELECT {PQ_TOPK} AS k,
+               (SELECT COUNT(*) FROM approx JOIN exact USING (vec_id)
+               )::BIGINT AS n_hits_adc,
+               ROUND((SELECT COUNT(*) FROM approx JOIN exact
+                      USING (vec_id))::DOUBLE / {PQ_TOPK}, 6)
+                   AS recall_adc,
+               (SELECT COUNT(*) FROM rr JOIN exact USING (vec_id)
+               )::BIGINT AS n_hits_rerank,
+               ROUND((SELECT COUNT(*) FROM rr JOIN exact
+                      USING (vec_id))::DOUBLE / {PQ_TOPK}, 6)
+                   AS recall_rerank
+    """
+
+
 ORACLE: dict[str, str] = {
     "ann_ivf": _IVF_ORACLE,
+    "pq_encode": _pq_encode_oracle(),
+    "ann_pq": _ann_pq_oracle(),
+    "ann_pq_rerank": _ann_pq_rerank_oracle(),
+    "knn_recall_pq": _knn_recall_pq_oracle(),
     "ann_brute": f"""
         SELECT b.vec_id AS vec_id, {_SQL_COS} AS cos_sim
         FROM (SELECT embedding AS a_emb FROM embeddings WHERE vec_id = 0) q,
@@ -2055,4 +2486,8 @@ QUERIES = {
     "ann_ivf_knn_join_probe": q_ann_ivf_knn_join_probe,
     "knn_recall_ivf": q_knn_recall_ivf,
     "knn_recall_ivf_probe": q_knn_recall_ivf_probe,
+    "pq_encode": q_pq_encode,
+    "ann_pq": q_ann_pq,
+    "ann_pq_rerank": q_ann_pq_rerank,
+    "knn_recall_pq": q_knn_recall_pq,
 }

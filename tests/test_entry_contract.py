@@ -47,6 +47,13 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
                                    # (dedup_cc's labels)
         "tfidf_topterms",          # per-source characteristic terms,
                                    # integer micro-nat scores
+        "pq_encode",               # product-quantization codes —
+                                   # M per-subspace trained codebooks
+        "ann_pq",                  # ADC top-k from codes alone
+        "ann_pq_rerank",           # exact re-rank of the ADC
+                                   # shortlist — two-stage retrieval
+        "knn_recall_pq",           # PQ recall@k vs exact brute —
+                                   # the compression's price tag
         "ann_ivf_knn_join_probe",  # multi-probe cell co-assignment —
                                    # lifts the single-cell recall
                                    # ceiling, still banded

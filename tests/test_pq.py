@@ -1,0 +1,69 @@
+"""Product-quantization invariants (round-11 additions): code
+geometry, map-only plans, and the two-stage retrieval's recovery
+guarantee.  Oracle hash parity is covered by test_oracle_parity."""
+
+from pyspark.sql import functions as F
+
+from simple_rust_query_engine_spark.pipeline.similarity import (
+    PQ_K,
+    PQ_M,
+    PQ_TOPK,
+    ann_brute_topk,
+    ann_pq_rerank_topk,
+    pq_codebooks,
+    q_ann_pq,
+    q_knn_recall_pq,
+    q_pq_encode,
+)
+
+
+def test_pq_codebook_geometry(tables):
+    books, subdim = pq_codebooks(tables["embeddings"])
+    assert len(books) == PQ_M
+    for C in books:
+        assert C.shape == (PQ_K, subdim)
+
+
+def test_pq_encode_codes_are_in_range(tables):
+    enc = q_pq_encode(tables)
+    n_vec = tables["embeddings"].count()
+    assert enc.count() == PQ_M * n_vec  # M codes per vector, none lost
+    bad = enc.filter(
+        (F.col("code") < 0) | (F.col("code") >= PQ_K)
+        | (F.col("m") < 0) | (F.col("m") >= PQ_M)
+    ).count()
+    assert bad == 0
+
+
+def test_pq_encode_plan_is_map_only(tables):
+    # the full-corpus pass PQ exists to make affordable: one scan,
+    # one Arrow kernel, a generate — never a shuffle
+    plan = q_pq_encode(tables)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_ann_pq_plan_is_scan_plus_takeordered(tables):
+    plan = q_ann_pq(tables)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pq_rerank_recall_is_monotone(tables):
+    # any exact-top-k vector that reaches the ADC shortlist survives
+    # the exact re-rank, so recall_rerank >= recall_adc always
+    row = q_knn_recall_pq(tables).collect()[0]
+    assert 0.0 <= row.recall_adc <= 1.0
+    assert row.recall_adc <= row.recall_rerank <= 1.0
+
+
+def test_pq_rerank_with_full_shortlist_is_exact(tables):
+    # r >= corpus size makes the shortlist the whole corpus, so the
+    # two-stage result must equal brute force bit-for-bit
+    emb = tables["embeddings"]
+    n = emb.count()
+    rr = ann_pq_rerank_topk(emb, query_vec_id=0, k=PQ_TOPK, r=n).collect()
+    ex = ann_brute_topk(emb, query_vec_id=0, k=PQ_TOPK).collect()
+    assert [(r.vec_id, r.cos_sim) for r in rr] == [
+        (r.vec_id, r.cos_sim) for r in ex
+    ]
