@@ -498,10 +498,10 @@ _DEFER_PAST_CAP = (
                             #   against arbitrary source layouts
                             #   (test_property: cms_merge linearity)
     # ---- round 11 ----
-    # SEVENTEEN entries enter the window this round (eleven here plus
-    # the six late additions pii_redact / split_by_cluster /
-    # tfidf_topterms / pq_encode / ann_pq / knn_recall_pq documented
-    # at the end of this tuple): the r11
+    # EIGHTEEN entries enter the window this round (eleven here plus
+    # the seven late additions pii_redact / split_by_cluster /
+    # tfidf_topterms / pq_encode / ann_pq / ann_pq_rerank /
+    # knn_recall_pq documented at the end of this tuple): the r11
     # RE-CERTIFICATION sweep (the 8 oldest deferred rows —
     # ann_multiprobe, events_window_sliding, multimodal_meta,
     # join_full, emb_centroid, events_retention, vocab_stats,

@@ -26,6 +26,40 @@ from pyspark.sql import functions as F
 LSH_PLANES = 4  # bucket bits for the scale path
 
 
+#: corpus embedding width assumed by every full-width fold below
+_EMB_DIM = 64
+
+
+def _sql_dot_n(a: str, b: str, n: int) -> str:
+    """Left-fold dot product over the first ``n`` list elements — the
+    ONE spelling of the oracle fold; the full-width helpers below are
+    its ``n = _EMB_DIM`` instance, and the PQ chains use subspace
+    widths."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {n + 1}), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (acc, x) -> acc + x)"
+    )
+
+
+def _sql_cos_n(a: str, b: str, n: int) -> str:
+    return (
+        f"{_sql_dot_n(a, b, n)} / sqrt({_sql_dot_n(a, a, n)})"
+        f" / sqrt({_sql_dot_n(b, b, n)})"
+    )
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return _sql_dot_n(a, b, _EMB_DIM)
+
+
+def _sql_norm(a: str) -> str:
+    return f"sqrt({_sql_dot(a, a)})"
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return _sql_cos_n(a, b, _EMB_DIM)
+
+
 def _dots(a, b) -> Column:
     """Sequential left-fold dot product in double precision."""
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
@@ -239,29 +273,35 @@ def _ivf_centroids(emb: DataFrame, n_cells: int = IVF_CELLS):
     return C
 
 
-def _cell_assign_udf(C: "np.ndarray"):
-    """cell = argmax over centroids of cos(v, c); ties → lowest cell.
-    Sequential-fold arithmetic (dims left-to-right) for oracle parity."""
-    from pyspark.sql.functions import pandas_udf
+def _fold_assign(sub: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """argmax-cosine cell per row, dims folded left-to-right for
+    oracle parity; ties → lowest cell (np.argmax takes the first
+    winner).  The ONE spelling of the assignment arithmetic — the
+    IVF/KMeans assignment UDF and the PQ encoder both call it, so
+    their tie/fold conventions can never drift apart."""
+    n_cells = C.shape[0]
+    c_nrm2 = np.zeros(n_cells)
+    v_nrm2 = np.zeros(len(sub))
+    dot = np.zeros((len(sub), n_cells))
+    for d in range(C.shape[1]):
+        c_nrm2 = c_nrm2 + C[:, d] * C[:, d]
+        v_nrm2 = v_nrm2 + sub[:, d] * sub[:, d]
+        dot = dot + np.outer(sub[:, d], C[:, d])
+    cos = dot / np.sqrt(v_nrm2)[:, None] / np.sqrt(c_nrm2)[None, :]
+    return np.argmax(cos, axis=1).astype("int32")
 
-    n_cells, dim = C.shape
-    c_nrm = np.zeros(n_cells)
-    for d in range(dim):
-        c_nrm = c_nrm + C[:, d] * C[:, d]
-    c_nrm = np.sqrt(c_nrm)
+
+def _cell_assign_udf(C: "np.ndarray"):
+    """cell = argmax over centroids of cos(v, c) — ``_fold_assign``
+    behind an Arrow kernel."""
+    from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("int")
     def assign(embs: pd.Series) -> pd.Series:
         if len(embs) == 0:
             return pd.Series([], dtype="int32")
         A = np.stack(embs.to_numpy()).astype(np.float64)
-        v_nrm = np.zeros(len(A))
-        dot = np.zeros((len(A), n_cells))
-        for d in range(A.shape[1]):
-            v_nrm = v_nrm + A[:, d] * A[:, d]
-            dot = dot + np.outer(A[:, d], C[:, d])
-        cos = dot / np.sqrt(v_nrm)[:, None] / c_nrm[None, :]
-        return pd.Series(np.argmax(cos, axis=1).astype("int32"))
+        return pd.Series(_fold_assign(A, C))
 
     return assign
 
@@ -568,50 +608,69 @@ def q_ann_ivf_trained(t: dict) -> DataFrame:
     return ann_ivf_trained_topk(t["embeddings"])
 
 
-def _kmeans_ctes(K: int = KMEANS_CELLS, iters: int = KMEANS_ITERS) -> str:
+def _kmeans_cte_parts(
+    K: int = KMEANS_CELLS,
+    iters: int = KMEANS_ITERS,
+    prefix: str = "",
+    lo: int = 1,
+    subdim: int = _EMB_DIM,
+) -> str:
     """The fixed Lloyd's iterations unrolled in DuckDB CTEs:
-    c0 = first-K seed arrays; per iteration i — s{i} scores every
-    (vector, centroid) pair with the shared left-fold cosine, a{i}
-    picks the argmax (ties toward the lower cell), n{i} computes the
-    rounded per-(cell, dim) means, c{i+1} coalesces empty cells back
-    to their previous centroid.  Ends with s{iters}/a{iters}: the
-    scores and assignment against the FINAL centroids — the pieces
-    both the ``kmeans_train`` and ``ann_ivf_trained`` twins select
-    from."""
-    dims = "(SELECT unnest(range(1, 65)) AS i)"
+    {prefix}c0 = first-K seed arrays; per iteration i — s{i} scores
+    every (vector, centroid) pair with the shared left-fold cosine,
+    a{i} picks the argmax (ties toward the lower cell), n{i} computes
+    the rounded per-(cell, dim) means, c{i+1} coalesces empty cells
+    back to their previous centroid.  Ends with s{iters}/a{iters}:
+    the scores and assignment against the FINAL centroids.
+
+    ``prefix``/``lo``/``subdim`` parameterize the SAME trajectory
+    over a column slice for the PQ codebook chains — one generator,
+    so an edit to the rounding/tie/coalesce conventions cannot
+    desynchronize the KMeans and PQ oracles."""
+    p = prefix
+    full = lo == 1 and subdim == _EMB_DIM
+    sl = "embedding" if full else (
+        f"list_slice(embedding, {lo}, {lo + subdim - 1})"
+    )
+    idx = "d.i" if lo == 1 else f"{lo - 1} + d.i"
+    dims = f"(SELECT unnest(range(1, {subdim + 1})) AS i)"
     parts = [
-        f"c0 AS (SELECT vec_id AS cell, embedding AS c_emb "
+        f"{p}c0 AS (SELECT vec_id AS cell, {sl} AS c_emb "
         f"FROM embeddings WHERE vec_id < {K})"
     ]
     for i in range(iters + 1):
         parts.append(
-            f"s{i} AS (SELECT v.vec_id, c.cell, "
-            f"{_sql_cos('v_emb', 'c_emb')} AS cs "
-            f"FROM (SELECT vec_id, embedding AS v_emb FROM embeddings) v "
-            f"CROSS JOIN c{i} c)"
+            f"{p}s{i} AS (SELECT v.vec_id, c.cell, "
+            f"{_sql_cos_n('v_emb', 'c_emb', subdim)} AS cs "
+            f"FROM (SELECT vec_id, {sl} AS v_emb FROM embeddings) v "
+            f"CROSS JOIN {p}c{i} c)"
         )
         parts.append(
-            f"a{i} AS (SELECT vec_id, cell FROM ("
+            f"{p}a{i} AS (SELECT vec_id, cell FROM ("
             f"SELECT vec_id, cell, ROW_NUMBER() OVER ("
             f"PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rn "
-            f"FROM s{i}) t WHERE rn = 1)"
+            f"FROM {p}s{i}) t WHERE rn = 1)"
         )
         if i == iters:
             break
         parts.append(
-            f"n{i} AS (SELECT a.cell, d.i AS di, "
-            f"ROUND(AVG(e.embedding[d.i]::DOUBLE), 6) AS val "
-            f"FROM a{i} a JOIN embeddings e ON e.vec_id = a.vec_id "
+            f"{p}n{i} AS (SELECT a.cell, d.i AS di, "
+            f"ROUND(AVG(e.embedding[{idx}]::DOUBLE), 6) AS val "
+            f"FROM {p}a{i} a JOIN embeddings e ON e.vec_id = a.vec_id "
             f"CROSS JOIN {dims} d GROUP BY a.cell, d.i)"
         )
         parts.append(
-            f"c{i + 1} AS (SELECT p.cell, "
+            f"{p}c{i + 1} AS (SELECT p.cell, "
             f"list(COALESCE(n.val, p.c_emb[d.i]::DOUBLE) ORDER BY d.i) "
-            f"AS c_emb FROM c{i} p CROSS JOIN {dims} d "
-            f"LEFT JOIN n{i} n ON n.cell = p.cell AND n.di = d.i "
+            f"AS c_emb FROM {p}c{i} p CROSS JOIN {dims} d "
+            f"LEFT JOIN {p}n{i} n ON n.cell = p.cell AND n.di = d.i "
             f"GROUP BY p.cell)"
         )
-    return "WITH " + ",\n        ".join(parts)
+    return ",\n        ".join(parts)
+
+
+def _kmeans_ctes(K: int = KMEANS_CELLS, iters: int = KMEANS_ITERS) -> str:
+    return "WITH " + _kmeans_cte_parts(K, iters)
 
 
 def _kmeans_oracle(
@@ -674,33 +733,38 @@ def pq_codebooks(
     fingerprint) run over a SLICED view of the corpus — one
     column-slice select per subspace, so PQ training reuses the
     already-oracle-proven trainer verbatim instead of a second
-    implementation.  Returns (codebooks, subdim)."""
+    implementation.  Returns (codebooks, subdim).
+
+    The books list is session-cached anchored on ``emb`` itself —
+    the per-subspace slice frames are throwaway objects, so without
+    this anchor an inputFiles-less corpus (createDataFrame) would
+    re-run full Lloyd's on every call."""
+    from .dedup_core import _session_cached
+
     _, dim = _knn_geometry(emb)
-    subdim = dim // n_sub
-    books = []
-    for m in range(n_sub):
-        sub = emb.select(
-            "vec_id",
-            F.slice("embedding", m * subdim + 1, subdim).alias("embedding"),
+    if dim % n_sub != 0:
+        raise ValueError(
+            f"PQ needs dim divisible by n_sub: dim={dim}, n_sub={n_sub} "
+            f"would silently drop the last {dim % n_sub} dimensions"
         )
-        books.append(kmeans_centroids(sub, k, iters))
-    return books, subdim
+    subdim = dim // n_sub
 
+    def build():
+        books = []
+        for m in range(n_sub):
+            sub = emb.select(
+                "vec_id",
+                F.slice(
+                    "embedding", m * subdim + 1, subdim
+                ).alias("embedding"),
+            )
+            books.append(kmeans_centroids(sub, k, iters))
+        return books
 
-def _pq_fold_assign(sub: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
-    """argmax-cosine code per row, dims folded left-to-right — the
-    same arithmetic as ``_cell_assign_udf`` (shared tie convention:
-    np.argmax takes the LOWEST winning cell)."""
-    n_cells, subdim = C.shape
-    c_nrm2 = np.zeros(n_cells)
-    v_nrm2 = np.zeros(len(sub))
-    dot = np.zeros((len(sub), n_cells))
-    for d in range(subdim):
-        c_nrm2 = c_nrm2 + C[:, d] * C[:, d]
-        v_nrm2 = v_nrm2 + sub[:, d] * sub[:, d]
-        dot = dot + np.outer(sub[:, d], C[:, d])
-    cos = dot / np.sqrt(v_nrm2)[:, None] / np.sqrt(c_nrm2)[None, :]
-    return np.argmax(cos, axis=1).astype("int32")
+    return (
+        _session_cached(f"state:pq_books:{n_sub}x{k}x{iters}", emb, build),
+        subdim,
+    )
 
 
 def _pq_codes_udf(books: list):
@@ -718,7 +782,7 @@ def _pq_codes_udf(books: list):
         lo = 0
         for C in books:
             subdim = C.shape[1]
-            cols.append(_pq_fold_assign(A[:, lo:lo + subdim], C))
+            cols.append(_fold_assign(A[:, lo:lo + subdim], C))
             lo += subdim
         out = np.stack(cols, axis=1)
         return pd.Series([row.tolist() for row in out])
@@ -726,16 +790,44 @@ def _pq_codes_udf(books: list):
     return codes
 
 
-def pq_encode(emb: DataFrame, books: list | None = None) -> DataFrame:
-    """The compressed index: (vec_id, m, code) — M small ints per
-    vector.  Map-only over the corpus (plan-pinned); at 100 TB this
-    IS the full pass PQ exists to make affordable, and the output is
-    what a deployment persists (bucketed by code for IVF-PQ
-    composition)."""
+def pq_codes_state(emb: DataFrame, books: list | None = None) -> DataFrame:
+    """The compressed index as persisted STATE: (vec_id, codes) with
+    ``codes`` an array of M small ints.  Built by ONE map-only Arrow
+    pass over the corpus — the full scan PQ exists to make a
+    once-per-corpus cost — then saved as a ``state:`` parquet table
+    keyed on (plan fingerprint, input files), the same pattern as the
+    band index and the KMeans centroids: every later query reads M
+    ints per row and never touches the raw vectors.  A frame with no
+    input files (createDataFrame) skips persistence and encodes
+    inline."""
     if books is None:
         books, _ = pq_codebooks(emb)
-    codes = _pq_codes_udf(books)
-    return emb.select("vec_id", codes("embedding").alias("codes")).select(
+    spark = emb.sparkSession
+
+    def build_df():
+        codes = _pq_codes_udf(books)
+        return emb.select("vec_id", codes("embedding").alias("codes"))
+
+    files = sorted(emb.inputFiles())
+    if not files:
+        return build_df()
+    from .dedup_core import _state_table
+
+    fp = _plan_shape_fingerprint(emb)
+    table = _state_table(
+        spark,
+        f"pq_codes_{len(books)}x{books[0].shape[0]}",
+        f"sh{fp}|" + "|".join(files),
+        build_df,
+    )
+    return spark.table(table)
+
+
+def pq_encode(emb: DataFrame, books: list | None = None) -> DataFrame:
+    """Driver surface for the compressed index: (vec_id, m, code) —
+    a posexplode over the persisted code table (what a deployment
+    holds between queries; bucketed by code for IVF-PQ composition)."""
+    return pq_codes_state(emb, books).select(
         "vec_id", F.posexplode("codes").alias("m", "code")
     )
 
@@ -744,61 +836,54 @@ def q_pq_encode(t: dict) -> DataFrame:
     return pq_encode(t["embeddings"])
 
 
-def _pq_adc_udf(books: list, q: "np.ndarray"):
-    """ADC scoring kernel: precompute the M lookup tables
-    LUT[m][cell] = dot(q_m, codeword) driver-side (M×K scalars — the
-    per-query cost of PQ), then each candidate's approximate inner
-    product is the sum of its M lookups, accumulated in subspace
-    order (float addition order is part of the oracle contract)."""
-    from pyspark.sql.functions import pandas_udf
-
+def _pq_luts(books: list, q: "np.ndarray") -> list["np.ndarray"]:
+    """The M ADC lookup tables: LUT[m][cell] = dot(q_m, codeword) —
+    M×K scalars computed driver-side per query, dims folded
+    left-to-right (oracle order)."""
     luts = []
     lo = 0
     for C in books:
         subdim = C.shape[1]
         qs = q[lo:lo + subdim]
         lut = np.zeros(C.shape[0])
-        for d in range(subdim):  # left-to-right fold, oracle order
+        for d in range(subdim):
             lut = lut + qs[d] * C[:, d]
         luts.append(lut)
         lo += subdim
-
-    @pandas_udf("double")
-    def adc(embs: pd.Series) -> pd.Series:
-        if len(embs) == 0:
-            return pd.Series([], dtype="float64")
-        A = np.stack(embs.to_numpy()).astype(np.float64)
-        score = np.zeros(len(A))
-        lo2 = 0
-        for C, lut in zip(books, luts):
-            subdim = C.shape[1]
-            code = _pq_fold_assign(A[:, lo2:lo2 + subdim], C)
-            score = score + lut[code]
-            lo2 += subdim
-        return pd.Series(np.round(score, 6))
-
-    return adc
+    return luts
 
 
 def ann_pq_topk(
-    emb: DataFrame, query_vec_id: int = 0, k: int = PQ_TOPK
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = PQ_TOPK,
+    books: list | None = None,
 ) -> DataFrame:
     """Top-k by PQ-approximate inner product: dot(q, v) ≈
     Σ_m dot(q_m, codeword_m(v)) — candidates are scored from their
-    codes alone.  Map-only scan + TakeOrdered; at scale the encode is
-    persisted state and this pass touches M ints per row, which is
-    the entire point of the method."""
-    books, _ = pq_codebooks(emb)
+    PERSISTED codes alone: the query path is a scan of the code
+    table plus M ``element_at`` lookups into the LUT array literals,
+    pure JVM expressions (no Python anywhere at query time), then
+    TakeOrdered.  Lookups accumulate in subspace order and the sum
+    rounds through ``F.round`` (HALF_UP, matching DuckDB's ROUND —
+    numpy's round-half-to-even would diverge on exact .5 ties)."""
+    if books is None:
+        books, _ = pq_codebooks(emb)
     q = np.asarray(
         emb.filter(F.col("vec_id") == query_vec_id)
         .select("embedding")
         .collect()[0][0],
         dtype=np.float64,
     )
-    adc = _pq_adc_udf(books, q)
+    score = None
+    for m, lut in enumerate(_pq_luts(books, q)):
+        arr = F.array(*[F.lit(float(x)) for x in lut])
+        term = F.element_at(arr, F.element_at("codes", m + 1) + F.lit(1))
+        score = term if score is None else score + term
     return (
-        emb.filter(F.col("vec_id") != query_vec_id)
-        .select("vec_id", adc("embedding").alias("adc_score"))
+        pq_codes_state(emb, books)
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", F.round(score, 6).alias("adc_score"))
         .orderBy(F.col("adc_score").desc(), F.col("vec_id").asc())
         .limit(k)
     )
@@ -816,6 +901,7 @@ def ann_pq_rerank_topk(
     query_vec_id: int = 0,
     k: int = PQ_TOPK,
     r: int = PQ_RERANK,
+    books: list | None = None,
 ) -> DataFrame:
     """The production two-stage retrieval: PQ-ADC shortlists the top
     ``r`` candidates from codes alone, then ONLY those ``r`` raw
@@ -828,7 +914,7 @@ def ann_pq_rerank_topk(
     Scale: the shortlist is r rows (broadcast), the re-score is a
     broadcast semi-join + map-only fold over r vectors — per-query
     cost independent of corpus size beyond the code scan."""
-    cand = ann_pq_topk(emb, query_vec_id, r).select("vec_id")
+    cand = ann_pq_topk(emb, query_vec_id, r, books=books).select("vec_id")
     q = (
         emb.filter(F.col("vec_id") == query_vec_id)
         .select(
@@ -865,15 +951,16 @@ def knn_recall_pq(
     price tag of the ~32× compression and the measured payback of the
     re-rank stage, in one hash-checked metric row (the
     ``knn_recall_ivf_probe`` pattern)."""
+    books, _ = pq_codebooks(emb)  # once, shared by both legs
     exact = ann_brute_topk(emb, query_vec_id, k).select("vec_id")
     adc_hits = (
-        ann_pq_topk(emb, query_vec_id, k)
+        ann_pq_topk(emb, query_vec_id, k, books=books)
         .select("vec_id")
         .join(exact, "vec_id")
         .agg(F.count(F.lit(1)).alias("n_hits_adc"))
     )
     rr_hits = (
-        ann_pq_rerank_topk(emb, query_vec_id, k)
+        ann_pq_rerank_topk(emb, query_vec_id, k, books=books)
         .select("vec_id")
         .join(exact, "vec_id")
         .agg(F.count(F.lit(1)).alias("n_hits_rerank"))
@@ -1886,19 +1973,6 @@ def q_embedding_neardup(t: dict) -> DataFrame:
 
 # ------------------------------------------------------------- oracle
 # DuckDB lists are 1-indexed; fold order mirrors F.aggregate exactly.
-def _sql_dot(a: str, b: str) -> str:
-    return (
-        f"list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
-        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (acc, x) -> acc + x)"
-    )
-
-
-def _sql_norm(a: str) -> str:
-    return f"sqrt({_sql_dot(a, a)})"
-
-
-def _sql_cos(a: str, b: str) -> str:
-    return f"{_sql_dot(a, b)} / {_sql_norm(a)} / {_sql_norm(b)}"
 
 
 _SQL_COS = _sql_cos("a_emb", "b_emb")
@@ -1972,75 +2046,25 @@ _IVF_ORACLE = f"""
     ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
 """
 
-def _sql_dot_n(a: str, b: str, n: int) -> str:
-    """Left-fold dot product over the first ``n`` list elements — the
-    subspace-width twin of ``_sql_dot`` (which hardcodes the full
-    64-dim corpus width)."""
-    return (
-        f"list_reduce(list_prepend(0.0, list_transform(range(1, {n + 1}), "
-        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (acc, x) -> acc + x)"
-    )
-
-
-def _sql_cos_n(a: str, b: str, n: int) -> str:
-    return (
-        f"{_sql_dot_n(a, b, n)} / sqrt({_sql_dot_n(a, a, n)})"
-        f" / sqrt({_sql_dot_n(b, b, n)})"
-    )
-
-
-#: corpus embedding width assumed by every fold in this file
-_PQ_DIM = 64
-_PQ_SUBDIM = _PQ_DIM // PQ_M
-
-
-def _pq_chain(m: int, K: int = PQ_K, iters: int = PQ_ITERS) -> str:
-    """One subspace's codebook training chain: ``_kmeans_ctes``'s
-    exact trajectory (first-K seed → cosine assignment, ties to the
-    lower cell → 6dp-rounded means → empty cells coalesce) over the
-    ``list_slice`` of subspace ``m``, CTE names prefixed ``p{m}`` so
-    the M chains coexist in one statement."""
-    lo = m * _PQ_SUBDIM + 1
-    hi = lo + _PQ_SUBDIM - 1
-    sl = f"list_slice(embedding, {lo}, {hi})"
-    dims = f"(SELECT unnest(range(1, {_PQ_SUBDIM + 1})) AS i)"
-    parts = [
-        f"p{m}c0 AS (SELECT vec_id AS cell, {sl} AS c_emb "
-        f"FROM embeddings WHERE vec_id < {K})"
-    ]
-    for i in range(iters + 1):
-        parts.append(
-            f"p{m}s{i} AS (SELECT v.vec_id, c.cell, "
-            f"{_sql_cos_n('v_emb', 'c_emb', _PQ_SUBDIM)} AS cs "
-            f"FROM (SELECT vec_id, {sl} AS v_emb FROM embeddings) v "
-            f"CROSS JOIN p{m}c{i} c)"
-        )
-        parts.append(
-            f"p{m}a{i} AS (SELECT vec_id, cell FROM ("
-            f"SELECT vec_id, cell, ROW_NUMBER() OVER ("
-            f"PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rn "
-            f"FROM p{m}s{i}) t WHERE rn = 1)"
-        )
-        if i == iters:
-            break
-        parts.append(
-            f"p{m}n{i} AS (SELECT a.cell, d.i AS di, "
-            f"ROUND(AVG(e.embedding[{lo - 1} + d.i]::DOUBLE), 6) AS val "
-            f"FROM p{m}a{i} a JOIN embeddings e ON e.vec_id = a.vec_id "
-            f"CROSS JOIN {dims} d GROUP BY a.cell, d.i)"
-        )
-        parts.append(
-            f"p{m}c{i + 1} AS (SELECT p.cell, "
-            f"list(COALESCE(n.val, p.c_emb[d.i]::DOUBLE) ORDER BY d.i) "
-            f"AS c_emb FROM p{m}c{i} p CROSS JOIN {dims} d "
-            f"LEFT JOIN p{m}n{i} n ON n.cell = p.cell AND n.di = d.i "
-            f"GROUP BY p.cell)"
-        )
-    return ",\n        ".join(parts)
+_PQ_SUBDIM = _EMB_DIM // PQ_M
 
 
 def _pq_all_chains() -> str:
-    return ",\n        ".join(_pq_chain(m) for m in range(PQ_M))
+    """The M codebook training chains, each ``_kmeans_cte_parts``'s
+    exact Lloyd's trajectory over the ``list_slice`` of its subspace
+    (one chain generator for KMeans and PQ — a trajectory edit cannot
+    desynchronize them), CTE names prefixed ``p{m}`` so the chains
+    coexist in one statement."""
+    return ",\n        ".join(
+        _kmeans_cte_parts(
+            PQ_K,
+            PQ_ITERS,
+            prefix=f"p{m}",
+            lo=m * _PQ_SUBDIM + 1,
+            subdim=_PQ_SUBDIM,
+        )
+        for m in range(PQ_M)
+    )
 
 
 def _pq_encode_oracle() -> str:

@@ -36,17 +36,24 @@ def test_pq_encode_codes_are_in_range(tables):
 
 
 def test_pq_encode_plan_is_map_only(tables):
-    # the full-corpus pass PQ exists to make affordable: one scan,
-    # one Arrow kernel, a generate — never a shuffle
+    # the returned plan reads the PERSISTED code table (the encode
+    # pass ran once, state-table pattern) and explodes — no shuffle,
+    # no Python at read time
     plan = q_pq_encode(tables)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert plan.count("FileScan parquet") == 1, plan
+    assert "EvalPython" not in plan, plan
 
 
-def test_ann_pq_plan_is_scan_plus_takeordered(tables):
+def test_ann_pq_plan_is_code_scan_plus_takeordered(tables):
+    # the ADC query path: scan of the code table + M element_at
+    # lookups into LUT array literals — pure JVM expressions, the
+    # raw vectors never read, no Python, no shuffle
     plan = q_ann_pq(tables)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("FileScan parquet") == 1, plan
 
 
 def test_pq_rerank_recall_is_monotone(tables):
