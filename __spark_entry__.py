@@ -498,10 +498,11 @@ _DEFER_PAST_CAP = (
                             #   against arbitrary source layouts
                             #   (test_property: cms_merge linearity)
     # ---- round 11 ----
-    # EIGHTEEN entries enter the window this round (eleven here plus
-    # the seven late additions pii_redact / split_by_cluster /
+    # NINETEEN entries enter the window this round (eleven here plus
+    # the eight late additions pii_redact / split_by_cluster /
     # tfidf_topterms / pq_encode / ann_pq / ann_pq_rerank /
-    # knn_recall_pq documented at the end of this tuple): the r11
+    # ann_ivf_pq / knn_recall_pq documented at the end of this
+    # tuple): the r11
     # RE-CERTIFICATION sweep (the 8 oldest deferred rows —
     # ann_multiprobe, events_window_sliding, multimodal_meta,
     # join_full, emb_centroid, events_retention, vocab_stats,
@@ -607,6 +608,13 @@ _DEFER_PAST_CAP = (
                             #   checked via tpch_q1 + agg_having's
                             #   filter-over-agg (golden tests pin the
                             #   null-row drop); r10-green
+    # (r11 latest addition ann_ivf_pq — the IVF-PQ composition —
+    # enters; one more r10-green plan-pinned sibling defers:)
+    "scan_projection",      # → column pruning pinned by test_plans.
+                            #   test_projection_pruning_reaches_scan
+                            #   (+ the tfidf source-only-scan pin);
+                            #   every in-window parquet row exercises
+                            #   the scan path; r10-green
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

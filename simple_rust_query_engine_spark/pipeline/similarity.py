@@ -306,6 +306,23 @@ def _cell_assign_udf(C: "np.ndarray"):
     return assign
 
 
+def _probe_cells(v: "np.ndarray", C: "np.ndarray", n_probe: int) -> list:
+    """The query's ``n_probe`` nearest cells by fold cosine, ties
+    toward the lower cell (stable argsort — the oracle's ORDER BY
+    c_cos DESC, cell ASC).  Driver-side: n_cells is tiny."""
+    dim = len(v)
+    v_nrm = 0.0
+    dots = np.zeros(len(C))
+    for d in range(dim):
+        v_nrm = v_nrm + v[d] * v[d]
+        dots = dots + v[d] * C[:, d]
+    c_nrm = np.zeros(len(C))
+    for d in range(dim):
+        c_nrm = c_nrm + C[:, d] * C[:, d]
+    cos_c = dots / np.sqrt(v_nrm) / np.sqrt(c_nrm)
+    return sorted(np.argsort(-cos_c, kind="stable")[:n_probe].tolist())
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     query_vec_id: int = 0,
@@ -338,19 +355,7 @@ def ann_ivf_topk(
     # centroid matrix (driver-side: n_cells tiny)
     q_row = emb.filter(F.col("vec_id") == query_vec_id).select("embedding").collect()
     v = np.asarray(q_row[0].embedding, dtype=np.float64)
-    dim = len(v)
-    v_nrm = 0.0
-    dots = np.zeros(len(C))
-    for d in range(dim):
-        v_nrm = v_nrm + v[d] * v[d]
-        dots = dots + v[d] * C[:, d]
-    c_nrm = np.zeros(len(C))
-    for d in range(dim):
-        c_nrm = c_nrm + C[:, d] * C[:, d]
-    cos_c = dots / np.sqrt(v_nrm) / np.sqrt(c_nrm)
-    # stable sort: cosine ties break toward the lower cell id, like
-    # the oracle's ORDER BY c_cos DESC, cell ASC
-    probe = sorted(np.argsort(-cos_c, kind="stable")[:IVF_PROBE].tolist())
+    probe = _probe_cells(v, C, IVF_PROBE)
 
     return (
         cells.filter(F.col("vec_id") != query_vec_id)
@@ -891,6 +896,90 @@ def ann_pq_topk(
 
 def q_ann_pq(t: dict) -> DataFrame:
     return ann_pq_topk(t["embeddings"])
+
+
+def ivf_pq_state(
+    emb: DataFrame,
+    books: list | None = None,
+    coarse: "np.ndarray | None" = None,
+) -> DataFrame:
+    """The combined IVF-PQ index as persisted state: (vec_id, cell,
+    codes) — the coarse Voronoi cell (Lloyd's-trained, the same
+    matrix ``ann_ivf_trained`` probes) PLUS the M PQ codes, built in
+    ONE map-only pass over the raw vectors and saved as a ``state:``
+    table.  This is the billion-vector layout: the cell prunes the
+    scan (a partition/cluster key at the storage layer), the codes
+    price each surviving candidate at M lookups — raw vectors appear
+    in neither step."""
+    if books is None:
+        books, _ = pq_codebooks(emb)
+    if coarse is None:
+        coarse = kmeans_centroids(emb)
+    spark = emb.sparkSession
+
+    def build_df():
+        assign = _cell_assign_udf(coarse)
+        codes = _pq_codes_udf(books)
+        return emb.select(
+            "vec_id",
+            assign("embedding").alias("cell"),
+            codes("embedding").alias("codes"),
+        )
+
+    files = sorted(emb.inputFiles())
+    if not files:
+        return build_df()
+    from .dedup_core import _state_table
+
+    fp = _plan_shape_fingerprint(emb)
+    table = _state_table(
+        spark,
+        f"ivf_pq_{len(books)}x{books[0].shape[0]}x{coarse.shape[0]}",
+        f"sh{fp}|" + "|".join(files),
+        build_df,
+    )
+    return spark.table(table)
+
+
+def ann_ivf_pq_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = PQ_TOPK,
+    n_probe: int = IVF_PROBE,
+) -> DataFrame:
+    """IVF-PQ search — the production composition for 10⁹+ vectors:
+    the query's ``n_probe`` nearest trained coarse cells prune the
+    index scan to n_probe/n_cells of the corpus, then ONLY the
+    surviving candidates are ADC-scored from their codes (M
+    ``element_at`` lookups each, JVM-side).  Per-query work =
+    (pruned scan) × (M lookups); raw vectors are read exactly once —
+    at index build time."""
+    books, _ = pq_codebooks(emb)
+    coarse = kmeans_centroids(emb)
+    q = np.asarray(
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .collect()[0][0],
+        dtype=np.float64,
+    )
+    probe = _probe_cells(q, coarse, n_probe)
+    score = None
+    for m, lut in enumerate(_pq_luts(books, q)):
+        arr = F.array(*[F.lit(float(x)) for x in lut])
+        term = F.element_at(arr, F.element_at("codes", m + 1) + F.lit(1))
+        score = term if score is None else score + term
+    return (
+        ivf_pq_state(emb, books, coarse)
+        .filter(F.col("vec_id") != query_vec_id)
+        .filter(F.col("cell").isin(probe))
+        .select("vec_id", "cell", F.round(score, 6).alias("adc_score"))
+        .orderBy(F.col("adc_score").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def q_ann_ivf_pq(t: dict) -> DataFrame:
+    return ann_ivf_pq_topk(t["embeddings"])
 
 
 PQ_RERANK = 20  # exact re-rank depth (candidates per query)
@@ -2135,6 +2224,24 @@ def _ann_pq_rerank_oracle() -> str:
     """
 
 
+def _ann_ivf_pq_oracle() -> str:
+    """Coarse chain (unprefixed — the kmeans_train trajectory) + the
+    PQ chains/LUTs/adc + the probe filter, one statement."""
+    ki = KMEANS_ITERS
+    return f"""
+        WITH {_kmeans_cte_parts(KMEANS_CELLS, KMEANS_ITERS)},
+        {_pq_adc_core()},
+        probe AS (
+            SELECT cell FROM s{ki} WHERE vec_id = 0
+            ORDER BY cs DESC, cell ASC LIMIT {IVF_PROBE}
+        )
+        SELECT adc.vec_id, a2.cell::INT AS cell, adc.adc_score
+        FROM adc JOIN a{ki} a2 ON a2.vec_id = adc.vec_id
+        WHERE a2.cell IN (SELECT cell FROM probe)
+        ORDER BY adc.adc_score DESC, adc.vec_id ASC LIMIT {PQ_TOPK}
+    """
+
+
 def _knn_recall_pq_oracle() -> str:
     return f"""
         WITH {_pq_adc_core()},
@@ -2181,6 +2288,7 @@ ORACLE: dict[str, str] = {
     "pq_encode": _pq_encode_oracle(),
     "ann_pq": _ann_pq_oracle(),
     "ann_pq_rerank": _ann_pq_rerank_oracle(),
+    "ann_ivf_pq": _ann_ivf_pq_oracle(),
     "knn_recall_pq": _knn_recall_pq_oracle(),
     "ann_brute": f"""
         SELECT b.vec_id AS vec_id, {_SQL_COS} AS cos_sim
@@ -2513,5 +2621,6 @@ QUERIES = {
     "pq_encode": q_pq_encode,
     "ann_pq": q_ann_pq,
     "ann_pq_rerank": q_ann_pq_rerank,
+    "ann_ivf_pq": q_ann_ivf_pq,
     "knn_recall_pq": q_knn_recall_pq,
 }

@@ -52,6 +52,8 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
         "ann_pq",                  # ADC top-k from codes alone
         "ann_pq_rerank",           # exact re-rank of the ADC
                                    # shortlist — two-stage retrieval
+        "ann_ivf_pq",              # IVF cell pruning + ADC codes —
+                                   # the billion-vector composition
         "knn_recall_pq",           # PQ recall@k vs exact brute —
                                    # the compression's price tag
         "ann_ivf_knn_join_probe",  # multi-probe cell co-assignment —

@@ -5,12 +5,14 @@ guarantee.  Oracle hash parity is covered by test_oracle_parity."""
 from pyspark.sql import functions as F
 
 from simple_rust_query_engine_spark.pipeline.similarity import (
+    KMEANS_CELLS,
     PQ_K,
     PQ_M,
     PQ_TOPK,
     ann_brute_topk,
     ann_pq_rerank_topk,
     pq_codebooks,
+    q_ann_ivf_pq,
     q_ann_pq,
     q_knn_recall_pq,
     q_pq_encode,
@@ -54,6 +56,30 @@ def test_ann_pq_plan_is_code_scan_plus_takeordered(tables):
     assert "EvalPython" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_ann_ivf_pq_plan_is_pruned_code_scan(tables):
+    # the billion-vector composition: scan the combined (cell, codes)
+    # state table, filter to probed cells, M JVM lookups, TakeOrdered
+    # — no shuffle, no Python, raw vectors never read
+    plan = q_ann_ivf_pq(tables)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_ann_ivf_pq_scores_match_pure_adc(tables):
+    # IVF pruning only restricts the candidate set — a vector's ADC
+    # score is identical whether or not the cell filter ran
+    ivf = {r.vec_id: r.adc_score for r in q_ann_ivf_pq(tables).collect()}
+    assert ivf
+    full = {r.vec_id: r.adc_score for r in q_ann_pq(tables).collect()}
+    for vid, score in ivf.items():
+        if vid in full:
+            assert score == full[vid]
+    cells = {r.cell for r in q_ann_ivf_pq(tables).collect()}
+    assert all(0 <= c < KMEANS_CELLS for c in cells)
 
 
 def test_pq_rerank_recall_is_monotone(tables):
