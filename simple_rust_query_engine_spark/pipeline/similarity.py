@@ -449,7 +449,12 @@ def _kmeans_update_frame(emb: DataFrame, C: "np.ndarray") -> DataFrame:
     Means round to 6 decimals: cross-partition summation order is
     nondeterministic in the last bits, and the rounded value is what
     feeds the next iteration on BOTH engines, keeping the iterate
-    trajectories identical."""
+    trajectories identical.  Residual risk, accepted and symmetric:
+    an AVG landing within one ulp of a .5×10⁻⁶ rounding boundary can
+    flip under either engine's parallel summation order (DuckDB
+    multi-thread AVG included) — measure-zero on real data; verified
+    stable on the driver corpora (10 repeated oracle runs at 32
+    threads, value-identical after row sort)."""
     assign = _cell_assign_udf(C)
     return (
         emb.withColumn("cell", assign(F.col("embedding")))
@@ -795,6 +800,18 @@ def _pq_codes_udf(books: list):
     return codes
 
 
+def _model_digest(mats: list) -> str:
+    """md5 of the model VALUES — state keys built from shapes alone
+    would let two different trainings with matching geometry collide
+    on one cached table (silently wrong codes for one of them)."""
+    import hashlib
+
+    h = hashlib.md5()
+    for M in mats:
+        h.update(np.ascontiguousarray(np.asarray(M, dtype=np.float64)).tobytes())
+    return h.hexdigest()[:12]
+
+
 def pq_codes_state(emb: DataFrame, books: list | None = None) -> DataFrame:
     """The compressed index as persisted STATE: (vec_id, codes) with
     ``codes`` an array of M small ints.  Built by ONE map-only Arrow
@@ -822,7 +839,7 @@ def pq_codes_state(emb: DataFrame, books: list | None = None) -> DataFrame:
     table = _state_table(
         spark,
         f"pq_codes_{len(books)}x{books[0].shape[0]}",
-        f"sh{fp}|" + "|".join(files),
+        f"sh{fp}|bk{_model_digest(books)}|" + "|".join(files),
         build_df,
     )
     return spark.table(table)
@@ -858,6 +875,22 @@ def _pq_luts(books: list, q: "np.ndarray") -> list["np.ndarray"]:
     return luts
 
 
+def _adc_score_expr(books: list, q: "np.ndarray"):
+    """The ONE spelling of the ADC score over a ``codes`` column: M
+    ``element_at`` lookups into LUT array literals (1-based, hence
+    the +1), accumulated in subspace order, rounded through
+    ``F.round`` (HALF_UP, matching DuckDB's ROUND — numpy's
+    round-half-to-even would diverge on exact .5 ties).  Shared by
+    the flat and IVF-pruned search paths so the lookup/offset/
+    rounding conventions cannot drift apart."""
+    score = None
+    for m, lut in enumerate(_pq_luts(books, q)):
+        arr = F.array(*[F.lit(float(x)) for x in lut])
+        term = F.element_at(arr, F.element_at("codes", m + 1) + F.lit(1))
+        score = term if score is None else score + term
+    return F.round(score, 6)
+
+
 def ann_pq_topk(
     emb: DataFrame,
     query_vec_id: int = 0,
@@ -867,11 +900,8 @@ def ann_pq_topk(
     """Top-k by PQ-approximate inner product: dot(q, v) ≈
     Σ_m dot(q_m, codeword_m(v)) — candidates are scored from their
     PERSISTED codes alone: the query path is a scan of the code
-    table plus M ``element_at`` lookups into the LUT array literals,
-    pure JVM expressions (no Python anywhere at query time), then
-    TakeOrdered.  Lookups accumulate in subspace order and the sum
-    rounds through ``F.round`` (HALF_UP, matching DuckDB's ROUND —
-    numpy's round-half-to-even would diverge on exact .5 ties)."""
+    table plus the ``_adc_score_expr`` lookups, pure JVM expressions
+    (no Python anywhere at query time), then TakeOrdered."""
     if books is None:
         books, _ = pq_codebooks(emb)
     q = np.asarray(
@@ -880,15 +910,10 @@ def ann_pq_topk(
         .collect()[0][0],
         dtype=np.float64,
     )
-    score = None
-    for m, lut in enumerate(_pq_luts(books, q)):
-        arr = F.array(*[F.lit(float(x)) for x in lut])
-        term = F.element_at(arr, F.element_at("codes", m + 1) + F.lit(1))
-        score = term if score is None else score + term
     return (
         pq_codes_state(emb, books)
         .filter(F.col("vec_id") != query_vec_id)
-        .select("vec_id", F.round(score, 6).alias("adc_score"))
+        .select("vec_id", _adc_score_expr(books, q).alias("adc_score"))
         .orderBy(F.col("adc_score").desc(), F.col("vec_id").asc())
         .limit(k)
     )
@@ -910,7 +935,14 @@ def ivf_pq_state(
     table.  This is the billion-vector layout: the cell prunes the
     scan (a partition/cluster key at the storage layer), the codes
     price each surviving candidate at M lookups — raw vectors appear
-    in neither step."""
+    in neither step.
+
+    Deliberately re-encodes rather than joining ``pq_codes_state``:
+    the assignment pass must read the raw vectors anyway, so adding
+    the encode to the SAME map pass is one scan with no shuffle,
+    while reusing the flat code table would trade that for a
+    corpus-wide join.  The two tables coexist only when both index
+    layouts are actually served."""
     if books is None:
         books, _ = pq_codebooks(emb)
     if coarse is None:
@@ -935,7 +967,8 @@ def ivf_pq_state(
     table = _state_table(
         spark,
         f"ivf_pq_{len(books)}x{books[0].shape[0]}x{coarse.shape[0]}",
-        f"sh{fp}|" + "|".join(files),
+        f"sh{fp}|bk{_model_digest(books)}|cc{_model_digest([coarse])}|"
+        + "|".join(files),
         build_df,
     )
     return spark.table(table)
@@ -963,16 +996,13 @@ def ann_ivf_pq_topk(
         dtype=np.float64,
     )
     probe = _probe_cells(q, coarse, n_probe)
-    score = None
-    for m, lut in enumerate(_pq_luts(books, q)):
-        arr = F.array(*[F.lit(float(x)) for x in lut])
-        term = F.element_at(arr, F.element_at("codes", m + 1) + F.lit(1))
-        score = term if score is None else score + term
     return (
         ivf_pq_state(emb, books, coarse)
         .filter(F.col("vec_id") != query_vec_id)
         .filter(F.col("cell").isin(probe))
-        .select("vec_id", "cell", F.round(score, 6).alias("adc_score"))
+        .select(
+            "vec_id", "cell", _adc_score_expr(books, q).alias("adc_score")
+        )
         .orderBy(F.col("adc_score").desc(), F.col("vec_id").asc())
         .limit(k)
     )

@@ -71,15 +71,24 @@ def test_ann_ivf_pq_plan_is_pruned_code_scan(tables):
 
 def test_ann_ivf_pq_scores_match_pure_adc(tables):
     # IVF pruning only restricts the candidate set — a vector's ADC
-    # score is identical whether or not the cell filter ran
-    ivf = {r.vec_id: r.adc_score for r in q_ann_ivf_pq(tables).collect()}
-    assert ivf
-    full = {r.vec_id: r.adc_score for r in q_ann_pq(tables).collect()}
-    for vid, score in ivf.items():
-        if vid in full:
-            assert score == full[vid]
-    cells = {r.cell for r in q_ann_ivf_pq(tables).collect()}
-    assert all(0 <= c < KMEANS_CELLS for c in cells)
+    # score is identical whether or not the cell filter ran.  Compare
+    # against the UNLIMITED flat-ADC ranking (k = corpus) so every
+    # returned row is actually checked — a top-5-vs-top-5 overlap can
+    # be legitimately empty and would verify nothing
+    from simple_rust_query_engine_spark.pipeline.similarity import (
+        ann_pq_topk,
+    )
+
+    emb = tables["embeddings"]
+    rows = q_ann_ivf_pq(tables).collect()
+    assert rows
+    full = {
+        r.vec_id: r.adc_score
+        for r in ann_pq_topk(emb, k=emb.count()).collect()
+    }
+    for r in rows:
+        assert r.adc_score == full[r.vec_id]
+        assert 0 <= r.cell < KMEANS_CELLS
 
 
 def test_pq_rerank_recall_is_monotone(tables):
