@@ -196,6 +196,23 @@ EXTRA_QUERIES = [
     # r11: continuous Bloom dedup pre-filter through foreachBatch —
     # cold prices stream machinery + set-bit fold + probe/verify
     "bloom_precheck_stream",
+    # r11 late: curation additions — pii_redact is a pure map pass
+    # (scan-speed regex ladder), split_by_cluster reads the label
+    # state dedup_cc built above (order matters), tfidf_topterms is
+    # two aggs behind one barrier + WindowGroupLimit
+    "pii_redact",
+    "split_by_cluster",
+    "tfidf_topterms",
+    # r11 late: product quantization — cold prices 4 subspace Lloyd's
+    # trainings + the encode pass (then codes/books are per-session
+    # state), STEADY prices what a deployment pays per query: code
+    # scans + JVM lookups.  Order matters: pq_encode builds the code
+    # table, ann_pq reuses it, ann_ivf_pq builds the combined index
+    "pq_encode",
+    "ann_pq",
+    "ann_pq_rerank",
+    "ann_ivf_pq",
+    "knn_recall_pq",
 ]
 
 
