@@ -651,6 +651,52 @@ def _ngram_candidates(
     return arrs, cand
 
 
+def estimate_ppjoin_candidates(d: DataFrame) -> int:
+    """Upper bound on the exact PPJoin's candidate-pair count, priced
+    at ONE aggregation over the prefix postings: Σ over prefix
+    shingles of C(df_prefix, 2).  Every candidate pair shares at
+    least one prefix shingle, so the sum bounds the (pre-distinct)
+    match stream from above — and it tracks the right ORDER (measured:
+    bound 430k vs 125k actual at sf0.1, 50.9M vs 17.2M at sf1 — ~3×
+    over, at ~4% of the full run's cost; docs/SOAK_SF1_R11LATE.json).
+
+    The decision dial this exists for: exact-verify work scales with
+    this number, which grows QUADRATICALLY in per-shingle posting
+    density (sf0.1 → sf1 on the synthetic corpus: 10× docs, 138×
+    candidates — the 40-word vocabulary makes every posting list 10×
+    longer).  Probe this before an exact `ngram_jaccard` run; when
+    bound/doc_count ≫ expected dup rate, take the minhash-LSH path
+    instead (measured near-FLAT over the same growth: 3.6 s → 4.0 s
+    cold), whose banding keeps candidates ≈ true near-dups at any
+    density."""
+    from pyspark.sql.window import Window
+
+    arrs = d.select(
+        "doc_id", ngram_shingles_udf()(F.col("text")).alias("shingles")
+    )
+    sh = arrs.select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("s"),
+    ).select("doc_id", "n_sh", F.xxhash64("s").alias("shingle"))
+    cnt = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(cnt, "shingle")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("shingle").asc()
+    )
+    prefix = ranked.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn")
+        <= F.col("n_sh") - F.ceil(F.lit(JACCARD_T) * F.col("n_sh")) + 1
+    )
+    row = (
+        prefix.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("pdf"))
+        .agg(F.sum(F.col("pdf") * (F.col("pdf") - 1) / 2).alias("bound"))
+        .collect()[0]
+    )
+    return int(row.bound or 0)
+
+
 def ngram_jaccard_pairs(
     d: DataFrame, positional_filter: bool = True
 ) -> DataFrame:
