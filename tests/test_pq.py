@@ -99,6 +99,32 @@ def test_pq_rerank_recall_is_monotone(tables):
     assert row.recall_adc <= row.recall_rerank <= 1.0
 
 
+def test_pq_codes_are_partitioning_invariant(tables):
+    # the 1000-executor assumption: codes depend only on (vector,
+    # codebooks), never on how rows are split across tasks — re-encode
+    # under two different partitionings and require identical codes
+    from simple_rust_query_engine_spark.pipeline.similarity import (
+        _pq_codes_udf,
+        pq_codebooks,
+    )
+
+    emb = tables["embeddings"]
+    books, _ = pq_codebooks(emb)
+    codes = _pq_codes_udf(books)
+
+    def encode(df):
+        return {
+            r.vec_id: tuple(r.codes)
+            for r in df.select(
+                "vec_id", codes("embedding").alias("codes")
+            ).collect()
+        }
+
+    a = encode(emb.repartition(3))
+    b = encode(emb.repartition(11))
+    assert a == b and len(a) > 0
+
+
 def test_pq_rerank_with_full_shortlist_is_exact(tables):
     # r >= corpus size makes the shortlist the whole corpus, so the
     # two-stage result must equal brute force bit-for-bit
