@@ -14,10 +14,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import bench  # noqa: E402
 import __spark_entry__ as entry  # noqa: E402
 from simple_rust_query_engine_spark.session import get_spark  # noqa: E402
-from scripts.soak_sf1 import SF01, SF1, run_scale  # noqa: E402
 
 import scripts.soak_sf1 as soak  # noqa: E402
 
@@ -47,8 +45,8 @@ def main():
     spark = get_spark("sf1-soak-late")
     qs = entry.queries()
     done = soak._done()
-    run_scale(spark, qs, LATE_OPS, SF01, "sf0.1", done)
-    run_scale(spark, qs, LATE_OPS, SF1, "sf1", done)
+    soak.run_scale(spark, qs, LATE_OPS, soak.SF01, "sf0.1", done)
+    soak.run_scale(spark, qs, LATE_OPS, soak.SF1, "sf1", done)
 
     recs = [json.loads(ln) for ln in open(RAW)]
     by = {
@@ -66,7 +64,12 @@ def main():
                 "steady_ratio": round(b["steady"] / a["steady"], 2),
                 "rows_sf01": a["rows"], "rows_sf1": b["rows"],
             }
-    out["canary"] = [r["canary"] for r in recs if r.get("canary")][-1:]
+    # the full canary envelope, like soak_sf1.py — a spike flags the
+    # specific measurement it contaminated (raw lines carry per-record
+    # canaries; re-run any record whose canary sits outside the band)
+    cans = [r["canary"] for r in recs if r.get("canary")]
+    out["canary_min"] = min(cans) if cans else None
+    out["canary_max"] = max(cans) if cans else None
     import subprocess
 
     out["git_sha"] = subprocess.run(

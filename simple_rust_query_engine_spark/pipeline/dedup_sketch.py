@@ -570,6 +570,53 @@ def ngram_shingles_udf(n: int = 3):
 JACCARD_T = 0.5
 
 
+def _prefix_postings(arrs: DataFrame) -> DataFrame:
+    """Prefix-filtered postings (doc_id, n_sh, shingle, df, rn) from a
+    (doc_id, shingles) frame — the ONE definition of the PPJoin
+    prefix, shared by candidate generation AND the
+    ``estimate_ppjoin_candidates`` probe (the probe's upper-bound
+    guarantee holds only while both compute the identical prefix
+    set, so a drifting copy would silently break the dial).
+
+    n_sh rides along with the explode — no per-doc count groupBy.
+    Document frequency via two-phase groupBy + equi-join, NOT
+    COUNT OVER (PARTITION BY shingle): shingle frequency is Zipfian,
+    and a window partitioned on the shingle key puts the hottest
+    shingle's rows in ONE task — a straggler (or OOM) at 100 TB that
+    no runtime facility can split.  The groupBy is skew-immune
+    (map-side partial counts combine the hot key per partition
+    before the merge shuffle), and the re-join is AQE-splittable
+    (skewJoin duplicates the one-row build side across probe
+    splits); locally the tiny count table auto-broadcasts and the
+    exploded side never shuffles at all.  A/B at sf0.1 in one
+    session, barriers cleared between runs: join 3.96/3.00/2.70 s
+    vs window 3.52/2.49 s warm — a wash locally, only the join form
+    survives the 100× skew.
+
+    NOTE: do NOT localCheckpoint the result — although it feeds both
+    sides of the candidate self-join, Spark's ReusedExchange already
+    shares the shuffle output of the identical rank subtrees; an
+    explicit barrier here breaks that reuse and measured 2-4× SLOWER
+    A/B'd in a fresh session (3.0s vs 6.2-14.8s at sf0.1)."""
+    from pyspark.sql.window import Window
+
+    sh = arrs.select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("s"),
+    ).select("doc_id", "n_sh", F.xxhash64("s").alias("shingle"))
+    cnt = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(cnt, "shingle")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("shingle").asc()
+    )
+    ranked = ranked.withColumn("rn", F.row_number().over(w))
+    return ranked.filter(
+        F.col("rn")
+        <= F.col("n_sh") - F.ceil(F.lit(JACCARD_T) * F.col("n_sh")) + 1
+    )
+
+
 def _ngram_candidates(
     d: DataFrame, positional_filter: bool = True
 ) -> "tuple[DataFrame, DataFrame]":
@@ -586,37 +633,7 @@ def _ngram_candidates(
     arrs = materialize(
         d.select("doc_id", ngram_shingles_udf()(F.col("text")).alias("shingles"))
     )
-    # n_sh rides along with the explode — no per-doc count groupBy
-    sh = arrs.select(
-        "doc_id",
-        F.size("shingles").alias("n_sh"),
-        F.explode("shingles").alias("s"),
-    ).select("doc_id", "n_sh", F.xxhash64("s").alias("shingle"))
-    # document frequency via two-phase groupBy + equi-join, NOT
-    # COUNT OVER (PARTITION BY shingle): shingle frequency is Zipfian,
-    # and a window partitioned on the shingle key puts the hottest
-    # shingle's rows in ONE task — a straggler (or OOM) at 100 TB that
-    # no runtime facility can split.  The groupBy is skew-immune
-    # (map-side partial counts combine the hot key per partition
-    # before the merge shuffle), and the re-join is AQE-splittable
-    # (skewJoin duplicates the one-row build side across probe
-    # splits); locally the tiny count table auto-broadcasts and the
-    # exploded side never shuffles at all.  A/B at sf0.1 in one
-    # session, barriers cleared between runs: join 3.96/3.00/2.70 s
-    # vs window 3.52/2.49 s warm — a wash locally, only the join form
-    # survives the 100× skew.
-    cnt = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = sh.join(cnt, "shingle")
-    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
-    ranked = ranked.withColumn("rn", F.row_number().over(w))
-    # NOTE: do NOT localCheckpoint probe — although it feeds both
-    # sides of the self-join, Spark's ReusedExchange already shares
-    # the shuffle output of the identical rank subtrees; an explicit
-    # barrier here breaks that reuse and measured 2-4× SLOWER A/B'd
-    # in a fresh session (3.0s vs 6.2-14.8s at sf0.1).
-    probe = ranked.filter(
-        F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(JACCARD_T) * F.col("n_sh")) + 1
-    )
+    probe = _prefix_postings(arrs)
     pa = probe.select(
         F.col("doc_id").alias("pa"), "shingle",
         F.col("rn").alias("rn_a"), F.col("n_sh").alias("na"),
@@ -669,32 +686,27 @@ def estimate_ppjoin_candidates(d: DataFrame) -> int:
     instead (measured near-FLAT over the same growth: 3.6 s → 4.0 s
     cold), whose banding keeps candidates ≈ true near-dups at any
     density."""
-    from pyspark.sql.window import Window
-
+    # the prefix set comes from the SAME _prefix_postings the real
+    # candidate join uses, so the bound cannot drift from the
+    # production prefix definition; the sum runs in decimal (a `/ 2`
+    # double sum would shed low-order bits past 2^53 — exactly the
+    # pathological-density regime this dial exists for — and could
+    # round BELOW the true bound)
     arrs = d.select(
         "doc_id", ngram_shingles_udf()(F.col("text")).alias("shingles")
     )
-    sh = arrs.select(
-        "doc_id",
-        F.size("shingles").alias("n_sh"),
-        F.explode("shingles").alias("s"),
-    ).select("doc_id", "n_sh", F.xxhash64("s").alias("shingle"))
-    cnt = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = sh.join(cnt, "shingle")
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("df").asc(), F.col("shingle").asc()
-    )
-    prefix = ranked.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn")
-        <= F.col("n_sh") - F.ceil(F.lit(JACCARD_T) * F.col("n_sh")) + 1
-    )
     row = (
-        prefix.groupBy("shingle")
+        _prefix_postings(arrs)
+        .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("pdf"))
-        .agg(F.sum(F.col("pdf") * (F.col("pdf") - 1) / 2).alias("bound"))
+        .agg(
+            F.sum(
+                F.col("pdf").cast("decimal(38,0)") * (F.col("pdf") - 1)
+            ).alias("twice_bound")
+        )
         .collect()[0]
     )
-    return int(row.bound or 0)
+    return int(row.twice_bound or 0) // 2
 
 
 def ngram_jaccard_pairs(
