@@ -129,6 +129,7 @@ def _state_table(
     build_df,
     bucket_by: list[str] | None = None,
     num_buckets: int = BAND_BUCKETS,
+    partition_by: list[str] | None = None,
 ) -> str:
     """Build-once persisted STATE table per (session, corpus): the
     incremental-ingest pattern where per-batch queries read state a
@@ -138,7 +139,15 @@ def _state_table(
     deliberately KEEPS — the files are parquet, not checkpoint
     blocks, and surviving the block sweep is the point of persisting
     state.  A reused id() after a session dies cannot resurrect its
-    table name (weakref identity check)."""
+    table name (weakref identity check).
+
+    ``bucket_by`` co-locates join keys (shuffle-free equi-joins);
+    ``partition_by`` lays the table out as one directory per key
+    value, so an equality/IN filter on that column prunes at the
+    STORAGE layer (FileScan PartitionFilters — files for other
+    values are never opened).  Use it for low-cardinality scan-prune
+    keys (IVF cells); a high-cardinality key would explode the file
+    count."""
     import hashlib
 
     def build() -> str:
@@ -150,6 +159,14 @@ def _state_table(
 
             write_bucketed(df, table, path, bucket_by=bucket_by,
                            num_buckets=num_buckets)
+        elif partition_by:
+            (
+                df.write.mode("overwrite")
+                .partitionBy(*partition_by)
+                .option("path", path)
+                .saveAsTable(table)
+            )
+            spark.catalog.refreshTable(table)
         else:
             df.write.mode("overwrite").option("path", path).saveAsTable(table)
             spark.catalog.refreshTable(table)

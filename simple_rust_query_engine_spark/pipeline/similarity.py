@@ -932,10 +932,11 @@ def ivf_pq_state(
     codes) — the coarse Voronoi cell (Lloyd's-trained, the same
     matrix ``ann_ivf_trained`` probes) PLUS the M PQ codes, built in
     ONE map-only pass over the raw vectors and saved as a ``state:``
-    table.  This is the billion-vector layout: the cell prunes the
-    scan (a partition/cluster key at the storage layer), the codes
-    price each surviving candidate at M lookups — raw vectors appear
-    in neither step.
+    table PARTITIONED BY cell.  This is the billion-vector layout:
+    the probe's cell filter prunes at the storage layer (FileScan
+    PartitionFilters — unprobed cells' files are never opened,
+    plan-pinned), the codes price each surviving candidate at M
+    lookups — raw vectors appear in neither step.
 
     Deliberately re-encodes rather than joining ``pq_codes_state``:
     the assignment pass must read the raw vectors anyway, so adding
@@ -964,12 +965,18 @@ def ivf_pq_state(
     from .dedup_core import _state_table
 
     fp = _plan_shape_fingerprint(emb)
+    # partitioned BY CELL: the probe's `cell IN (...)` filter prunes
+    # at the storage layer (FileScan PartitionFilters — unprobed
+    # cells' files are never opened; plan-pinned).  Cell cardinality
+    # is the coarse K — small by construction, so the layout stays
+    # a handful of directories at any corpus size
     table = _state_table(
         spark,
         f"ivf_pq_{len(books)}x{books[0].shape[0]}x{coarse.shape[0]}",
         f"sh{fp}|bk{_model_digest(books)}|cc{_model_digest([coarse])}|"
         + "|".join(files),
         build_df,
+        partition_by=["cell"],
     )
     return spark.table(table)
 

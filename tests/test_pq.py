@@ -67,6 +67,10 @@ def test_ann_ivf_pq_plan_is_pruned_code_scan(tables):
     assert "EvalPython" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("FileScan parquet") == 1, plan
+    # the probe prunes at the STORAGE layer: the index is laid out
+    # one directory per cell, and the cell filter arrives as a
+    # PartitionFilter — unprobed cells' files are never opened
+    assert "PartitionFilters: [cell" in plan, plan
 
 
 def test_ann_ivf_pq_scores_match_pure_adc(tables):
