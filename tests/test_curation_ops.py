@@ -70,19 +70,21 @@ def test_split_by_cluster_matches_doc_split_on_singletons(spark, tables):
     # assignment as train_test_split — cluster-awareness only moves
     # docs that actually have near-copies
     by_cluster = q_split_by_cluster(spark, SF_DIR)
-    single_ids = [
-        r.cluster_id
-        for r in by_cluster.groupBy("cluster_id")
+    # join against the singleton set instead of a driver-collected
+    # literal IN-list — the corpus is MOSTLY singletons, so an isin()
+    # would embed thousands of literals into the plan
+    singletons = (
+        by_cluster.groupBy("cluster_id")
         .count()
         .filter(F.col("count") == 1)
-        .collect()
-    ]
-    assert single_ids  # the corpus is mostly singletons
+        .select(F.col("cluster_id").alias("doc_id"))
+    )
+    assert singletons.count() > 0  # the corpus is mostly singletons
     by_doc = q_train_test_split(tables).select(
         "doc_id", F.col("split").alias("doc_split")
     )
     disagree = (
-        by_cluster.filter(F.col("doc_id").isin(single_ids))
+        by_cluster.join(singletons, "doc_id")
         .join(by_doc, "doc_id")
         .filter(F.col("split") != F.col("doc_split"))
         .count()
