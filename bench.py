@@ -239,6 +239,54 @@ def _canary_ok(pre: float, post: float) -> bool:
     return lo <= pre <= hi and lo <= post <= hi
 
 
+#: parallel-canary shape: N equal JVM-side tasks (N = the session's
+#: defaultParallelism) vs ONE task of the same per-task work.  At
+#: perfect scaling the two take the same wall time (ratio 1.0); the
+#: ratio is host-speed-INDEPENDENT, so unlike the single-thread
+#: anchor it needs no window-specific calibration.  It exists because
+#: the single-thread canary understates multi-core contention
+#: (VERDICT r11 observation 2): in the r11 driver window the
+#: single-thread probe passed (0.769s) while many-tiny-job stateful
+#: queries ran 10-30x slow — contention that only shows up when all
+#: cores are asked to work at once.
+PAR_CANARY_ROWS_PER_TASK = 30_000_000
+#: gate threshold, calibrated r12: a mildly degraded window (single
+#: canary 0.84 vs the 0.75-0.81 healthy band) measured warmed ratios
+#: 1.31-1.43; severe contention (the 10-30x stateful blowup mode)
+#: pushes far past 2.  1.8 passes healthy and mildly-slow windows and
+#: flags the concurrency-degraded ones raw seconds can't survive.
+PAR_CANARY_MAX_RATIO = 1.8
+
+
+def _parallel_canary(spark) -> dict:
+    """Parallel-efficiency probe: min-of-2 wall time for N equal
+    CPU-bound tasks (xxhash64 fold, whole-stage codegen — pmod keeps
+    the ANSI sum under 2^63) divided by min-of-2 for ONE task of the
+    same per-task work.  One warm pass per shape first: the C2 JIT
+    otherwise inflates whichever shape runs first."""
+    import pyspark  # noqa: F401  (session already up; keep import local)
+
+    tasks = max(1, spark.sparkContext.defaultParallelism)
+
+    def run(n: int) -> float:
+        t0 = time.perf_counter()
+        spark.range(0, PAR_CANARY_ROWS_PER_TASK * n, 1, n).selectExpr(
+            "sum(pmod(xxhash64(id), 1000000007)) AS s"
+        ).collect()
+        return time.perf_counter() - t0
+
+    run(1)
+    run(tasks)
+    t1 = min(run(1) for _ in range(2))
+    tn = min(run(tasks) for _ in range(2))
+    return {
+        "tasks": tasks,
+        "par1_sec": round(t1, 4),
+        "parN_sec": round(tn, 4),
+        "ratio": round(tn / t1, 4),
+    }
+
+
 def _git_provenance() -> dict:
     """HEAD SHA + dirty flag, so a bench JSON is attributable to the
     exact code it measured (VERDICT r10: two same-round artifacts
@@ -310,6 +358,8 @@ def main() -> None:
         except Exception as exc:  # warmup failure must not kill the run
             print(f"# warmup {warm} failed: {exc}", file=sys.stderr)
 
+    par_pre = _parallel_canary(spark)
+
     # one failing query must not zero out the whole bench (round 2
     # recorded NO numbers because a single query raised): time what
     # runs, report what breaks, always emit the JSON line.
@@ -353,7 +403,12 @@ def main() -> None:
 
     cold, steady = run_set(BENCH_QUERIES)
     extra_cold, extra_steady = run_set(EXTRA_QUERIES)
+    par_post = _parallel_canary(spark)
     canary_post = _canary_sec()
+    par_ok = (
+        par_pre["ratio"] <= PAR_CANARY_MAX_RATIO
+        and par_post["ratio"] <= PAR_CANARY_MAX_RATIO
+    )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -374,11 +429,19 @@ def main() -> None:
         "canary_sec": min(canary_pre, canary_post),
         "canary_pre": canary_pre,
         "canary_post": canary_post,
-        # the window-health gate (VERDICT r9 item 2): false means the
-        # host was degraded during this run and its raw seconds are NOT
-        # comparable against anchored rounds — re-run in a healthier
-        # window, or normalize by canary ratios only
-        "canary_ok": _canary_ok(canary_pre, canary_post),
+        # parallel-efficiency probe bracketing the run (r12, VERDICT
+        # r11 item 2): N equal tasks vs one — catches windows degraded
+        # only under concurrency, which the single-thread probe passes
+        "par_canary_pre": par_pre,
+        "par_canary_post": par_post,
+        "par_canary_max_ratio": PAR_CANARY_MAX_RATIO,
+        "par_canary_ok": par_ok,
+        # the window-health gate (VERDICT r9 item 2, extended r12 with
+        # the parallel probe): false means the host was degraded during
+        # this run and its raw seconds are NOT comparable against
+        # anchored rounds — re-run in a healthier window, or normalize
+        # by canary ratios only
+        "canary_ok": _canary_ok(canary_pre, canary_post) and par_ok,
         "canary_anchor_sec": CANARY_ANCHOR_SEC,
         "sf": sf_val,
         # code provenance (VERDICT r10 item: same-round artifacts must
@@ -407,6 +470,7 @@ def main() -> None:
         "extra_steady_total": full["extra_steady_total"],
         "canary_sec": full["canary_sec"],
         "canary_ok": full["canary_ok"],
+        "par_ratio": max(par_pre["ratio"], par_post["ratio"]),
         "sf": sf_val,
         "git_sha": full["git_sha"],
         "git_dirty": full["git_dirty"],
@@ -415,7 +479,9 @@ def main() -> None:
         print(
             f"# WARNING: off-anchor host window (canary pre={canary_pre:.3f}s "
             f"post={canary_post:.3f}s vs anchor {CANARY_ANCHOR_SEC}s "
-            f"±{CANARY_TOLERANCE:.0%}); raw seconds NOT cross-round "
+            f"±{CANARY_TOLERANCE:.0%}; parallel ratio "
+            f"pre={par_pre['ratio']:.2f} post={par_post['ratio']:.2f} vs "
+            f"max {PAR_CANARY_MAX_RATIO}); raw seconds NOT cross-round "
             "comparable — re-run in an anchored window",
             file=sys.stderr,
         )
