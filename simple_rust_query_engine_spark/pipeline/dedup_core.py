@@ -150,6 +150,15 @@ def _state_table(
     count."""
     import hashlib
 
+    # the layouts are mutually exclusive below (bucket_by wins the
+    # elif), so a caller passing both would silently get a bucketed,
+    # UNpartitioned table — losing the storage-layer pruning it asked
+    # for (ADVICE r11)
+    assert not (bucket_by and partition_by), (
+        "_state_table: bucket_by and partition_by are mutually "
+        "exclusive — pick the co-location layout or the pruning layout"
+    )
+
     def build() -> str:
         table = f"{name}_" + hashlib.md5(docs_key.encode()).hexdigest()[:12]
         path = os.path.join(_state_table_dir(), table)

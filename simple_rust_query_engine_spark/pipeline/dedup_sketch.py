@@ -691,9 +691,16 @@ def estimate_ppjoin_candidates(d: DataFrame) -> int:
     # production prefix definition; the sum runs in decimal (a `/ 2`
     # double sum would shed low-order bits past 2^53 — exactly the
     # pathological-density regime this dial exists for — and could
-    # round BELOW the true bound)
-    arrs = d.select(
-        "doc_id", ngram_shingles_udf()(F.col("text")).alias("shingles")
+    # round BELOW the true bound).  The arrays are materialized first:
+    # _prefix_postings' output feeds both the per-shingle df count and
+    # the ranked join side, and without the barrier Catalyst inlines
+    # the shingle-UDF explode into both consumers — the Python pass
+    # over the corpus, the probe's dominant cost, would run twice
+    # (ADVICE r11; same barrier _ngram_candidates uses)
+    arrs = materialize(
+        d.select(
+            "doc_id", ngram_shingles_udf()(F.col("text")).alias("shingles")
+        )
     )
     row = (
         _prefix_postings(arrs)

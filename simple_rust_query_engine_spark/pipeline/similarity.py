@@ -847,8 +847,10 @@ def pq_codes_state(emb: DataFrame, books: list | None = None) -> DataFrame:
 
 def pq_encode(emb: DataFrame, books: list | None = None) -> DataFrame:
     """Driver surface for the compressed index: (vec_id, m, code) —
-    a posexplode over the persisted code table (what a deployment
-    holds between queries; bucketed by code for IVF-PQ composition)."""
+    a posexplode over the persisted flat code table (what a
+    deployment holds between queries).  The IVF-PQ composition does
+    NOT join this table — ``ivf_pq_state`` re-encodes in its own
+    cell-partitioned build pass (one scan, no corpus-wide join)."""
     return pq_codes_state(emb, books).select(
         "vec_id", F.posexplode("codes").alias("m", "code")
     )
