@@ -105,12 +105,35 @@ BAND_BUCKETS = 32
 
 _STATE_TBL_DIR: str | None = None
 
+#: audit trail of _state_table outcomes, ("built"|"adopted"|"cached",
+#: table_name) per call — what the cross-process adoption test (and a
+#: curious operator) reads to prove a fresh driver REUSED prior state
+#: instead of re-running the build.  Bounded: one entry per state-table
+#: call, and state tables are built/adopted at most once per session.
+STATE_TABLE_EVENTS: list[tuple[str, str]] = []
+
 
 def _state_table_dir() -> str:
-    """Per-process directory for persisted pipeline-state tables (band
-    indexes, label state, pair state) — mkdtemp so concurrent runs
-    never collide, removed at interpreter exit.  On a cluster this is
-    where a durable warehouse path (HDFS/S3) goes instead."""
+    """Directory for persisted pipeline-state tables (band indexes,
+    label state, pair state, centroids, PQ codes).
+
+    Default: per-process mkdtemp, removed at interpreter exit — every
+    fresh driver pays the full state build.  Set
+    ``SPARK_GRAFT_STATE_DIR`` to a durable path (on a cluster:
+    HDFS/S3-backed) and state SURVIVES the process: table names are
+    content-addressed (md5 of plan-fingerprint + input files), so a
+    new driver whose corpus and derivation match simply ADOPTS the
+    prior process's table — registration replay from the sidecar
+    meta, zero recompute.  At sf1 this is the difference between a
+    787 s cold ``split_by_cluster`` and a 0.2 s steady one (VERDICT
+    r11 observation 3).  The durable dir assumes one WRITER at a time
+    per table key (the warehouse contract); adoption only trusts
+    tables whose sidecar meta exists, and the sidecar is written
+    after the data, so a crashed half-write is rebuilt, not adopted."""
+    durable = os.environ.get("SPARK_GRAFT_STATE_DIR")
+    if durable:
+        os.makedirs(durable, exist_ok=True)
+        return durable
     global _STATE_TBL_DIR
     if _STATE_TBL_DIR is None:
         import atexit
@@ -120,6 +143,36 @@ def _state_table_dir() -> str:
         _STATE_TBL_DIR = tempfile.mkdtemp(prefix="srqe_state_")
         atexit.register(shutil.rmtree, _STATE_TBL_DIR, True)
     return _STATE_TBL_DIR
+
+
+def _adopt_state_table(spark, table: str, path: str, meta: dict) -> None:
+    """Register a durable state table written by a PRIOR process in
+    this session's catalog: replay the layout DDL (plain / CLUSTERED
+    BY / PARTITIONED BY) against the existing files.  Bucket metadata
+    lives in the catalog, not the files, so replaying CLUSTERED BY is
+    what keeps the adopted table's joins shuffle-free; partitioned
+    adoption recovers the partition index so FileScan
+    PartitionFilters keep pruning at the storage layer."""
+    if spark.catalog.tableExists(table):
+        spark.catalog.refreshTable(table)
+        return
+    cols = ", ".join(f"`{n}` {t}" for n, t in meta["columns"])
+    clauses = ""
+    if meta.get("bucket_by"):
+        bcols = ", ".join(f"`{c}`" for c in meta["bucket_by"])
+        clauses = (
+            f" CLUSTERED BY ({bcols}) INTO {meta['num_buckets']} BUCKETS"
+        )
+    elif meta.get("partition_by"):
+        pcols = ", ".join(f"`{c}`" for c in meta["partition_by"])
+        clauses = f" PARTITIONED BY ({pcols})"
+    spark.sql(
+        f"CREATE TABLE `{table}` ({cols}) USING parquet{clauses} "
+        f"LOCATION '{path}'"
+    )
+    if meta.get("partition_by"):
+        spark.catalog.recoverPartitions(table)
+    spark.catalog.refreshTable(table)
 
 
 def _state_table(
@@ -160,8 +213,21 @@ def _state_table(
     )
 
     def build() -> str:
+        import json
+
         table = f"{name}_" + hashlib.md5(docs_key.encode()).hexdigest()[:12]
         path = os.path.join(_state_table_dir(), table)
+        meta_path = os.path.join(path, "_srqe_meta.json")
+        durable = bool(os.environ.get("SPARK_GRAFT_STATE_DIR"))
+        # cross-process adoption (durable dir only): the table name is
+        # content-addressed, so a sidecar at this path means a prior
+        # process already built THIS state — register it, skip the build
+        if durable and os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            _adopt_state_table(spark, table, path, meta)
+            STATE_TABLE_EVENTS.append(("adopted", table))
+            return table
         df = build_df()
         if bucket_by:
             from ..sources.write import write_bucketed
@@ -179,6 +245,27 @@ def _state_table(
         else:
             df.write.mode("overwrite").option("path", path).saveAsTable(table)
             spark.catalog.refreshTable(table)
+        if durable:
+            # written AFTER the data: its presence is the completion
+            # marker adoption trusts (a crashed half-write has no
+            # sidecar and is rebuilt).  Column types from the TABLE's
+            # schema, not build_df's — saveAsTable puts partition
+            # columns last, and the replayed DDL must match the files
+            schema = spark.table(table).schema
+            meta = {
+                "columns": [
+                    [fld.name, fld.dataType.simpleString()]
+                    for fld in schema.fields
+                ],
+                "bucket_by": list(bucket_by) if bucket_by else None,
+                "num_buckets": num_buckets if bucket_by else None,
+                "partition_by": list(partition_by) if partition_by else None,
+            }
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, meta_path)
+        STATE_TABLE_EVENTS.append(("built", table))
         return table
 
     return _session_cached(f"state:{name}:{docs_key}", spark, build)

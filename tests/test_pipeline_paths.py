@@ -1233,6 +1233,77 @@ def test_knn_twophase_warns_when_budget_unmeetable(spark):
         S.knn_join(emb, mode="auto", index_budget_bytes=1).count()
 
 
+def test_durable_state_adopted_across_processes(tmp_path):
+    # VERDICT r11 item 4: with SPARK_GRAFT_STATE_DIR pointed at a
+    # durable path, a SECOND driver process must adopt the first's
+    # persisted state tables (content-addressed names + sidecar meta)
+    # instead of re-running the builds — covering all three layouts:
+    # plain (edge_state), bucketed (label_state), partitioned (ivf_pq)
+    # plus the kmeans/PQ-codebook tables.  "No re-run" is proved by
+    # the STATE_TABLE_EVENTS audit trail: process 1 only builds,
+    # process 2 only adopts; both emit identical result digests.
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import simple_rust_query_engine_spark.pipeline.similarity as S
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(S.__file__)))
+    repo_root = os.path.dirname(repo_root)
+    state_dir = str(tmp_path / "durable_state")
+    script = f"""
+import sys, os, json, hashlib
+sys.path.insert(0, {repo_root!r})
+from simple_rust_query_engine_spark.session import get_spark
+from simple_rust_query_engine_spark.pipeline import dedup_core
+import __spark_entry__ as m
+spark = get_spark('durable-probe')
+qs = m.queries()
+digests = {{}}
+for q in ('dedup_cc', 'ann_ivf_pq'):
+    rows = sorted(map(str, qs[q](spark, {SF_DIR!r}).collect()))
+    digests[q] = hashlib.md5('|'.join(rows).encode()).hexdigest()
+print('EVENTS=' + json.dumps(sorted(dedup_core.STATE_TABLE_EVENTS)))
+print('DIGESTS=' + json.dumps(digests))
+"""
+
+    def run():
+        env = dict(os.environ, SPARK_GRAFT_STATE_DIR=state_dir)
+        out = subprocess.run(
+            [sys.executable, "-c", script],
+            capture_output=True, text=True, timeout=600, check=True,
+            env=env, cwd=repo_root,
+        ).stdout
+        events = json.loads(
+            [ln for ln in out.splitlines() if ln.startswith("EVENTS=")][0][7:]
+        )
+        digests = json.loads(
+            [ln for ln in out.splitlines() if ln.startswith("DIGESTS=")][0][8:]
+        )
+        return events, digests
+
+    events1, digests1 = run()
+    assert events1, "first process should have created state tables"
+    assert all(kind == "built" for kind, _ in events1), events1
+    events2, digests2 = run()
+    # the second process must not rebuild ANY state table — every
+    # event is an adoption, of tables the first process built.  A
+    # strict SUBSET is expected: edge_state exists only to feed
+    # label_state's build, and an adopted label_state never asks for
+    # it — adoption skips the dependency states too
+    assert all(kind == "adopted" for kind, _ in events2), events2
+    built = {t for _, t in events1}
+    adopted = {t for _, t in events2}
+    assert adopted <= built, (events1, events2)
+    # every layout is exercised: bucketed (label_state), partitioned
+    # (ivf_pq), plain (kmeans centroids)
+    assert any(t.startswith("label_state") for t in adopted)
+    assert any(t.startswith("ivf_pq") for t in adopted)
+    assert any(t.startswith("kmeans") for t in adopted)
+    assert digests1 == digests2
+
+
 def test_plan_fingerprint_stable_across_processes(spark, tmp_path):
     # the persisted-state key must survive a driver restart: the
     # fingerprint strips the per-JVM random ExprId jvmId UUIDs before
