@@ -52,6 +52,76 @@ def q_ngram_jaccard(t: dict) -> DataFrame:
     return near_dup_edges(t["documents"])
 
 
+#: routing dial for ``dedup_text_auto``: take the exact PPJoin path
+#: while the probe's candidate upper bound stays within this many
+#: candidates PER DOC (i.e. bound ≈ linear in corpus size); beyond it
+#: the posting lists are dense enough that exact-verify work goes
+#: quadratic and the banded minhash-LSH path (near-FLAT over the same
+#: growth, measured sf0.1→sf1: 3.6 s → 4.0 s) wins.  Calibrated from
+#: the measured crossover on the driver corpora: bound/doc = 3.2 at
+#: sf0.01 and 86 at sf0.1 (PPJoin comfortably linear, 4.7 s at sf0.1)
+#: vs 1018 at sf1 (PPJoin went quadratic: 138× candidates on 10×
+#: docs — docs/SOAK_SF1_R11LATE.json).
+AUTO_ROUTE_MAX_CAND_PER_DOC = 256
+
+
+def route_text_dedup(docs: DataFrame) -> tuple[str, int, int]:
+    """The go/no-go decision of ``dedup_text_auto``, exposed so tests
+    pin the routing at both densities: returns (route, candidate
+    bound, doc count).  Cost = one count + the
+    ``estimate_ppjoin_candidates`` probe (one aggregation over the
+    prefix postings, ~4% of a full PPJoin run) — the cheap insurance
+    against launching an exact join that would explode."""
+    from .dedup_sketch import estimate_ppjoin_candidates
+
+    n = docs.count()
+    bound = estimate_ppjoin_candidates(docs)
+    route = "ppjoin" if bound <= AUTO_ROUTE_MAX_CAND_PER_DOC * n else "lsh"
+    return route, bound, n
+
+
+def dedup_text_auto(docs: DataFrame) -> DataFrame:
+    """Self-routing text dedup (VERDICT r11 item 6): probe the
+    corpus's candidate-pair bound, then take the exact PPJoin path
+    when it is ≈ linear (candidates ≤ ``AUTO_ROUTE_MAX_CAND_PER_DOC``
+    per doc) and the banded minhash-LSH path otherwise — the measured
+    sf1 crossover wired into one operator, so a pipeline gets exact
+    pairs when exact is affordable and near-flat approximate pairs
+    when it is not.  Returns (doc_a, doc_b, route); ``route`` is a
+    literal column, so the driver's hash check certifies the routing
+    DECISION along with the pair set."""
+    route, _, _ = route_text_dedup(docs)
+    if route == "ppjoin":
+        pairs = near_dup_edges(docs)
+    else:
+        from .dedup_sketch import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(docs)
+    return pairs.select("doc_a", "doc_b", F.lit(route).alias("route"))
+
+
+def q_dedup_text_auto(t: dict) -> DataFrame:
+    return dedup_text_auto(t["documents"])
+
+
+def _materialize_observed(df: DataFrame, *metrics) -> tuple[DataFrame, dict]:
+    """Materialization barrier + convergence metrics in ONE job
+    (VERDICT r11 item 7): the iterative CC loops previously ran the
+    round's join+agg job AND a separate fingerprint/sum collect per
+    round — under multi-core contention those extra tiny jobs
+    dominate (the r11 driver window measured dedup_cc 130 s vs 4.1 s
+    healthy).  ``observe`` rides the aggregates on the checkpoint
+    job itself (Dataset.checkpoint/localCheckpoint execute through
+    withAction, which posts the SQL-execution event the Observation
+    listener needs), so the loop driver reads the metrics without a
+    second pass over the labels."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = materialize(df.observe(obs, *metrics))
+    return out, obs.get
+
+
 def _large_star(E: DataFrame) -> DataFrame:
     """Large-star round: every node's LARGER neighbors re-attach to
     the minimum of its closed neighborhood (Kiveris et al. 2014,
@@ -119,16 +189,17 @@ def connected_components_star(
         # are retired by the context cleaner as frames are GC'd
         # (cleanCheckpoints=true in get_spark) — best-effort, so live
         # disk is worst-case O(rounds) label-table-sized files until
-        # the exit cleanup of the fallback dir
-        E = materialize(_small_star(_large_star(E)))
-        rounds += 1
-        # pmod keeps the hash sum < 2^63 under ANSI overflow checking
-        # for any realistic edge count (2^31 · |E|)
-        fp = E.agg(
+        # the exit cleanup of the fallback dir.  The fingerprint rides
+        # the round's own checkpoint job (observed metrics — one job
+        # per round, not two; pmod keeps the hash sum < 2^63 under
+        # ANSI overflow checking for any realistic edge count)
+        E, m = _materialize_observed(
+            _small_star(_large_star(E)),
             F.count(F.lit(1)).alias("n"),
             F.sum(F.pmod(F.xxhash64("src", "dst"), F.lit(2**31))).alias("h"),
-        ).collect()[0]
-        fp = (fp.n, fp.h)
+        )
+        rounds += 1
+        fp = (m["n"], m["h"])
         if fp == fp_prev:
             break
         fp_prev = fp
@@ -176,14 +247,17 @@ def connected_components(
     # to ~1.5 s at sf0.1.  Round 0 is fused into the initialization:
     # each endpoint starts at min(self, min direct neighbor), which is
     # exactly one propagation round from identity labels.
-    lab = materialize(
+    # labels only ever decrease, so the label SUM is a convergence
+    # fingerprint; it rides each round's OWN checkpoint job as an
+    # observed metric (one job per round, not join+agg PLUS a
+    # fingerprint collect — VERDICT r11 item 7)
+    lab, m = _materialize_observed(
         bidir.groupBy("src")
         .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
-        .select(F.col("src").alias("doc_id"), "label")
+        .select(F.col("src").alias("doc_id"), "label"),
+        F.sum("label").alias("s"),
     )
-    # labels only ever decrease, so the label SUM is a convergence
-    # fingerprint — one cheap agg per round instead of a change-join
-    prev_sum = lab.agg(F.sum("label")).collect()[0][0]
+    prev_sum = m["s"]
     while True:  # label sum strictly decreases until fixpoint ⇒ terminates
         msgs = (
             bidir.join(lab, bidir.src == lab.doc_id)
@@ -194,16 +268,17 @@ def connected_components(
         # checkpoints are retired by the context cleaner as frames are
         # GC'd (cleanCheckpoints=true in get_spark) — best-effort, so
         # live disk is worst-case O(rounds) until exit cleanup
-        lab = materialize(
+        lab, m = _materialize_observed(
             lab.join(msgs, lab.doc_id == msgs.dst, "left")
             .select(
                 "doc_id",
                 F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
                     "label"
                 ),
-            )
+            ),
+            F.sum("label").alias("s"),
         )
-        cur_sum = lab.agg(F.sum("label")).collect()[0][0]
+        cur_sum = m["s"]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
