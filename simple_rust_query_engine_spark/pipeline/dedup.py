@@ -109,6 +109,7 @@ from .dedup_sketch import (  # noqa: F401
     simhash,
 )
 from .dedup_state import (  # noqa: F401
+    AUTO_ROUTE_MAX_CAND_PER_DOC,
     _edge_state_for,
     _label_state_for,
     _large_star,
@@ -118,15 +119,18 @@ from .dedup_state import (  # noqa: F401
     connected_components,
     connected_components_star,
     cross_source_overlap,
+    dedup_text_auto,
     merge_labels,
     near_dup_edges,
     q_cross_source_overlap,
     q_dedup_cc,
     q_dedup_cc_incr,
     q_dedup_survivors,
+    q_dedup_text_auto,
     q_dup_cluster_sizes,
     q_ngram_jaccard,
     q_split_by_cluster,
+    route_text_dedup,
 )
 from .dedup_spans import (  # noqa: F401
     DUP_FRAC_T,
@@ -182,6 +186,10 @@ QUERIES = {
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
+    # r12: probe-routed text dedup — PPJoin when the candidate bound
+    # is ≈ linear, minhash-LSH when the density says exact would
+    # explode; the route literal makes the decision hash-checked
+    "dedup_text_auto": q_dedup_text_auto,
     "dedup_survivors": q_dedup_survivors,
     "dup_spans": q_dup_spans,
     "dup_span_frac": q_dup_span_frac,

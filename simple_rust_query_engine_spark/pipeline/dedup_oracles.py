@@ -388,6 +388,22 @@ ORACLE: dict[str, str] = {
         JOIN cnt cb ON doc_b = cb.doc_id
         WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common) >= {JACCARD_T}
     """,
+    # the routed operator's oracle is the pair set of the path the
+    # probe CHOOSES at this density — the driver corpora sit firmly on
+    # the linear side (bound/doc 3.2 at sf0.01, 86 at sf0.1, vs the
+    # 256 dial), so the twin is the exact PPJoin pair set with the
+    # route literal; a routing flip would hash-mismatch loudly.  The
+    # lsh branch is pinned by tests at the dense density
+    # (test_pipeline_paths: routing + pair-set parity vs
+    # minhash_lsh_pairs).
+    "dedup_text_auto": f"""
+        WITH {SQL_NGRAM_PAIR_CTES}
+        SELECT doc_a, doc_b, 'ppjoin' AS route
+        FROM pairs
+        JOIN cnt ca ON doc_a = ca.doc_id
+        JOIN cnt cb ON doc_b = cb.doc_id
+        WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common) >= {JACCARD_T}
+    """,
     "dedup_cc": f"""
         WITH RECURSIVE
         {SQL_CC_LABEL_CTES}

@@ -1233,6 +1233,43 @@ def test_knn_twophase_warns_when_budget_unmeetable(spark):
         S.knn_join(emb, mode="auto", index_budget_bytes=1).count()
 
 
+def test_text_dedup_routing_both_densities(spark, tables):
+    # VERDICT r11 item 6: the probe-routed operator must take the
+    # exact PPJoin path at driver density and the banded LSH path on
+    # a closed-vocabulary corpus whose candidate bound is quadratic
+    from simple_rust_query_engine_spark.pipeline.dedup import (
+        AUTO_ROUTE_MAX_CAND_PER_DOC,
+        dedup_text_auto,
+        minhash_lsh_pairs,
+        route_text_dedup,
+    )
+
+    route, bound, n = route_text_dedup(tables["documents"])
+    assert route == "ppjoin"
+    assert bound <= AUTO_ROUTE_MAX_CAND_PER_DOC * n
+
+    # 200 identical docs: every posting list is corpus-length, the
+    # bound is 3·C(200,2) ≈ 298 candidates/doc — past the dial
+    dense = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(200)],
+        "doc_id long, text string",
+    )
+    route2, bound2, n2 = route_text_dedup(dense)
+    assert route2 == "lsh"
+    assert bound2 > AUTO_ROUTE_MAX_CAND_PER_DOC * n2
+
+    out = dedup_text_auto(dense)
+    assert out.columns == ["doc_a", "doc_b", "route"]
+    rows = out.collect()
+    assert {r.route for r in rows} == {"lsh"}
+    # the routed pair set IS the LSH path's pair set
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(dense).select("doc_a", "doc_b").collect()
+    }
+    assert {(r.doc_a, r.doc_b) for r in rows} == want and want
+
+
 def test_durable_state_adopted_across_processes(tmp_path):
     # VERDICT r11 item 4: with SPARK_GRAFT_STATE_DIR pointed at a
     # durable path, a SECOND driver process must adopt the first's
