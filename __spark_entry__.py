@@ -114,50 +114,12 @@ _DEFER_PAST_CAP = (
     # events_retention, vocab_stats, text_normalize, all r4/r5
     # evidence — rotate back IN-window for re-certification,
     # continuing the 8-per-round sweep; see the r11 block at the end)
-    # round-5 additions dup_spans (exact substring dedup) and
-    # decontaminate (train/eval n-gram overlap) enter; shuffle_shards
-    # (r4-green) defers — pack family stays checked via
-    # pack_sequences, sample_mixture, train_test_split
-    "shuffle_shards",
-    # round-5 addition decontaminate_stream (map-only ingest-time
-    # probe through the streaming engine) enters; train_test_split
-    # (r4-green) defers — pack family stays checked via pack_sequences
-    # and sample_mixture
-    "train_test_split",
-    # round-5 addition dup_span_frac (per-doc duplicated-span drop
-    # rule) enters; events_session_window (r4-green) defers — the
-    # streaming family stays checked via events_window_stream,
-    # dedup_exact_stream, events_stream_join, decontaminate_stream
-    "events_session_window",
-    # round-5 addition lm_score (CCNet-style unigram-LM perplexity
-    # proxy) enters; sample_mixture (r4-green) defers — the pack
-    # family stays checked via pack_sequences
-    "sample_mixture",
-    # round-5 additions stratified_sample (skew-safe exact k-per-
-    # stratum), token_budget_mixture (distributed prefix-sum budget
-    # selection) and tpch_q18_like (big-agg → semi-join composite)
-    # enter; three r4-green redundant siblings defer:
-    #   join_asof_fwd   → join_asof_nearest stays (same _asof_union
-    #                     path, r5-changed and in-window)
-    #   ann_lsh         → semantic_search, semantic_dedup and
-    #                     embedding_neardup stay (ANN/bucketed-cosine
-    #                     family)
-    # (dedup_survivors deferred here in r5; back IN-window since r6
-    # rewired it through the shared near_dup_edges table)
-    "join_asof_fwd",
-    "ann_lsh",
-    # round-5 addition tpch_q14_like (conditional aggregation — SUM
-    # over CASE in one grouped pass) enters; window_running_sum
-    # (r4-green) defers — the window-function family stays checked via
-    # token_budget_mixture (cumulative-sum core), dup_span_frac,
-    # join_asof_nearest and stratified_sample, all in-window
-    "window_running_sum",
-    # round-5 addition quality_topk (FineWeb-Edu-style lowest-
-    # perplexity-per-language selection — composes lm_score with the
-    # skew-safe two-phase top-k) enters; quality_score (r4-green)
-    # defers — the text-quality family stays checked via lm_score,
-    # doc_repetition, lang_id and len_histogram, all in-window
-    "quality_score",
+    # (r12: the 8 oldest deferred rows — shuffle_shards,
+    # train_test_split, events_session_window, sample_mixture,
+    # join_asof_fwd, ann_lsh, window_running_sum, quality_score, all
+    # r4/r5 evidence deferred here since round 5 — rotate back
+    # IN-window for re-certification, continuing the 8-per-round
+    # sweep; see the r12 block at the end)
     # round-6 addition dedup_minhash_bucketed (persisted bucketed-on-
     # band index + shuffle-free incremental probe) enters;
     # dedup_minhash_incr (r5-green) defers — it shares the SAME oracle
@@ -591,30 +553,92 @@ _DEFER_PAST_CAP = (
     "topk",                 # → TakeOrderedAndProject pinned by
                             #   test_plans.test_topk_is_take_ordered;
                             #   two-phase top-k family in-window via
-                            #   quality_topk; r10-green
+                            #   quality_topk; r10-green.  (r12: stays
+                            #   deferred one more round — the core-op
+                            #   re-certs are STAGGERED per ADVICE r11:
+                            #   join_inner / filter_predicate /
+                            #   scan_projection re-enter this round,
+                            #   topk + distinct next)
     "distinct",             # → agg-rewrite semantics in-window via
                             #   agg_grouped; distinct-as-dedup via
-                            #   bloom_dedup_precheck's verify tail;
+                            #   bloom_precheck_stream's verify tail;
                             #   set-op family pinned in golden tests;
-                            #   r10-green
-    "join_inner",           # → broadcast equi-join stays checked via
-                            #   flagship + join_full (outer extension
-                            #   of the same path); broadcast pin
-                            #   test_plans.test_small_dim_join_is_
-                            #   broadcast; r10-green
-    "filter_predicate",     # → pushdown pinned by test_plans.
-                            #   test_predicate_pushdown_reaches_scan;
-                            #   the Kleene filter semantics stay
-                            #   checked via tpch_q1 + agg_having's
-                            #   filter-over-agg (golden tests pin the
-                            #   null-row drop); r10-green
-    # (r11 latest addition ann_ivf_pq — the IVF-PQ composition —
-    # enters; one more r10-green plan-pinned sibling defers:)
-    "scan_projection",      # → column pruning pinned by test_plans.
-                            #   test_projection_pruning_reaches_scan
-                            #   (+ the tfidf source-only-scan pin);
-                            #   every in-window parquet row exercises
-                            #   the scan path; r10-green
+                            #   r10-green (staggered with topk, above)
+    # (r11 deferred join_inner / filter_predicate / scan_projection
+    # here; back IN-window since r12 — ADVICE r11 asked that the
+    # core-op deferrals not all ride on plan pins at once, so three of
+    # the five re-enter this round for hash re-certification)
+    # ---- round 12 ----
+    # TWELVE entries enter the window this round: the r12
+    # RE-CERTIFICATION sweep (the 8 oldest deferred rows —
+    # shuffle_shards, train_test_split, events_session_window,
+    # sample_mixture, join_asof_fwd, ann_lsh, window_running_sum,
+    # quality_score — r4/r5 evidence, deferred since round 5, the
+    # oldest on record), three of the five r11-deferred core
+    # relational ops (join_inner, filter_predicate, scan_projection —
+    # staggered per ADVICE r11; topk/distinct follow next round), and
+    # the r12 addition dedup_text_auto (probe-routed text dedup: the
+    # estimate_ppjoin_candidates dial picks exact PPJoin when the
+    # candidate bound is ≈ linear and banded minhash-LSH when density
+    # says exact would go quadratic; the route literal rides in the
+    # result so the hash check certifies the DECISION).  Twelve
+    # r11-hash-green unchanged siblings defer in exchange — ten of
+    # them rows certified in r11 itself (the freshest evidence in the
+    # deferred set, the same trade r9-r11 made), each with in-window
+    # family representatives.  NOTE: kmeans_centroids' seed changed
+    # this round (orderBy+limit, r12 sampled-PQ prerequisite) — its
+    # deferred consumers kmeans_train/ann_ivf stay deferred because
+    # SIX in-window rows consume the identical trained matrix
+    # (ann_ivf_trained, both cell-join rows, both recall rows,
+    # ann_ivf_pq) and hash-check the changed seed path end-to-end.
+    "ann_multiprobe",       # → ann_lsh re-enters (bucketed-cosine
+                            #   family); the IVF probe rows
+                            #   (ann_ivf_knn_join_probe,
+                            #   knn_recall_ivf_probe) stay as the
+                            #   multi-probe reps; re-certified r11
+    "emb_centroid",         # → knn_join + knn_join_twophase stay
+                            #   (embedding family); the posexplode
+                            #   partial-agg shape is exercised inside
+                            #   every kmeans consumer in-window;
+                            #   re-certified r11
+    "events_window_sliding", # → events_retention stays and
+                            #   events_session_window re-enters
+                            #   (events/temporal family);
+                            #   re-certified r11
+    "join_asof",            # → join_asof_fwd re-enters (same
+                            #   _asof_union machinery, opposite
+                            #   direction); re-certified r11
+    "join_full",            # → join_inner re-enters (equi-join core);
+                            #   the outer null-extension is pinned in
+                            #   golden tests; r11-green
+    "text_normalize",       # → quality_topk, lm_score_bigram,
+                            #   vocab_drift, bpe_encode_checked stay
+                            #   (text family); re-certified r11
+    "vocab_stats",          # → same in-window text reps;
+                            #   re-certified r11
+    "kmv_merge_ndistinct",  # → bloom_precheck_stream +
+                            #   cms_stream_heavy_hitters stay (sketch
+                            #   triad); the KMV merge linearity is
+                            #   property-tested; r11-green
+    "bloom_dedup_precheck", # → bloom_precheck_stream stays (same
+                            #   geometry + oracle through the
+                            #   streaming engine); r11-green
+    "token_budget_mixture", # → sample_mixture + train_test_split +
+                            #   shuffle_shards re-enter and
+                            #   split_by_cluster stays (pack/mixture
+                            #   family); the cumulative-window core
+                            #   re-enters via window_running_sum;
+                            #   r11-green
+    "pii_redact",           # → quality_topk + bpe_encode_checked +
+                            #   lm_score_bigram stay (text/curation
+                            #   family); the redact ladder is
+                            #   value-pinned in test_curation_ops;
+                            #   r11 addition, r11-green
+    "tfidf_topterms",       # → vocab_drift stays (corpus-statistics
+                            #   family; same integer micro-nat
+                            #   arithmetic convention) and bm25_search
+                            #   stays (the IDF machinery's consumer);
+                            #   r11 addition, r11-green
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

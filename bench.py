@@ -213,6 +213,10 @@ EXTRA_QUERIES = [
     "ann_pq_rerank",
     "ann_ivf_pq",
     "knn_recall_pq",
+    # r12: probe-routed text dedup — cold prices the candidate-bound
+    # probe plus the path it picks (PPJoin at driver densities; the
+    # LSH branch is what runs at closed-vocab densities)
+    "dedup_text_auto",
 ]
 
 
@@ -250,12 +254,16 @@ def _canary_ok(pre: float, post: float) -> bool:
 #: queries ran 10-30x slow — contention that only shows up when all
 #: cores are asked to work at once.
 PAR_CANARY_ROWS_PER_TASK = 30_000_000
-#: gate threshold, calibrated r12: a mildly degraded window (single
-#: canary 0.84 vs the 0.75-0.81 healthy band) measured warmed ratios
-#: 1.31-1.43; severe contention (the 10-30x stateful blowup mode)
-#: pushes far past 2.  1.8 passes healthy and mildly-slow windows and
-#: flags the concurrency-degraded ones raw seconds can't survive.
-PAR_CANARY_MAX_RATIO = 1.8
+#: gate threshold, calibrated r12 against a KNOWN-degraded window
+#: (the r11 failure mode reproduced: single canary 0.84-0.87 passed
+#: the ±20% band while the headline set ran 1.4-1.5x over the healthy
+#: 15.15 s record): in-bench probes there read 1.55-1.69, idle probes
+#: 1.31-1.43.  Perfect scaling is 1.0; 1.5 passes an idle-healthy box
+#: with sane overhead and flags the contended windows raw seconds
+#: can't survive.  If a demonstrably healthy window (single canary
+#: 0.75-0.81 AND headline near record) ever probes above 1.5,
+#: recalibrate with that observation.
+PAR_CANARY_MAX_RATIO = 1.5
 
 
 def _parallel_canary(spark) -> dict:
@@ -301,8 +309,13 @@ def _git_provenance() -> dict:
             ["git", "rev-parse", "HEAD"],
             cwd=here, capture_output=True, text=True, timeout=10,
         ).stdout.strip() or None
+        # BENCH_LOCAL.json is this harness's own output: a prior run's
+        # artifact must not mark the CODE dirty (measured r12 — run 2
+        # of a clean clone reported git_dirty purely from run 1's
+        # BENCH_LOCAL write)
         dirty_probe = subprocess.run(
-            ["git", "status", "--porcelain"],
+            ["git", "status", "--porcelain", "--",
+             ".", ":(exclude)BENCH_LOCAL.json"],
             cwd=here, capture_output=True, text=True, timeout=10,
         )
         dirty = (
@@ -336,6 +349,9 @@ def main() -> None:
     from simple_rust_query_engine_spark.session import get_spark, release_barriers
 
     canary_pre = _canary_sec()
+    # provenance captured at START: it must describe the code this
+    # run loads, not whatever the tree looks like after ~20 minutes
+    prov = _git_provenance()
     spark = get_spark("srqe-bench")
     qs = dict(entry_mod.queries())
     # keep the r6-comparable "profile_table_approx" key measuring the
@@ -446,7 +462,7 @@ def main() -> None:
         "sf": sf_val,
         # code provenance (VERDICT r10 item: same-round artifacts must
         # be attributable to the code they measured, not archaeology)
-        **_git_provenance(),
+        **prov,
     }
     if errors:
         full["errors"] = errors

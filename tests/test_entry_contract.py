@@ -29,76 +29,69 @@ def test_head_is_exactly_driver_cap():
 def test_rotation_keeps_new_and_changed_operators_in_window():
     # standing rule (VERDICT r3/r4): every operator added or changed
     # this round must sit inside the driver's 50-entry checked window
-    # the round it changes.  Round 11: THREE additions (the
-    # multi-probe cell join, its cell-vs-probe recall row, the
-    # streaming Bloom pre-filter), the changed entries (the IVF join
-    # gained the probe branch, the recall row gained the zero guard,
-    # the batch Bloom row was refactored into the helpers the stream
-    # shares, the streaming CMS entry gained try/finally hygiene),
-    # and the fifth re-certification sweep (the 8 oldest deferred
-    # rows — r4/r5 evidence).
+    # the round it changes.  Round 12: ONE addition (the probe-routed
+    # dedup_text_auto), the changed entries (the whole PQ family —
+    # sampled trainer; the dedup_cc state family — observed-metric
+    # convergence + durable-state adoption path; the kmeans seed
+    # change's in-window consumers), the sixth re-certification sweep
+    # (the 8 oldest deferred rows — deferred since round 5), and
+    # three of the five r11-deferred core relational ops (staggered
+    # per ADVICE r11; topk/distinct follow next round).
     must_be_checked = {
-        # r11 additions
-        "pii_redact",              # regex redaction kernel, semantics
-                                   # hash-checked via injected
-                                   # pseudo-PII
-        "split_by_cluster",        # leakage-free holdout split by
-                                   # near-dup component label
-                                   # (dedup_cc's labels)
-        "tfidf_topterms",          # per-source characteristic terms,
-                                   # integer micro-nat scores
-        "pq_encode",               # product-quantization codes —
-                                   # M per-subspace trained codebooks
-        "ann_pq",                  # ADC top-k from codes alone
-        "ann_pq_rerank",           # exact re-rank of the ADC
-                                   # shortlist — two-stage retrieval
-        "ann_ivf_pq",              # IVF cell pruning + ADC codes —
-                                   # the billion-vector composition
-        "knn_recall_pq",           # PQ recall@k vs exact brute —
-                                   # the compression's price tag
-        "ann_ivf_knn_join_probe",  # multi-probe cell co-assignment —
-                                   # lifts the single-cell recall
-                                   # ceiling, still banded
-        "knn_recall_ivf_probe",    # cell-vs-probe recall@k side by
-                                   # side, hash-checked eval metric
-        "bloom_precheck_stream",   # continuous Bloom dedup pre-filter
-                                   # through foreachBatch (OR
-                                   # linearity, batch-row oracle)
-        # r11 changes
-        "ann_ivf_knn_join",        # probe_cells branch added (p=1
-                                   # path byte-identical)
-        "knn_recall_ivf",          # 0-pairs zero guard (recall := 1.0)
-        "bloom_dedup_precheck",    # split/set-bits/probe-verify
-                                   # refactor shared with the stream
-        "cms_stream_heavy_hitters",# try/finally stop+drop hygiene
-        # r11 re-certifications (oldest driver rows, r4/r5 evidence)
-        "ann_multiprobe",
-        "events_window_sliding",
-        "multimodal_meta",
-        "join_full",
-        "emb_centroid",
-        "events_retention",
-        "vocab_stats",
-        "text_normalize",
+        # r12 addition
+        "dedup_text_auto",         # probe-routed exact-vs-LSH text
+                                   # dedup; the route literal makes
+                                   # the decision hash-checked
+        # r12 changes: the PQ family trains on the deterministic
+        # vec_id % PQ_TRAIN_MOD sample (oracle CTEs mirror the
+        # predicate); kmeans seeds are orderBy+limit now
+        "pq_encode",
+        "ann_pq",
+        "ann_pq_rerank",
+        "ann_ivf_pq",
+        "knn_recall_pq",
+        # r12 changes: kmeans_centroids seed path consumers (the
+        # deferred kmeans_train/ann_ivf rows ride on these six
+        # in-window consumers of the identical trained matrix)
+        "ann_ivf_trained",
+        "ann_ivf_knn_join",
+        "ann_ivf_knn_join_probe",
+        "knn_recall_ivf",
+        "knn_recall_ivf_probe",
+        # r12 changes: CC loop convergence folded into the round's own
+        # job (observed metrics) + durable-state adoption in
+        # _state_table — the whole persisted-state family stays in
+        "dedup_cc",
+        "dedup_cc_incr",
+        "dedup_keep_best",
+        "dedup_labels_stream",
+        "pipeline_incr_stateful",
+        "split_by_cluster",
+        "dedup_minhash_bucketed",
+        "dedup_minhash_ingest_stream",
+        # r12 re-certifications (oldest deferred rows, r4/r5 evidence,
+        # deferred since round 5)
+        "shuffle_shards",
+        "train_test_split",
+        "events_session_window",
+        "sample_mixture",
+        "join_asof_fwd",
+        "ann_lsh",
+        "window_running_sum",
+        "quality_score",
+        # r12 core-op re-certs (staggered; ADVICE r11)
+        "join_inner",
+        "filter_predicate",
+        "scan_projection",
         # earlier rows that keep their green (family reps documented
         # at their _DEFER_PAST_CAP entries)
-        "kmv_merge_ndistinct",
         "lm_score_bigram",
         "vocab_drift",
         "knn_join",
         "knn_join_twophase",
-        "ann_ivf_trained",
         "agg_cube",
         "doc_novelty",
         "knn_join_stream",
-        "join_asof",
-        "pipeline_incr_stateful",
-        "dedup_cc",
-        "dedup_cc_incr",
-        "dedup_keep_best",
-        "dedup_minhash_bucketed",
-        "dedup_minhash_ingest_stream",
-        "dedup_labels_stream",
         "bm25_search",   # stays in-window: the hybrid row consumes
                          # RANKS only; score values need their own row
         "profile_table_approx",
@@ -106,6 +99,11 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
         "quality_topk",
         "bpe_encode_checked",
         "ngram_jaccard",
+        "multimodal_meta",   # only in-window multimodal row
+        "events_retention",  # events family rep alongside the
+                             # re-entering events_session_window
+        "cms_stream_heavy_hitters",
+        "bloom_precheck_stream",
     }
     head = set(list(entry_mod.queries())[: entry_mod._DRIVER_CAP])
     assert must_be_checked <= head
