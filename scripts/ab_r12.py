@@ -72,8 +72,10 @@ def main() -> None:
     }))
 
     # ---- 2. CC loop: observed fold vs two jobs per round ---------
-    edges = DS.near_dup_edges(docs).select("doc_a", "doc_b")
-    edges = dedup_core.materialize(edges)  # price pair gen once, outside both arms
+    # each arm rebuilds its own edge table AFTER release_barriers (the
+    # sweep drops the non-state caches), so pair generation is inside
+    # both arms symmetrically — a shared pre-materialize would not
+    # survive the sweep anyway
     verts = docs.select("doc_id")
 
     def run_cc(tag):

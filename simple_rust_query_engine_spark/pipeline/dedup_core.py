@@ -105,11 +105,12 @@ BAND_BUCKETS = 32
 
 _STATE_TBL_DIR: str | None = None
 
-#: audit trail of _state_table outcomes, ("built"|"adopted"|"cached",
-#: table_name) per call — what the cross-process adoption test (and a
-#: curious operator) reads to prove a fresh driver REUSED prior state
-#: instead of re-running the build.  Bounded: one entry per state-table
-#: call, and state tables are built/adopted at most once per session.
+#: audit trail of _state_table outcomes, ("built"|"adopted",
+#: table_name) — what the cross-process adoption test (and a curious
+#: operator) reads to prove a fresh driver REUSED prior state instead
+#: of re-running the build.  Session-cache hits return the memoized
+#: table name without re-entering build() and record nothing, so the
+#: trail is one entry per (session, state table), not per call.
 STATE_TABLE_EVENTS: list[tuple[str, str]] = []
 
 
@@ -129,7 +130,13 @@ def _state_table_dir() -> str:
     r11 observation 3).  The durable dir assumes one WRITER at a time
     per table key (the warehouse contract); adoption only trusts
     tables whose sidecar meta exists, and the sidecar is written
-    after the data, so a crashed half-write is rebuilt, not adopted."""
+    after the data, so a crashed half-write is rebuilt, not adopted.
+
+    One state family opts out: the BAND INDEX
+    (``dedup_sketch._band_index_for``) is mutable ingest state —
+    streams append to it — so adopting another process's copy would
+    inherit its appends; it rebuilds per process (no sidecar) until
+    an append journal exists."""
     durable = os.environ.get("SPARK_GRAFT_STATE_DIR")
     if durable:
         os.makedirs(durable, exist_ok=True)

@@ -412,7 +412,17 @@ def probe_band_index(
 
 def _band_index_for(spark, docs: DataFrame, docs_key: str) -> str:
     """Build-once band index per (session, corpus): the layout cost is
-    paid on first use, every later probe reads the bucketed files."""
+    paid on first use, every later probe reads the bucketed files.
+
+    DELIBERATELY bypasses ``_state_table``'s durable cross-process
+    adoption (r12): the band index is MUTABLE ingest state — the
+    foreachBatch streams append batch band rows to it — so an
+    adopting process would inherit whatever appends the previous
+    process made, not the freshly-built corpus index its queries'
+    oracles assume.  Making it adoptable needs an append journal
+    (adopt base + replay/own the appends); until then each process
+    rebuilds it, which is also why it writes into
+    ``_state_table_dir()`` directly with no sidecar meta."""
     import hashlib
 
     def build() -> str:
@@ -617,6 +627,30 @@ def _prefix_postings(arrs: DataFrame) -> DataFrame:
     )
 
 
+def _shingle_arrs(d: DataFrame) -> DataFrame:
+    """Session-cached hard barrier over the corpus shingle pass
+    (doc_id, shingles) — the single most expensive Python step of the
+    n-gram dedup family, shared by the PPJoin candidate generator AND
+    the candidate-bound probe so ``dedup_text_auto``'s cold call
+    (probe, then the routed path) pays it once, not twice (r12
+    review).  Materialized because the arrays feed multiple consumers
+    (explode + both verify sides) and Catalyst would otherwise inline
+    the UDF subtree into each; cached per docs anchor because the
+    barrier blocks are released by ``release_barriers`` along with
+    every other non-``state:`` entry."""
+    from .dedup_core import _session_cached
+
+    return _session_cached(
+        "arrs",
+        d,
+        lambda: materialize(
+            d.select(
+                "doc_id", ngram_shingles_udf()(F.col("text")).alias("shingles")
+            )
+        ),
+    )
+
+
 def _ngram_candidates(
     d: DataFrame, positional_filter: bool = True
 ) -> "tuple[DataFrame, DataFrame]":
@@ -627,12 +661,7 @@ def _ngram_candidates(
 
     from pyspark.sql.window import Window
 
-    # hard barrier: the shingle arrays feed three consumers (explode
-    # and both verify sides) — materialize once instead of three
-    # inlined recomputes (same trick as minhash_lsh_pairs)
-    arrs = materialize(
-        d.select("doc_id", ngram_shingles_udf()(F.col("text")).alias("shingles"))
-    )
+    arrs = _shingle_arrs(d)
     probe = _prefix_postings(arrs)
     pa = probe.select(
         F.col("doc_id").alias("pa"), "shingle",
@@ -691,17 +720,13 @@ def estimate_ppjoin_candidates(d: DataFrame) -> int:
     # production prefix definition; the sum runs in decimal (a `/ 2`
     # double sum would shed low-order bits past 2^53 — exactly the
     # pathological-density regime this dial exists for — and could
-    # round BELOW the true bound).  The arrays are materialized first:
-    # _prefix_postings' output feeds both the per-shingle df count and
-    # the ranked join side, and without the barrier Catalyst inlines
-    # the shingle-UDF explode into both consumers — the Python pass
-    # over the corpus, the probe's dominant cost, would run twice
-    # (ADVICE r11; same barrier _ngram_candidates uses)
-    arrs = materialize(
-        d.select(
-            "doc_id", ngram_shingles_udf()(F.col("text")).alias("shingles")
-        )
-    )
+    # round BELOW the true bound).  The arrays come from the SHARED
+    # materialized barrier (_shingle_arrs): without a barrier Catalyst
+    # inlines the shingle-UDF explode into both of _prefix_postings'
+    # consumers (ADVICE r11), and sharing the cache entry with
+    # _ngram_candidates means a probe-then-run sequence
+    # (dedup_text_auto cold) pays the corpus Python pass once
+    arrs = _shingle_arrs(d)
     row = (
         _prefix_postings(arrs)
         .groupBy("shingle")

@@ -71,13 +71,22 @@ def route_text_dedup(docs: DataFrame) -> tuple[str, int, int]:
     bound, doc count).  Cost = one count + the
     ``estimate_ppjoin_candidates`` probe (one aggregation over the
     prefix postings, ~4% of a full PPJoin run) — the cheap insurance
-    against launching an exact join that would explode."""
+    against launching an exact join that would explode.  The decision
+    is session-cached per docs anchor (the corpus is immutable within
+    a session, the standard parquet contract), so repeated per-batch
+    calls pay the probe's shingle pass once, not per call."""
+    from .dedup_core import _session_cached
     from .dedup_sketch import estimate_ppjoin_candidates
 
-    n = docs.count()
-    bound = estimate_ppjoin_candidates(docs)
-    route = "ppjoin" if bound <= AUTO_ROUTE_MAX_CAND_PER_DOC * n else "lsh"
-    return route, bound, n
+    def decide():
+        n = docs.count()
+        bound = estimate_ppjoin_candidates(docs)
+        route = (
+            "ppjoin" if bound <= AUTO_ROUTE_MAX_CAND_PER_DOC * n else "lsh"
+        )
+        return route, bound, n
+
+    return _session_cached("route_text", docs, decide)
 
 
 def dedup_text_auto(docs: DataFrame) -> DataFrame:
@@ -89,14 +98,25 @@ def dedup_text_auto(docs: DataFrame) -> DataFrame:
     pairs when exact is affordable and near-flat approximate pairs
     when it is not.  Returns (doc_a, doc_b, route); ``route`` is a
     literal column, so the driver's hash check certifies the routing
-    DECISION along with the pair set."""
+    DECISION along with the pair set.
+
+    Both routes mean the SAME thing — "near-duplicate at the dedup
+    threshold": the ppjoin branch is exact Jaccard ≥ ``JACCARD_T``,
+    the lsh branch keeps only candidates with ≥ ``MH_DUP_NM``
+    agreeing signature rows (estimated Jaccard ≥ 0.5, the same
+    filter every other edge consumer applies) — raw band collisions
+    reach down to est ≈ 0.25 and would silently change the
+    operator's meaning when the route flips."""
     route, _, _ = route_text_dedup(docs)
     if route == "ppjoin":
         pairs = near_dup_edges(docs)
     else:
+        from .dedup_ingest import MH_DUP_NM
         from .dedup_sketch import minhash_lsh_pairs
 
-        pairs = minhash_lsh_pairs(docs)
+        pairs = minhash_lsh_pairs(docs).filter(
+            F.col("n_match") >= MH_DUP_NM
+        )
     return pairs.select("doc_a", "doc_b", F.lit(route).alias("route"))
 
 
@@ -104,7 +124,9 @@ def q_dedup_text_auto(t: dict) -> DataFrame:
     return dedup_text_auto(t["documents"])
 
 
-def _materialize_observed(df: DataFrame, *metrics) -> tuple[DataFrame, dict]:
+def _materialize_observed(
+    df: DataFrame, *metrics, project: list | None = None
+) -> tuple[DataFrame, dict]:
     """Materialization barrier + convergence metrics in ONE job
     (VERDICT r11 item 7): the iterative CC loops previously ran the
     round's join+agg job AND a separate fingerprint/sum collect per
@@ -114,11 +136,26 @@ def _materialize_observed(df: DataFrame, *metrics) -> tuple[DataFrame, dict]:
     job itself (Dataset.checkpoint/localCheckpoint execute through
     withAction, which posts the SQL-execution event the Observation
     listener needs), so the loop driver reads the metrics without a
-    second pass over the labels."""
+    second pass over the labels.
+
+    ``project`` applies a projection ABOVE the CollectMetrics node —
+    the metrics may reference columns (an old-vs-new comparison) the
+    materialized output should not carry.
+
+    Caveat the callers must design around: observed metrics are
+    accumulator-backed, so a cluster-side stage retry or speculative
+    duplicate task can double-count partitions.  Use conditions that
+    are exact in the safe direction under inflation (a CHANGES
+    count: inflating zero yields zero, so observed-0 ⟺ true-0) or
+    confirm a matching fingerprint with an exact aggregation before
+    trusting it."""
     from pyspark.sql import Observation
 
     obs = Observation()
-    out = materialize(df.observe(obs, *metrics))
+    observed = df.observe(obs, *metrics)
+    if project is not None:
+        observed = observed.select(*project)
+    out = materialize(observed)
     return out, obs.get
 
 
@@ -182,7 +219,12 @@ def connected_components_star(
     E = materialize(
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
+    fp_aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.pmod(F.xxhash64("src", "dst"), F.lit(2**31))).alias("h"),
+    ]
     fp_prev = None
+    E_prev = None
     rounds = 0
     while rounds < max_rounds:
         # durable rounds write reliable checkpoints; superseded ones
@@ -191,17 +233,28 @@ def connected_components_star(
         # disk is worst-case O(rounds) label-table-sized files until
         # the exit cleanup of the fallback dir.  The fingerprint rides
         # the round's own checkpoint job (observed metrics — one job
-        # per round, not two; pmod keeps the hash sum < 2^63 under
-        # ANSI overflow checking for any realistic edge count)
+        # per round; pmod keeps the hash sum < 2^63 under ANSI
+        # overflow checking for any realistic edge count)
+        E_prev, E = E, None
         E, m = _materialize_observed(
-            _small_star(_large_star(E)),
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.pmod(F.xxhash64("src", "dst"), F.lit(2**31))).alias("h"),
+            _small_star(_large_star(E_prev)),
+            *fp_aggs,
         )
         rounds += 1
         fp = (m["n"], m["h"])
         if fp == fp_prev:
-            break
+            # observed metrics are accumulator-backed, so a cluster
+            # stage retry / speculative duplicate can inflate them —
+            # a matching observed pair is only a HINT.  Confirm with
+            # exact aggregations over both checkpointed edge tables
+            # (two tiny jobs, typically once per call) before
+            # trusting the fixpoint; an unconfirmed match just costs
+            # one more round
+            exact_prev = tuple(E_prev.agg(*fp_aggs).collect()[0])
+            exact_cur = tuple(E.agg(*fp_aggs).collect()[0])
+            if exact_prev == exact_cur:
+                break
+            fp = exact_cur
         fp_prev = fp
     star = E.groupBy("src").agg(F.min("dst").alias("label"))
     lab = (
@@ -247,18 +300,21 @@ def connected_components(
     # to ~1.5 s at sf0.1.  Round 0 is fused into the initialization:
     # each endpoint starts at min(self, min direct neighbor), which is
     # exactly one propagation round from identity labels.
-    # labels only ever decrease, so the label SUM is a convergence
-    # fingerprint; it rides each round's OWN checkpoint job as an
-    # observed metric (one job per round, not join+agg PLUS a
-    # fingerprint collect — VERDICT r11 item 7)
-    lab, m = _materialize_observed(
+    lab = materialize(
         bidir.groupBy("src")
         .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
-        .select(F.col("src").alias("doc_id"), "label"),
-        F.sum("label").alias("s"),
+        .select(F.col("src").alias("doc_id"), "label")
     )
-    prev_sum = m["s"]
-    while True:  # label sum strictly decreases until fixpoint ⇒ terminates
+    # convergence = "this round decreased no label", counted as an
+    # observed metric riding each round's OWN checkpoint job (one job
+    # per round, not join+agg PLUS a convergence collect — VERDICT
+    # r11 item 7).  A CHANGES count — not a label-sum fingerprint —
+    # because observed metrics are accumulator-backed and a cluster
+    # stage retry can double-count partitions: inflating a nonzero
+    # count costs one extra (harmless) round, while inflating ZERO
+    # still reads zero, so the break condition is exact exactly when
+    # it fires.  Labels only decrease ⇒ changes hit 0 ⇒ terminates.
+    while True:
         msgs = (
             bidir.join(lab, bidir.src == lab.doc_id)
             .groupBy("dst")
@@ -272,16 +328,18 @@ def connected_components(
             lab.join(msgs, lab.doc_id == msgs.dst, "left")
             .select(
                 "doc_id",
-                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
-                    "label"
-                ),
+                F.col("label").alias("old_label"),
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("new_label"),
             ),
-            F.sum("label").alias("s"),
+            F.sum(
+                F.when(F.col("new_label") < F.col("old_label"), 1).otherwise(0)
+            ).alias("chg"),
+            project=[F.col("doc_id"), F.col("new_label").alias("label")],
         )
-        cur_sum = m["s"]
-        if cur_sum == prev_sum:
+        if not m["chg"]:  # 0 or None (empty edge set) — fixpoint
             break
-        prev_sum = cur_sum
     # (the internal edge-table checkpoint is likewise cleaner-retired
     # once this function returns; the RETURNED labels' files live
     # until the caller's frame is collected)

@@ -264,18 +264,28 @@ def _ivf_centroids(emb: DataFrame, n_cells: int = IVF_CELLS):
     assignment UDF; collecting it is the IVF design, not a
     driver-side data loop.
 
-    orderBy+limit rather than ``vec_id < n_cells`` (r12): the frame
-    may be a FILTERED training sample whose smallest ids aren't
-    0..K-1 — TakeOrdered reads K rows per partition, and a caller
-    that KNOWS its ids are dense can pre-filter for parquet
-    min/max-stats pruning (the dense default costs the same rows
-    either way at driver scale)."""
+    Two-step scan (r12): first try ``vec_id < n_cells`` — on the
+    dense-id corpora every caller feeds today, parquet min/max stats
+    prune that filter to the one row group holding the first K ids,
+    and K distinct ints all below K are necessarily exactly the K
+    smallest, so the fast path is provably the same seed set.  A
+    frame where the filter yields fewer than K rows (a training
+    SAMPLE, offset ids, gaps) falls back to the generic
+    orderBy+limit TakeOrdered — a full scan, paid only where
+    correctness requires it."""
     rows = (
-        emb.select("vec_id", "embedding")
+        emb.filter(F.col("vec_id") < n_cells)
         .orderBy("vec_id")
-        .limit(n_cells)
+        .select("vec_id", "embedding")
         .collect()
     )
+    if len(rows) < n_cells:
+        rows = (
+            emb.select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(n_cells)
+            .collect()
+        )
     C = np.stack([np.asarray(r.embedding) for r in rows]).astype(np.float64)
     return C
 
@@ -662,19 +672,20 @@ def _kmeans_cte_parts(
     )
     idx = "d.i" if lo == 1 else f"{lo - 1} + d.i"
     dims = f"(SELECT unnest(range(1, {subdim + 1})) AS i)"
-    if train_mod is None:
-        train_pred = ""
-        seed = (
-            f"{p}c0 AS (SELECT vec_id AS cell, {sl} AS c_emb "
-            f"FROM embeddings WHERE vec_id < {K})"
-        )
-    else:
-        train_pred = f" WHERE vec_id % {train_mod} = 0"
-        seed = (
-            f"{p}c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 "
-            f"AS cell, c_emb FROM (SELECT vec_id, {sl} AS c_emb "
-            f"FROM embeddings{train_pred} ORDER BY vec_id LIMIT {K}))"
-        )
+    # seeds are rank-within-training-set — the exact mirror of the
+    # Spark seed matrix's positional row index over ORDER BY vec_id
+    # LIMIT K (_ivf_centroids) — in BOTH branches: a `vec_id < K`
+    # seed with vec_id-valued cells only coincides with the matrix's
+    # row positions when ids are dense 0..K-1, and the engines must
+    # agree on any id layout (ADVICE r12 review)
+    train_pred = "" if train_mod is None else (
+        f" WHERE vec_id % {train_mod} = 0"
+    )
+    seed = (
+        f"{p}c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 "
+        f"AS cell, c_emb FROM (SELECT vec_id, {sl} AS c_emb "
+        f"FROM embeddings{train_pred} ORDER BY vec_id LIMIT {K}))"
+    )
     parts = [seed]
     for i in range(iters + 1):
         # training iterations score the sample; the final pass (the
@@ -2198,8 +2209,9 @@ def _sql_bucket(emb: str, offset: int = 0) -> str:
 
 _IVF_ORACLE = f"""
     WITH cent AS (
-        SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
-        WHERE vec_id < {IVF_CELLS}
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, c_emb
+        FROM (SELECT vec_id, embedding AS c_emb FROM embeddings
+              ORDER BY vec_id LIMIT {IVF_CELLS})
     ),
     scored AS (
         SELECT v.vec_id, cent.cell,

@@ -1262,10 +1262,17 @@ def test_text_dedup_routing_both_densities(spark, tables):
     assert out.columns == ["doc_a", "doc_b", "route"]
     rows = out.collect()
     assert {r.route for r in rows} == {"lsh"}
-    # the routed pair set IS the LSH path's pair set
+    # the routed pair set IS the LSH path's pair set AT THE DEDUP
+    # THRESHOLD (n_match >= MH_DUP_NM — the filter every other edge
+    # consumer applies; raw band collisions reach est J ~0.25 and
+    # would change the operator's meaning when the route flips)
+    from simple_rust_query_engine_spark.pipeline.dedup import MH_DUP_NM
+
+    lsh = minhash_lsh_pairs(dense)
     want = {
         (r.doc_a, r.doc_b)
-        for r in minhash_lsh_pairs(dense).select("doc_a", "doc_b").collect()
+        for r in lsh.filter(F.col("n_match") >= MH_DUP_NM)
+        .select("doc_a", "doc_b").collect()
     }
     assert {(r.doc_a, r.doc_b) for r in rows} == want and want
 
