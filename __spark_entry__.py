@@ -639,6 +639,14 @@ _DEFER_PAST_CAP = (
                             #   arithmetic convention) and bm25_search
                             #   stays (the IDF machinery's consumer);
                             #   r11 addition, r11-green
+    # (r12 late addition ann_ivf_pq_rerank — the complete IVFADC +
+    # exact re-rank retrieval stack — enters the window; one more
+    # r11-green unchanged sibling defers:)
+    "events_retention",     # → events_session_window re-enters this
+                            #   round (events/temporal family) and the
+                            #   retention shape's window-over-events
+                            #   core is exercised by it; re-certified
+                            #   r11
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

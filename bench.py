@@ -217,6 +217,10 @@ EXTRA_QUERIES = [
     # probe plus the path it picks (PPJoin at driver densities; the
     # LSH branch is what runs at closed-vocab densities)
     "dedup_text_auto",
+    # r12: the complete IVFADC + exact re-rank stack (reads the same
+    # persisted cell-partitioned index ann_ivf_pq built above — order
+    # matters; steady prices pruned code scan + r raw-vector folds)
+    "ann_ivf_pq_rerank",
 ]
 
 

@@ -1086,6 +1086,38 @@ def q_ann_ivf_pq(t: dict) -> DataFrame:
     return ann_ivf_pq_topk(t["embeddings"])
 
 
+def ann_ivf_pq_rerank_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = PQ_TOPK,
+    r: int | None = None,
+    n_probe: int = IVF_PROBE,
+) -> DataFrame:
+    """The COMPLETE billion-vector retrieval stack in one operator
+    (r12): coarse probe prunes the scan to n_probe/n_cells of the
+    index at the STORAGE layer (cell-partitioned state table), ADC
+    shortlists the top ``r`` survivors from their codes alone (M
+    JVM-side lookups each), and only those ``r`` raw vectors are
+    re-scored with the exact fold cosine — Jégou 2011's
+    IVFADC + re-ranking composition.  Per-query cost: pruned code
+    scan × M lookups + r raw-vector folds; raw vectors are read in
+    bulk exactly once, at index build.
+
+    Recall is monotonically ≥ the un-reranked ``ann_ivf_pq`` row at
+    the same k (any exact-top-k vector that reaches the shortlist
+    survives the re-rank — same argument as ``ann_pq_rerank``,
+    pinned); with n_probe = n_cells and r ≥ corpus the result equals
+    brute force bit-for-bit (tested)."""
+    if r is None:
+        r = PQ_RERANK  # module global, defined below — resolved at call time
+    cand = ann_ivf_pq_topk(emb, query_vec_id, r, n_probe).select("vec_id")
+    return _exact_rerank(emb, cand, query_vec_id, k)
+
+
+def q_ann_ivf_pq_rerank(t: dict) -> DataFrame:
+    return ann_ivf_pq_rerank_topk(t["embeddings"])
+
+
 PQ_RERANK = 20  # exact re-rank depth (candidates per query)
 
 
@@ -1108,6 +1140,17 @@ def ann_pq_rerank_topk(
     broadcast semi-join + map-only fold over r vectors — per-query
     cost independent of corpus size beyond the code scan."""
     cand = ann_pq_topk(emb, query_vec_id, r, books=books).select("vec_id")
+    return _exact_rerank(emb, cand, query_vec_id, k)
+
+
+def _exact_rerank(
+    emb: DataFrame, cand: DataFrame, query_vec_id: int, k: int
+) -> DataFrame:
+    """The ONE spelling of the exact re-rank stage: broadcast the
+    shortlist's vec_ids, semi-join the raw vectors, score with the
+    shared fold cosine, TakeOrdered k.  Shared by the flat-ADC and
+    IVF-PQ two-stage paths so the scoring/tie conventions cannot
+    drift apart."""
     q = (
         emb.filter(F.col("vec_id") == query_vec_id)
         .select(
@@ -1116,7 +1159,7 @@ def ann_pq_rerank_topk(
         )
     )
     return (
-        emb.join(F.broadcast(cand), "vec_id")
+        emb.join(F.broadcast(cand.select("vec_id")), "vec_id")
         .withColumn("nrm", _norm(F.col("embedding")))
         .crossJoin(F.broadcast(q))
         .select(
@@ -2350,6 +2393,34 @@ def _ann_ivf_pq_oracle() -> str:
     """
 
 
+def _ann_ivf_pq_rerank_oracle() -> str:
+    """Coarse chain + PQ chains/LUTs/adc + probe filter (the
+    ``ann_ivf_pq`` statement) producing the top-R shortlist, then the
+    exact fold-cosine re-rank tail (the ``ann_pq_rerank`` statement)
+    — the full IVFADC+re-rank composition under one oracle."""
+    ki = KMEANS_ITERS
+    return f"""
+        WITH {_kmeans_cte_parts(KMEANS_CELLS, KMEANS_ITERS)},
+        {_pq_adc_core()},
+        probe AS (
+            SELECT cell FROM s{ki} WHERE vec_id = 0
+            ORDER BY cs DESC, cell ASC LIMIT {IVF_PROBE}
+        ),
+        cand AS (
+            SELECT adc.vec_id FROM adc
+            JOIN a{ki} a2 ON a2.vec_id = adc.vec_id
+            WHERE a2.cell IN (SELECT cell FROM probe)
+            ORDER BY adc.adc_score DESC, adc.vec_id ASC LIMIT {PQ_RERANK}
+        )
+        SELECT b.vec_id AS vec_id, {_SQL_COS} AS cos_sim
+        FROM (SELECT embedding AS a_emb FROM embeddings
+              WHERE vec_id = 0) qx,
+             (SELECT vec_id, embedding AS b_emb FROM embeddings) b
+        JOIN cand ON cand.vec_id = b.vec_id
+        ORDER BY cos_sim DESC, b.vec_id ASC LIMIT {PQ_TOPK}
+    """
+
+
 def _knn_recall_pq_oracle() -> str:
     return f"""
         WITH {_pq_adc_core()},
@@ -2397,6 +2468,7 @@ ORACLE: dict[str, str] = {
     "ann_pq": _ann_pq_oracle(),
     "ann_pq_rerank": _ann_pq_rerank_oracle(),
     "ann_ivf_pq": _ann_ivf_pq_oracle(),
+    "ann_ivf_pq_rerank": _ann_ivf_pq_rerank_oracle(),
     "knn_recall_pq": _knn_recall_pq_oracle(),
     "ann_brute": f"""
         SELECT b.vec_id AS vec_id, {_SQL_COS} AS cos_sim
@@ -2730,5 +2802,7 @@ QUERIES = {
     "ann_pq": q_ann_pq,
     "ann_pq_rerank": q_ann_pq_rerank,
     "ann_ivf_pq": q_ann_ivf_pq,
+    # r12: the complete IVFADC + exact re-rank composition
+    "ann_ivf_pq_rerank": q_ann_ivf_pq_rerank,
     "knn_recall_pq": q_knn_recall_pq,
 }

@@ -38,10 +38,12 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
     # three of the five r11-deferred core relational ops (staggered
     # per ADVICE r11; topk/distinct follow next round).
     must_be_checked = {
-        # r12 addition
+        # r12 additions
         "dedup_text_auto",         # probe-routed exact-vs-LSH text
                                    # dedup; the route literal makes
                                    # the decision hash-checked
+        "ann_ivf_pq_rerank",       # the complete IVFADC + exact
+                                   # re-rank retrieval stack
         # r12 changes: the PQ family trains on the deterministic
         # vec_id % PQ_TRAIN_MOD sample (oracle CTEs mirror the
         # predicate); kmeans seeds are orderBy+limit now
@@ -100,8 +102,6 @@ def test_rotation_keeps_new_and_changed_operators_in_window():
         "bpe_encode_checked",
         "ngram_jaccard",
         "multimodal_meta",   # only in-window multimodal row
-        "events_retention",  # events family rep alongside the
-                             # re-entering events_session_window
         "cms_stream_heavy_hitters",
         "bloom_precheck_stream",
     }

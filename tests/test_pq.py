@@ -8,8 +8,11 @@ from simple_rust_query_engine_spark.pipeline.similarity import (
     KMEANS_CELLS,
     PQ_K,
     PQ_M,
+    PQ_RERANK,
     PQ_TOPK,
     ann_brute_topk,
+    ann_ivf_pq_rerank_topk,
+    ann_ivf_pq_topk,
     ann_pq_rerank_topk,
     pq_codebooks,
     q_ann_ivf_pq,
@@ -139,3 +142,32 @@ def test_pq_rerank_with_full_shortlist_is_exact(tables):
     assert [(r.vec_id, r.cos_sim) for r in rr] == [
         (r.vec_id, r.cos_sim) for r in ex
     ]
+
+
+def test_ann_ivf_pq_rerank_full_dials_equal_brute(tables):
+    # the r12 capstone's correctness anchor: with every cell probed
+    # and the shortlist covering the corpus, the three-stage path
+    # (probe -> ADC -> exact re-rank) must equal brute force
+    # bit-for-bit
+    emb = tables["embeddings"]
+    n = emb.count()
+    rr = ann_ivf_pq_rerank_topk(
+        emb, query_vec_id=0, k=PQ_TOPK, r=n, n_probe=KMEANS_CELLS
+    ).collect()
+    ex = ann_brute_topk(emb, query_vec_id=0, k=PQ_TOPK).collect()
+    assert [(r.vec_id, r.cos_sim) for r in rr] == [
+        (e.vec_id, e.cos_sim) for e in ex
+    ]
+
+
+def test_ann_ivf_pq_rerank_is_rerank_of_ivf_pq_shortlist(tables):
+    # the re-rank may only REORDER the IVF-PQ shortlist, never reach
+    # outside it — pins the composition wiring (same probe set, same
+    # ADC scores, exact scoring applied after)
+    emb = tables["embeddings"]
+    shortlist = {
+        r.vec_id for r in ann_ivf_pq_topk(emb, k=PQ_RERANK).collect()
+    }
+    out = ann_ivf_pq_rerank_topk(emb).collect()
+    assert {r.vec_id for r in out} <= shortlist
+    assert len(out) == min(PQ_TOPK, len(shortlist))
