@@ -160,6 +160,25 @@ def test_ann_ivf_pq_rerank_full_dials_equal_brute(tables):
     ]
 
 
+def test_ann_ivf_pq_rerank_plan_shape(tables):
+    # the three-stage stack's cost contract: the ONLY exchanges are
+    # the two broadcasts (R-row shortlist + 1-row query), never a
+    # shuffle; the shortlist leg keeps the storage-layer cell pruning;
+    # no Python anywhere at query time
+    from simple_rust_query_engine_spark.pipeline.similarity import (
+        q_ann_ivf_pq_rerank,
+    )
+
+    plan = (
+        q_ann_ivf_pq_rerank(tables)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == plan.count("BroadcastExchange") == 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "PartitionFilters: [cell" in plan, plan
+
+
 def test_ann_ivf_pq_rerank_is_rerank_of_ivf_pq_shortlist(tables):
     # the re-rank may only REORDER the IVF-PQ shortlist, never reach
     # outside it — pins the composition wiring (same probe set, same
