@@ -601,9 +601,11 @@ _DEFER_PAST_CAP = (
                             #   partial-agg shape is exercised inside
                             #   every kmeans consumer in-window;
                             #   re-certified r11
-    "events_window_sliding", # → events_retention stays and
-                            #   events_session_window re-enters
-                            #   (events/temporal family);
+    "events_window_sliding", # → events_session_window re-enters
+                            #   (events/temporal family; the only
+                            #   remaining in-window events row —
+                            #   events_retention deferred late-r12
+                            #   for ann_ivf_pq_rerank, see below);
                             #   re-certified r11
     "join_asof",            # → join_asof_fwd re-enters (same
                             #   _asof_union machinery, opposite

@@ -98,9 +98,15 @@ def main() -> None:
 
     real = DS._materialize_observed
 
-    def old_two_jobs(df, *metrics):
-        out = dedup_core.materialize(df)          # job 1
-        row = out.agg(*metrics).collect()[0]      # job 2
+    def old_two_jobs(df, *metrics, project=None):
+        # the pre-r12 shape: checkpoint job + a SEPARATE convergence
+        # collect per round.  Metrics run over the full (pre-project)
+        # frame — the changes count references columns the projection
+        # drops — then the loop gets the projected view, a plain
+        # select over the checkpointed rows (no third job)
+        full = dedup_core.materialize(df)           # job 1
+        row = full.agg(*metrics).collect()[0]       # job 2
+        out = full.select(*project) if project else full
         return out, row.asDict()
 
     DS._materialize_observed = old_two_jobs

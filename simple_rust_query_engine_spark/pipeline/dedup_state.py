@@ -84,6 +84,16 @@ def route_text_dedup(docs: DataFrame) -> tuple[str, int, int]:
         route = (
             "ppjoin" if bound <= AUTO_ROUTE_MAX_CAND_PER_DOC * n else "lsh"
         )
+        if route == "lsh":
+            # the probe checkpointed the corpus-sized shingle barrier
+            # (_shingle_arrs) that only the PPJOIN path consumes; on
+            # the LSH route nothing will read it, so drop the cache's
+            # strong reference now — GC + the context cleaner reclaim
+            # the blocks instead of pinning them until the next
+            # release_barriers (r12 review)
+            hit = _STATE_CACHE.pop(("arrs", id(docs)), None)
+            if hit is not None:
+                hit[2](hit[1])
         return route, bound, n
 
     return _session_cached("route_text", docs, decide)
