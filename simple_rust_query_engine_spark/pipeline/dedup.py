@@ -63,11 +63,16 @@ from .dedup_core import (  # noqa: F401
     _STATE_CACHE,
     _clear_barrier_backed_state,
     _fallback_checkpoint_dir,
+    _process_state_dir,
     _register_barrier_cache,
     _same_corpus,
     _session_cached,
     _state_table,
     _state_table_dir,
+    dedup_config_salt,
+    docs_state_key,
+    evict_state,
+    evict_state_entry,
     materialize,
 )
 from .dedup_sketch import (  # noqa: F401
@@ -92,6 +97,7 @@ from .dedup_sketch import (  # noqa: F401
     _strong_shingle_hashes,
     _with_pair_stats,
     build_band_index,
+    drop_shingle_arrs,
     minhash_lsh_pairs,
     minhash_lsh_pairs_incremental,
     minhash_pairs_from_index,

@@ -141,6 +141,18 @@ def _state_table_dir() -> str:
     if durable:
         os.makedirs(durable, exist_ok=True)
         return durable
+    return _process_state_dir()
+
+
+def _process_state_dir() -> str:
+    """Per-process state dir (mkdtemp, removed at exit) — the home of
+    state that must NOT be shared across processes even when
+    ``SPARK_GRAFT_STATE_DIR`` is set.  The band index lives here: it
+    is per-process MUTABLE ingest state (streams append to it), so
+    two processes writing the same content-addressed path in a shared
+    durable dir would overwrite each other's live files mid-append
+    (ADVICE r12).  Adoptable, immutable state keeps using
+    ``_state_table_dir``."""
     global _STATE_TBL_DIR
     if _STATE_TBL_DIR is None:
         import atexit
@@ -150,6 +162,51 @@ def _state_table_dir() -> str:
         _STATE_TBL_DIR = tempfile.mkdtemp(prefix="srqe_state_")
         atexit.register(shutil.rmtree, _STATE_TBL_DIR, True)
     return _STATE_TBL_DIR
+
+
+def dedup_config_salt() -> str:
+    """Algorithm/config fingerprint folded into every durable dedup
+    state key (ADVICE r12): cross-process adoption trusts a sidecar at
+    name+md5(docs_key), so the key must change whenever a constant
+    that changes the TABLES' CONTENT changes — otherwise a new
+    process silently adopts state computed under the old semantics
+    (exactly the failure r12's kmeans seed change would have caused
+    had centroids been adopted across that round).  Derived from the
+    live constants, not a hand-bumped literal, so it cannot go stale;
+    the trailing ``ccv1`` covers CC label semantics (smallest
+    reachable doc_id), which no constant encodes — bump it by hand if
+    that ever changes."""
+    from . import dedup_ingest as _di
+    from . import dedup_sketch as _ds
+
+    return (
+        f"jt{_ds.JACCARD_T}|k{_ds.MH_K}b{_ds.MH_BANDS}|nm{_di.MH_DUP_NM}"
+        f"|incr{_ds.INCR_MOD}|ccv1"
+    )
+
+
+def docs_state_key(docs: DataFrame, sf_dir: str) -> str:
+    """Content-identifying ``docs_key`` for the dedup family's durable
+    state tables: corpus path + input-file inventory (name, size,
+    mtime) + config salt.  A bare ``abspath(sf_dir)`` key (the
+    pre-r13 scheme) let a second process adopt stale tables after the
+    corpus files changed in place or the dedup constants moved
+    (ADVICE r12 medium); folding the inventory + salt into the md5'd
+    key makes either change a different table name, so the stale
+    sidecar is simply never looked up and the state rebuilds.
+    ``os.stat`` only resolves local paths — on HDFS/S3 input the
+    inventory falls back to the file list alone (still
+    content-addressed by path set + salt; a cluster deployment would
+    swap in the FileSystem's listStatus here)."""
+    parts = [os.path.abspath(sf_dir), dedup_config_salt()]
+    for uri in sorted(docs.inputFiles()):
+        path = uri[5:] if uri.startswith("file:") else uri
+        try:
+            st = os.stat(path)
+            parts.append(f"{uri}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            parts.append(uri)
+    return "|".join(parts)
 
 
 def _adopt_state_table(spark, table: str, path: str, meta: dict) -> None:
@@ -358,6 +415,21 @@ def evict_state(tag_substr: str) -> int:
             gone[2](gone[1])
             n += 1
     return n
+
+
+def evict_state_entry(tag: str, anchor) -> bool:
+    """Evict the single ``(tag, anchor)`` entry, firing its release
+    hook — the anchor-scoped sibling of ``evict_state`` for callers
+    that must drop ONE corpus's entry without touching same-tag
+    entries for other anchors (``route_text_dedup`` dropping the
+    shingle barrier it probed on the LSH route).  The supported
+    replacement for hand-spelled ``_STATE_CACHE.pop`` (ADVICE r12):
+    the key layout lives here, next to the cache."""
+    gone = _STATE_CACHE.pop((tag, id(anchor)), None)
+    if gone is not None:
+        gone[2](gone[1])
+        return True
+    return False
 
 
 def _same_corpus(a: DataFrame, b: DataFrame) -> bool:

@@ -125,8 +125,14 @@ def _mh_old_label_state_for(
             )
         )
 
+    from .dedup_core import docs_state_key
+
     return _state_table(
-        spark, "mh_old_label_state", docs_key, build, bucket_by=["doc_id"]
+        spark,
+        "mh_old_label_state",
+        docs_state_key(docs, docs_key),
+        build,
+        bucket_by=["doc_id"],
     )
 
 

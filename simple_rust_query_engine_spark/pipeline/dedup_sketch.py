@@ -17,7 +17,6 @@ from pyspark.sql import functions as F
 from .dedup_core import (
     BAND_BUCKETS,
     _session_cached,
-    _state_table_dir,
     materialize,
 )
 from .text import py_word_hash, word_hash
@@ -421,14 +420,19 @@ def _band_index_for(spark, docs: DataFrame, docs_key: str) -> str:
     process made, not the freshly-built corpus index its queries'
     oracles assume.  Making it adoptable needs an append journal
     (adopt base + replay/own the appends); until then each process
-    rebuilds it, which is also why it writes into
-    ``_state_table_dir()`` directly with no sidecar meta."""
+    rebuilds it — in the PER-PROCESS state dir even when
+    ``SPARK_GRAFT_STATE_DIR`` is set (ADVICE r12): in the shared
+    durable dir two processes on the same corpus would overwrite each
+    other's live band files at the same content-addressed path, and a
+    per-process mutable table gains nothing from durability."""
     import hashlib
+
+    from .dedup_core import _process_state_dir
 
     def build() -> str:
         table = "band_idx_" + hashlib.md5(docs_key.encode()).hexdigest()[:12]
         build_band_index(spark, docs, table,
-                         os.path.join(_state_table_dir(), table))
+                         os.path.join(_process_state_dir(), table))
         return table
 
     return _session_cached(f"state:band_idx:{docs_key}", spark, build)
@@ -641,7 +645,7 @@ def _shingle_arrs(d: DataFrame) -> DataFrame:
     from .dedup_core import _session_cached
 
     return _session_cached(
-        "arrs",
+        _ARRS_TAG,
         d,
         lambda: materialize(
             d.select(
@@ -649,6 +653,23 @@ def _shingle_arrs(d: DataFrame) -> DataFrame:
             )
         ),
     )
+
+
+#: cache tag of the _shingle_arrs barrier — one spelling, shared with
+#: drop_shingle_arrs so a tag rename cannot silently strand the drop
+_ARRS_TAG = "arrs"
+
+
+def drop_shingle_arrs(d: DataFrame) -> bool:
+    """Release the ``_shingle_arrs`` barrier for THIS docs anchor (the
+    corpus-sized checkpoint the probe materialized), firing the
+    entry's release hook — the supported drop for callers that know
+    nothing downstream will read it (the auto-router's LSH branch).
+    Lives next to ``_shingle_arrs`` so the key spelling has one home
+    (ADVICE r12)."""
+    from .dedup_core import evict_state_entry
+
+    return evict_state_entry(_ARRS_TAG, d)
 
 
 def _ngram_candidates(

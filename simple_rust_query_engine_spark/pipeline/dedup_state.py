@@ -17,6 +17,7 @@ from .dedup_core import (
     _same_corpus,
     _session_cached,
     _state_table,
+    docs_state_key,
     materialize,
 )
 from .dedup_sketch import INCR_MOD, ngram_jaccard_pairs
@@ -90,10 +91,11 @@ def route_text_dedup(docs: DataFrame) -> tuple[str, int, int]:
             # the LSH route nothing will read it, so drop the cache's
             # strong reference now — GC + the context cleaner reclaim
             # the blocks instead of pinning them until the next
-            # release_barriers (r12 review)
-            hit = _STATE_CACHE.pop(("arrs", id(docs)), None)
-            if hit is not None:
-                hit[2](hit[1])
+            # release_barriers (r12 review; key spelling owned by the
+            # helper since r13 — ADVICE r12)
+            from .dedup_sketch import drop_shingle_arrs
+
+            drop_shingle_arrs(docs)
         return route, bound, n
 
     return _session_cached("route_text", docs, decide)
@@ -404,7 +406,14 @@ def _edge_state_for(spark, docs: DataFrame, docs_key: str) -> str:
     Built FROM the session edge cache (``near_dup_edges`` — plan-
     equivalent frames share one entry), so a session that already ran
     the object-keyed family queries writes the table without
-    re-running the PPJoin."""
+    re-running the PPJoin.
+
+    ``docs_key`` (the corpus path) is widened to the full
+    content-identifying key — input-file inventory + config salt —
+    here, INSIDE the state helpers, so every caller (and the durable
+    cross-process adoption the key addresses) gets the ADVICE r12
+    fix without each call site re-spelling it."""
+    docs_key = docs_state_key(docs, docs_key)
     return _state_table(
         spark, "edge_state", docs_key, lambda: near_dup_edges(docs)
     )
@@ -424,7 +433,11 @@ def _label_state_for(spark, docs: DataFrame, docs_key: str) -> str:
         )
 
     return _state_table(
-        spark, "label_state", docs_key, build, bucket_by=["doc_id"]
+        spark,
+        "label_state",
+        docs_state_key(docs, docs_key),
+        build,
+        bucket_by=["doc_id"],
     )
 
 
@@ -451,7 +464,11 @@ def _old_label_state_for(spark, docs: DataFrame, docs_key: str) -> str:
         )
 
     return _state_table(
-        spark, "old_label_state", docs_key, build, bucket_by=["doc_id"]
+        spark,
+        "old_label_state",
+        docs_state_key(docs, docs_key),
+        build,
+        bucket_by=["doc_id"],
     )
 
 
