@@ -120,56 +120,15 @@ _DEFER_PAST_CAP = (
     # r4/r5 evidence deferred here since round 5 — rotate back
     # IN-window for re-certification, continuing the 8-per-round
     # sweep; see the r12 block at the end)
-    # round-6 addition dedup_minhash_bucketed (persisted bucketed-on-
-    # band index + shuffle-free incremental probe) enters;
-    # dedup_minhash_incr (r5-green) defers — it shares the SAME oracle
-    # definition (_minhash_incr_oracle), so the bucketed row checks
-    # the identical pair set through the new layout, and
-    # pipeline_clean_incr stays in-window covering the from-scratch
-    # incremental composition
-    "dedup_minhash_incr",
-    # round-6 addition profile_table_approx (HLL ndistinct, no Expand
-    # — rows-only driver check, estimates pinned vs exact in pytest)
-    # enters; len_histogram (r5-green) defers — the text-analysis
-    # family stays checked via lang_id, doc_repetition, lm_score and
-    # quality_topk, and profile_table keeps the hash-checked exact row
-    "len_histogram",
-    # round-6 addition excise_spans (span-level excision — Lee 2022's
-    # remove-the-passage variant of exact-substring dedup) enters;
-    # dup_spans (r5-green) defers — excise_spans computes the same
-    # duplicated-window detection as its first stage, and
-    # dup_span_frac keeps the per-doc drop rule hash-checked
-    "dup_spans",
-    # round-6 rework: dedup_survivors now routes through the shared
-    # near_dup_edges table, so it re-enters the window per the
-    # changed-operators rule (it was deferred in r5); inverted_index
-    # (r5-green, unchanged) defers — bm25_search composes the same
-    # index construction and stays hash-checked
-    "inverted_index",
-    # round-6 addition dedup_minhash_ingest_stream (continuous LSH
-    # ingest through foreachBatch: band-append + broadcast probe per
-    # micro-batch, full-pair oracle) enters; doc_repetition (r5-green,
-    # unchanged) defers — the text family stays checked via lang_id,
-    # lm_score, quality_topk and chunk_documents
-    "doc_repetition",
-    # round-6 additions temperature_mixture (sqrt-weighted per-source
-    # quotas + two-phase exact selection) and decontaminate_fuzzy
-    # (minhash train-vs-eval near-dup probe) enter; two r5-green
-    # unchanged siblings defer: simhash_pairs (sketch-dedup family
-    # stays checked via dedup_minhash_bucketed, the ingest stream and
-    # embedding_neardup) and kmv_ndistinct (approx-stats family stays
-    # checked via quantile_approx and profile_table)
-    "simhash_pairs",
+    # (the seven r6-era deferrals — dedup_minhash_incr, len_histogram,
+    # dup_spans, inverted_index, doc_repetition, simhash_pairs,
+    # semantic_search, r5 driver evidence, the oldest on record —
+    # re-entered IN-window in round 13's re-certification sweep; see
+    # the r13 block at the end)
     # (kmv_ndistinct deferred here r6-r9; back IN-window since r10 —
     # its min-k pipeline and estimator were refactored into the
     # shared _kmv_minima/_kmv_estimate_aggs helpers the merge row
     # also consumes)
-    # round-6 addition dedup_cc_incr (incremental label maintenance:
-    # merge_labels folds probe-emitted edges into existing component
-    # labels, oracle = from-scratch dedup_cc) enters; semantic_search
-    # (r5-green, unchanged) defers — the embedding family stays
-    # checked via embedding_neardup and semantic_dedup
-    "semantic_search",
     # ---- round 7 ----
     # r7 RE-CERTIFICATION sweep (VERDICT r6 item 6): driver evidence
     # ages as surrounding code moves, so the 8 OLDEST deferred rows
@@ -181,22 +140,11 @@ _DEFER_PAST_CAP = (
     # cycle: band-index probe -> merge_labels vs persisted label state
     # -> keep_best on touched components) that is 9 entries entering,
     # so 9 r5/r6-green unchanged siblings defer:
-    "set_intersect",       # → set_union re-enters (set-op family)
-    "agg_grouping_sets",   # → agg_rollup re-enters (grouping/Expand
-                           #   family; cube plan pinned in pytest)
-    "tpch_q3_like",        # → tpch_q1/q5/q14/q18 stay (composites)
-    "range_join",          # → join_asof_nearest + join_nonequi_filter
-                           #   (re-entering) stay (non-equi family)
-    "events_funnel",       # → events_window_stream + events_stream_join
-                           #   stay (events family)
-    "quantile_approx",     # → profile_table_approx (now oracle-twinned)
-                           #   + profile_table stay (approx-stats)
-    "lang_id",             # → lm_score, quality_topk, chunk_documents
-                           #   stay (text family)
-    "embedding_neardup",   # → semantic_dedup stays (embedding family)
-    "dedup_survivors",     # → ngram_jaccard, dedup_cc, dedup_keep_best,
-                           #   dedup_cc_incr stay (same shared edge
-                           #   machinery, all r7-touched and in-window)
+    # (the r7-era deferrals set_intersect, agg_grouping_sets,
+    # tpch_q3_like, range_join, events_funnel, quantile_approx,
+    # lang_id, embedding_neardup, dedup_survivors — r6 driver
+    # evidence — re-entered IN-window in round 13's sweep; see the
+    # r13 block at the end)
     # r7 addition dedup_labels_stream (continuous label maintenance
     # through foreachBatch: per-batch merge_labels + commit, oracle =
     # from-scratch minhash-CC labels) enters; dedup_exact_stream
@@ -206,38 +154,24 @@ _DEFER_PAST_CAP = (
     # dedup_minhash_ingest_stream and the new labels stream itself
     # (r9: dedup_exact_stream re-enters — it CHANGED this round,
     # drain_memory_sink migration; see the r9 block at the end)
-    # r7 addition bpe_pair_counts (tokenizer-induction kernel: adjacent
-    # char pairs weighted by word frequency off the vocab-sized word
-    # dict, deterministic top-k) enters; lm_score (r6-green, unchanged)
-    # defers — its _lm_scores machinery is composed and hash-checked
-    # inside quality_topk, which stays in-window
-    "lm_score",
+    # (lm_score deferred here r7-r12; back IN-window since r13's
+    # sweep — r6 evidence)
     # r7 additions doc_novelty (per-doc first-seen span fraction — the
     # memorization-exposure ordering of the span family),
     # cross_source_overlap (near-dup leakage matrix between sources
     # off the shared edge table) and dup_cluster_sizes (component-size
     # histogram off the persisted label state) enter; three r6-green
     # unchanged siblings defer:
-    "excise_spans",         # → dup_span_frac + doc_novelty stay
-                            #   (span family)
-    "temperature_mixture",  # → token_budget_mixture +
-                            #   stratified_sample stay (mixture/pack)
-    "decontaminate_fuzzy",  # → decontaminate + decontaminate_stream
-                            #   stay (decontamination family)
+    # (excise_spans, temperature_mixture, decontaminate_fuzzy — r6
+    # evidence — re-entered IN-window in round 13's sweep)
     # r7 additions events_gapfill (dense hourly spine + forward fill —
     # the time-series resample operator), fuzzy_join_names (blocked
     # Levenshtein similarity self-join — entity resolution) and
     # stats_moments (grouped variance/stddev/corr from exact integer
     # sufficient statistics) enter; three green unchanged siblings
     # defer:
-    "decontaminate",     # → decontaminate_stream stays (it executes
-                         #   the same eval-span semantics through the
-                         #   streaming engine vs the batch oracle)
-    "tpch_q14_like",     # → tpch_q1/q5/q18 stay (composite family;
-                         #   q14's conditional-agg core also lives in
-                         #   flagship's CASE-in-agg)
-    "chunk_documents",   # → pack_sequences (downstream consumer of
-                         #   chunk shapes) + quality_topk stay
+    # (decontaminate, tpch_q14_like, chunk_documents — r6 evidence —
+    # re-entered IN-window in round 13's sweep)
     # ---- round 8 ----
     # r8 RE-CERTIFICATION sweep (VERDICT r7 item 5): the 8 oldest
     # deferred rows (r3/r4 evidence) rotate back IN-window —
@@ -518,13 +452,11 @@ _DEFER_PAST_CAP = (
                             #   dedup-by-digest semantics also inside
                             #   bloom_dedup_precheck's verify,
                             #   in-window; re-certified r9, r10-green
-    "kmeans_train",         # → ann_ivf_trained stays (assignment over
-                            #   the SAME trained centroids) and four
-                            #   more in-window consumers of
-                            #   kmeans_centroids (both cell-join rows,
-                            #   both recall rows) exercise the
-                            #   training loop; r10-touched
-                            #   (persistence), green
+    # (kmeans_train re-entered IN-window in round 13: the trainer
+    # CHANGED — deterministic vec_id % KMEANS_TRAIN_MOD training
+    # sample, VERDICT r12 item 4 — so the changed-operators rule puts
+    # the training row itself back in the window alongside its seven
+    # in-window consumers)
     # (r11 late additions pii_redact / split_by_cluster /
     # tfidf_topterms enter the window; three r10-green unchanged
     # siblings defer:)
@@ -550,20 +482,10 @@ _DEFER_PAST_CAP = (
     # window; four r10-green unchanged core-relational siblings
     # defer, each pinned by plan tests independent of the driver
     # rotation:)
-    "topk",                 # → TakeOrderedAndProject pinned by
-                            #   test_plans.test_topk_is_take_ordered;
-                            #   two-phase top-k family in-window via
-                            #   quality_topk; r10-green.  (r12: stays
-                            #   deferred one more round — the core-op
-                            #   re-certs are STAGGERED per ADVICE r11:
-                            #   join_inner / filter_predicate /
-                            #   scan_projection re-enter this round,
-                            #   topk + distinct next)
-    "distinct",             # → agg-rewrite semantics in-window via
-                            #   agg_grouped; distinct-as-dedup via
-                            #   bloom_precheck_stream's verify tail;
-                            #   set-op family pinned in golden tests;
-                            #   r10-green (staggered with topk, above)
+    # (topk + distinct — the second half of the STAGGERED core-op
+    # re-certs, ADVICE r11 — re-entered IN-window in round 13 as
+    # owed; join_inner / filter_predicate / scan_projection took the
+    # first stagger in r12 and defer this round, see the r13 block)
     # (r11 deferred join_inner / filter_predicate / scan_projection
     # here; back IN-window since r12 — ADVICE r11 asked that the
     # core-op deferrals not all ride on plan pins at once, so three of
@@ -649,6 +571,130 @@ _DEFER_PAST_CAP = (
                             #   retention shape's window-over-events
                             #   core is exercised by it; re-certified
                             #   r11
+    # ---- round 13 ----
+    # TWENTY-EIGHT entries enter the window this round, the largest
+    # rotation so far (VERDICT r12 items 2+3: burn down evidence
+    # staleness — the floor moves from r5 to r7): the 7 r5-evidence
+    # rows (dedup_minhash_incr, len_histogram, dup_spans,
+    # inverted_index, doc_repetition, simhash_pairs, semantic_search),
+    # ALL 16 r6-evidence rows (set_intersect, agg_grouping_sets,
+    # tpch_q3_like, range_join, events_funnel, quantile_approx,
+    # lang_id, embedding_neardup, dedup_survivors, lm_score,
+    # excise_spans, temperature_mixture, decontaminate_fuzzy,
+    # decontaminate, tpch_q14_like, chunk_documents), the owed
+    # staggered core ops (topk + distinct — ADVICE r11's second
+    # stagger half), kmeans_train (CHANGED: sampled trainer), and the
+    # two r13 additions (ann_ivf_pq_knn_join — batch IVFADC + exact
+    # re-rank, VERDICT r12 item 5 — and its recall row
+    # knn_recall_ivf_pq).  Twenty-eight r12-hash-green siblings defer
+    # in exchange — the freshest evidence in the deferred set, the
+    # same trade every sweep since r9 has made — each with in-window
+    # family representatives:
+    "agg_cube",             # → agg_grouping_sets re-enters (the
+                            #   Expand/grouping family); cube plan
+                            #   shape pinned in test_plans; r12-green
+    "agg_grouped",          # → tpch_q1 stays and tpch_q3_like /
+                            #   tpch_q14_like / agg_grouping_sets
+                            #   re-enter (grouped-agg family);
+                            #   r12-green
+    "ann_lsh",              # → simhash_pairs + semantic_search
+                            #   re-enter and the IVF cell-join rows
+                            #   stay (bucketed/banded-cosine family);
+                            #   r12-green
+    "pq_encode",            # → ann_ivf_pq + ann_ivf_pq_rerank stay
+    "ann_pq",               #   and the NEW batch rows enter — the
+    "ann_pq_rerank",        #   same codebooks, ADC lookups and
+    "knn_recall_pq",        #   re-rank machinery, all hash-checked
+                            #   through the IVF-PQ compositions;
+                            #   all r12-green
+    "dedup_minhash_bucketed", # → dedup_minhash_incr re-enters with
+                            #   the SAME oracle definition
+                            #   (_minhash_incr_oracle) and
+                            #   dedup_minhash_ingest_stream stays
+                            #   (banded-LSH family); r12-green
+    "doc_novelty",          # → dup_spans + excise_spans re-enter
+                            #   (the SPAN_W window-hash family);
+                            #   r12-green
+    "profile_table_approx", # → quantile_approx re-enters
+                            #   (approx-stats family; the estimate
+                            #   validity bands are pinned in pytest);
+                            #   r12-green
+    "lm_score_bigram",      # → lm_score re-enters (the _lm_scores
+                            #   machinery) and vocab_drift stays (the
+                            #   same integer micro-nat convention);
+                            #   r12-green
+    "decontaminate_stream", # → decontaminate re-enters (same
+                            #   eval-span semantics, batch) and the
+                            #   streaming engine keeps six in-window
+                            #   reps; r12-green
+    "sample_mixture",       # → temperature_mixture re-enters
+                            #   (mixture quotas) and train_test_split
+                            #   stays (hash-split core); r12-green
+    "shuffle_shards",       # → temperature_mixture + chunk_documents
+                            #   re-enter and train_test_split stays
+                            #   (pack/mixture family; the same
+                            #   deterministic-hash assignment core);
+                            #   r12-green
+    "quality_score",        # → lang_id + len_histogram +
+                            #   doc_repetition re-enter (the quality
+                            #   components, text family); r12-green
+    "quality_topk",         # → topk re-enters (ordering) + lm_score
+                            #   re-enters (the LM leg of its score);
+                            #   two-phase exact top-k also in
+                            #   temperature_mixture, re-entering;
+                            #   r12-green
+    "ngram_jaccard",        # → dedup_text_auto stays — at driver
+                            #   density it routes to ppjoin, so the
+                            #   IDENTICAL near_dup_edges pair set
+                            #   (route literal included) stays
+                            #   hash-checked — and dedup_survivors
+                            #   re-enters (edge machinery); r12-green
+    "join_inner",           # → the first stagger half (r12) defers
+    "filter_predicate",     #   as topk + distinct take the second
+    "scan_projection",      #   (ADVICE r11); plan pins in test_plans
+                            #   (pushdown/pruning/TakeOrdered) and
+                            #   flagship + tpch_q1 stay as the
+                            #   hash-checked scan→filter→join→agg
+                            #   composition; all r12-green
+    "dedup_cc",             # → dedup_labels_stream stays (its oracle
+                            #   IS from-scratch minhash-CC labels, so
+                            #   CC semantics keep a hash-checked
+                            #   in-window row) and dedup_survivors
+                            #   re-enters (edge machinery); CC
+                            #   fixpoint property-tested
+                            #   (test_property star/chain graphs);
+                            #   r12-green
+    "dedup_cc_incr",        # → dedup_labels_stream stays (per-batch
+                            #   merge_labels against persisted state —
+                            #   the same maintenance machinery through
+                            #   the streaming engine); r12-green
+    "dedup_keep_best",      # → dedup_survivors re-enters (the greedy
+                            #   keep rule over the same edge table);
+                            #   struct-max argmax value-checked via
+                            #   knn_recall rows in-window; r12-green
+    "knn_join",             # → knn_join_stream stays (oracle shared
+                            #   verbatim with batch knn_join) and the
+                            #   exact leg INSIDE the three in-window
+                            #   recall rows recomputes knn_join's
+                            #   pair set every round; r12-green
+    "knn_join_twophase",    # → same oracle definition as knn_join
+                            #   (pinned); the tiled path's geometry is
+                            #   plan/property-tested; r12-green
+    "pipeline_incr_stateful", # → dedup_labels_stream +
+                            #   dedup_minhash_ingest_stream stay (the
+                            #   ingest cycle's probe/merge/commit
+                            #   pieces through the streaming engine);
+                            #   r12-green
+    "split_by_cluster",     # → train_test_split stays (the
+                            #   label-hash splitter core) and
+                            #   dedup_survivors re-enters
+                            #   (cluster-keyed selection); r12-green
+    "join_asof_fwd",        # → range_join re-enters (non-equi
+                            #   family) and events_funnel re-enters
+                            #   (ordered-per-key temporal family);
+                            #   the _asof_union machinery was
+                            #   re-certified r12 (freshest evidence
+                            #   in the deferred set); r12-green
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

@@ -18,6 +18,8 @@ casts — bit-identical across engines, so even raw doubles hash-match.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -453,6 +455,17 @@ def ann_ivf_kmeans_topk(
 
 KMEANS_CELLS = 8   # trained coarse cells (Lloyd's)
 KMEANS_ITERS = 3   # fixed iteration count — determinism over convergence
+#: deterministic coarse-trainer sample modulus (r13, VERDICT r12
+#: item 4 — the same dial PQ_TRAIN_MOD gave the codebook trainer in
+#: r12): the COARSE centroids train on the ``vec_id % mod == 0``
+#: subset, so the n_iters training scans touch 1/mod of the corpus —
+#: at 100 TB that is the difference between n_iters full-corpus
+#: passes and n_iters sample passes for a K-centroid model a sample
+#: trains equally well.  The APPLY passes (kmeans_train's assignment,
+#: every IVF consumer) still cover every vector.  Id-modulo, not a
+#: hash, for the same reason as PQ_TRAIN_MOD: the DuckDB oracle must
+#: evaluate the identical predicate.
+KMEANS_TRAIN_MOD = 4
 
 
 def _kmeans_update_frame(emb: DataFrame, C: "np.ndarray") -> DataFrame:
@@ -512,18 +525,51 @@ def _plan_shape_fingerprint(df: DataFrame) -> str:
     return hashlib.md5(plan_json.encode()).hexdigest()
 
 
+#: trajectory-convention version, folded into the persisted-state key:
+#: bump when the trainer's SEMANTICS move without a signature change
+#: (seed rule, rounding, tie-break, empty-cell coalesce) so a durable
+#: state dir can never hand a new process centroids trained under the
+#: old convention (ADVICE r12; r12's orderBy-seed change is the
+#: motivating example).
+_KMEANS_TRAJ_VER = "t2"
+
+
+def _file_inventory(files: list) -> str:
+    """File list widened with size+mtime per file (local paths; a
+    non-local URI contributes its name alone — a cluster deployment
+    would swap in FileSystem.listStatus): in-place rewrites of the
+    corpus change the key, so durable adoption rebuilds instead of
+    serving state trained on bytes that no longer exist."""
+    parts = []
+    for uri in files:
+        path = uri[5:] if uri.startswith("file:") else uri
+        try:
+            st = os.stat(path)
+            parts.append(f"{uri}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            parts.append(uri)
+    return "|".join(parts)
+
+
 def kmeans_centroids(
     emb: DataFrame,
     n_cells: int = KMEANS_CELLS,
     n_iters: int = KMEANS_ITERS,
+    train_mod: int | None = KMEANS_TRAIN_MOD,
 ) -> "np.ndarray":
     """Distributed KMeans TRAINING, DataFrame-native (the trained
     replacement for ``_ivf_centroids``'s first-K seed — VERDICT r8
     item 4): ``n_iters`` Lloyd's iterations, each one exchange.
 
+    Trains on the deterministic ``vec_id % train_mod == 0`` SAMPLE by
+    default (r13, VERDICT r12 item 4 — the dial ``PQ_TRAIN_MOD`` gave
+    the codebook trainer in r12): at 100 TB the n_iters training
+    scans touch 1/mod of the corpus; consumers' apply passes still
+    cover every vector.
+
     Deterministic end to end, so it carries an exact DuckDB twin (the
     same fixed iterations unrolled in CTEs): seeds are the first
-    ``n_cells`` vectors by vec_id (raw values, no RNG); assignment
+    ``n_cells`` TRAINING vectors by vec_id (raw values, no RNG); assignment
     argmax breaks ties toward the lower cell; new means round to 6
     decimals before feeding the next iteration; an EMPTY cell keeps
     its previous centroid (both sides coalesce).  Per iteration the
@@ -545,10 +591,24 @@ def kmeans_centroids(
     per-frame session cache alone."""
     from .dedup_core import _session_cached, _state_table
 
+    # training sample (r13, VERDICT r12 item 4): seeds AND every
+    # Lloyd's iteration run over the deterministic ``vec_id % mod``
+    # subset — the n_iters corpus scans become sample scans, the same
+    # trade the r12 PQ trainer made.  ``train_mod=None`` trains on
+    # the given frame unsampled (pq_codebooks passes this: its slice
+    # frames are ALREADY the sampled subset, and double-filtering
+    # would hide the sampling decision from the one place that owns
+    # it).  The oracle twin is ``_kmeans_cte_parts(train_mod=...)``,
+    # the predicate mirrored verbatim.
+    trainfrm = (
+        emb if train_mod is None
+        else emb.filter(F.col("vec_id") % train_mod == 0)
+    )
+
     def train():
-        C = _ivf_centroids(emb, n_cells)  # shared deterministic seed
+        C = _ivf_centroids(trainfrm, n_cells)  # shared deterministic seed
         for _ in range(n_iters):
-            updated = _kmeans_update_frame(emb, C).collect()
+            updated = _kmeans_update_frame(trainfrm, C).collect()
             C2 = C.copy()  # empty cells keep their previous centroid
             for r in updated:
                 C2[r.cell, r.dim] = r.centroid
@@ -564,8 +624,14 @@ def kmeans_centroids(
         # filtered/derived frame over the same parquet reports the
         # same inputFiles, and keying on files alone would let a
         # subset-trained matrix poison every later whole-corpus call
-        # (and vice versa)
+        # (and vice versa).  It must also identify the TRAINER: the
+        # sample modulus and the trajectory version ride in the key
+        # (ADVICE r12 — r12's seed change and r13's sampling change
+        # are both content changes a durable dir would otherwise
+        # adopt across), and the file inventory carries sizes+mtimes
+        # so in-place corpus rewrites rebuild instead of adopting.
         plan_fp = _plan_shape_fingerprint(emb)
+        inv = _file_inventory(files)
 
         def build_df():
             C = train()
@@ -580,8 +646,8 @@ def kmeans_centroids(
 
         table = _state_table(
             spark,
-            f"kmeans_{n_cells}x{n_iters}",
-            f"sh{plan_fp}|" + "|".join(files),
+            f"kmeans_{n_cells}x{n_iters}m{train_mod}",
+            f"sh{plan_fp}|{_KMEANS_TRAJ_VER}|m{train_mod}|{inv}",
             build_df,
         )
         rows = spark.table(table).collect()
@@ -592,7 +658,9 @@ def kmeans_centroids(
             C[r.cell, r.dim] = r.centroid
         return C
 
-    return _session_cached(f"state:kmeans:{n_cells}x{n_iters}", emb, load)
+    return _session_cached(
+        f"state:kmeans:{n_cells}x{n_iters}m{train_mod}", emb, load
+    )
 
 
 def kmeans_train(
@@ -721,8 +789,14 @@ def _kmeans_cte_parts(
     return ",\n        ".join(parts)
 
 
-def _kmeans_ctes(K: int = KMEANS_CELLS, iters: int = KMEANS_ITERS) -> str:
-    return "WITH " + _kmeans_cte_parts(K, iters)
+def _kmeans_ctes(
+    K: int = KMEANS_CELLS,
+    iters: int = KMEANS_ITERS,
+    train_mod: int | None = KMEANS_TRAIN_MOD,
+) -> str:
+    # the COARSE trainer's chain — sampled by default since r13,
+    # mirroring kmeans_centroids' default
+    return "WITH " + _kmeans_cte_parts(K, iters, train_mod=train_mod)
 
 
 def _kmeans_oracle(
@@ -831,7 +905,10 @@ def pq_codebooks(
                     "embedding", m * subdim + 1, subdim
                 ).alias("embedding"),
             )
-            books.append(kmeans_centroids(sub, k, iters))
+            # train_mod=None: `sub` IS already the sampled training
+            # set (filtered above) — the sampling decision stays here,
+            # where PQ's own modulus owns it
+            books.append(kmeans_centroids(sub, k, iters, train_mod=None))
         return books
 
     return (
@@ -2139,6 +2216,165 @@ def q_knn_recall_ivf_probe(t: dict) -> DataFrame:
     return knn_recall_ivf_probe(t["embeddings"])
 
 
+#: per-query ADC shortlist depth of the batch IVFADC join — the r
+#: raw vectors fetched per query by the exact re-rank tail
+KNN_PQ_RERANK = 10
+
+
+def _adc_lut_col(books: list, emb_col="embedding") -> Column:
+    """Per-ROW ADC lookup tables as a JVM column: ``array<array<
+    double>>`` with ``luts[m][c] = dot(row_subvector_m, codeword_c)``
+    — the batch generalization of ``_pq_luts`` (which computes the
+    same M×K scalars driver-side for ONE query vector).  Codebooks
+    enter as array literals and the dot is the shared ``_dots``
+    left-fold, so the values are bit-identical to the driver-side
+    LUTs and to the oracle's ``_sql_dot_n`` fold; computed once per
+    query row (M×K folds), after which every candidate costs M
+    ``element_at`` lookups — the ADC asymmetry, kept entirely inside
+    whole-stage codegen."""
+    luts = []
+    lo = 0
+    for C in books:
+        subdim = C.shape[1]
+        sub = F.slice(emb_col, lo + 1, subdim)
+        luts.append(
+            F.array(*[
+                _dots(sub, F.array(*[F.lit(float(x)) for x in C[c]]))
+                for c in range(C.shape[0])
+            ])
+        )
+        lo += subdim
+    return F.array(*luts)
+
+
+def ann_ivf_pq_knn_join(
+    emb: DataFrame,
+    k: int = KNN_K,
+    r: int = KNN_PQ_RERANK,
+) -> DataFrame:
+    """Batch IVFADC + exact re-rank — the 100 TB k-NN-everything
+    shape (VERDICT r12 item 5): every vector finds its k approximate
+    neighbors against a corpus whose RAW vectors never co-shuffle.
+    Composition: vectors meet candidates co-assigned to the same
+    trained coarse cell (banded, like ``ann_ivf_knn_join`` — never
+    all-pairs), each candidate is scored from its persisted PQ CODES
+    alone (M JVM-side lookups into the query row's LUT column — no
+    Python, no raw candidate vector), the per-query top-``r`` ADC
+    shortlist is then exactly re-ranked with the fold cosine and the
+    top-``k`` kept — Jégou 2011's IVFADC applied per corpus row
+    instead of per external query.
+
+    What shuffles: the query side carries (vec_id, cell, M×K-double
+    luts) and the candidate side (vec_id, cell, M-int codes) through
+    ONE cell-keyed join — both sides rows of O(M·K) scalars, never
+    dim-wide vectors; the re-rank fetches r raw vectors per query by
+    equi-join.  Per-query cost: (cell population) × M lookups +
+    r exact folds.  Recall vs the exact join is itself an
+    oracle-checked row (``knn_recall_ivf_pq``)."""
+    from pyspark.sql import Window
+
+    books, _ = pq_codebooks(emb)
+    coarse = kmeans_centroids(emb)
+    state = ivf_pq_state(emb, books, coarse)
+    assign = _cell_assign_udf(coarse)
+    q = emb.select(
+        "vec_id",
+        assign(F.col("embedding")).alias("cell"),
+        _adc_lut_col(books).alias("luts"),
+    )
+    cand = state.select(
+        F.col("vec_id").alias("nbr_id"), "cell", "codes"
+    )
+    score = None
+    for m in range(len(books)):
+        term = F.element_at(
+            F.element_at("luts", m + 1),
+            F.element_at("codes", m + 1) + F.lit(1),
+        )
+        score = term if score is None else score + term
+    pairs = (
+        q.join(cand, "cell")
+        .filter(F.col("vec_id") != F.col("nbr_id"))
+        .select("vec_id", "nbr_id", F.round(score, 6).alias("adc_score"))
+    )
+    w_adc = Window.partitionBy("vec_id").orderBy(
+        F.col("adc_score").desc(), F.col("nbr_id").asc()
+    )
+    shortlist = (
+        pairs.withColumn("rr", F.row_number().over(w_adc))
+        .filter(F.col("rr") <= r)
+        .select("vec_id", "nbr_id")
+    )
+    qv = emb.select("vec_id", F.col("embedding").alias("a_emb"))
+    nv = emb.select(
+        F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("b_emb")
+    )
+    rescored = (
+        shortlist.join(qv, "vec_id")
+        .join(nv, "nbr_id")
+        .select(
+            "vec_id",
+            "nbr_id",
+            cosine(F.col("a_emb"), F.col("b_emb")).alias("cos_sim"),
+        )
+    )
+    w_cos = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w_cos))
+        .filter(F.col("rank") <= k)
+        .select(
+            "vec_id",
+            "nbr_id",
+            "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def q_ann_ivf_pq_knn_join(t: dict) -> DataFrame:
+    return ann_ivf_pq_knn_join(t["embeddings"])
+
+
+def knn_recall_ivf_pq(
+    emb: DataFrame,
+    k: int = KNN_K,
+    r: int = KNN_PQ_RERANK,
+) -> DataFrame:
+    """RECALL@k of the batch IVFADC+re-rank join against the exact
+    k-NN — the eval metric that decides whether the compressed index
+    can serve the k-NN-everything workload.  Same shape/zero-guard
+    as ``knn_recall_ivf``; both sides deterministic, so the metric
+    itself is hash-checked."""
+    from .dedup_core import materialize
+
+    exact = materialize(knn_join(emb, k, mode="broadcast"))
+    approx = ann_ivf_pq_knn_join(emb, k, r)
+    hits = exact.join(
+        approx.select("vec_id", "nbr_id"), ["vec_id", "nbr_id"], "left_semi"
+    )
+    denom = exact.agg(
+        F.count_distinct("vec_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_exact_pairs"),
+    )
+    num = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    recall = F.when(
+        F.col("n_exact_pairs") > 0,
+        F.col("n_hits").cast("double") / F.col("n_exact_pairs"),
+    ).otherwise(F.lit(1.0))
+    return denom.crossJoin(num).select(
+        "n_queries",
+        "n_exact_pairs",
+        "n_hits",
+        recall.alias("recall_at_k"),
+    )
+
+
+def q_knn_recall_ivf_pq(t: dict) -> DataFrame:
+    return knn_recall_ivf_pq(t["embeddings"])
+
+
 def knn_label_spread(emb: DataFrame, k: int = KNN_K) -> DataFrame:
     """k-NN LABEL SPREAD — majority vote of each vector's k nearest
     neighbors vs its own label: the weak-supervision primitive (spread
@@ -2380,7 +2616,7 @@ def _ann_ivf_pq_oracle() -> str:
     PQ chains/LUTs/adc + the probe filter, one statement."""
     ki = KMEANS_ITERS
     return f"""
-        WITH {_kmeans_cte_parts(KMEANS_CELLS, KMEANS_ITERS)},
+        WITH {_kmeans_cte_parts(KMEANS_CELLS, KMEANS_ITERS, train_mod=KMEANS_TRAIN_MOD)},
         {_pq_adc_core()},
         probe AS (
             SELECT cell FROM s{ki} WHERE vec_id = 0
@@ -2400,7 +2636,7 @@ def _ann_ivf_pq_rerank_oracle() -> str:
     — the full IVFADC+re-rank composition under one oracle."""
     ki = KMEANS_ITERS
     return f"""
-        WITH {_kmeans_cte_parts(KMEANS_CELLS, KMEANS_ITERS)},
+        WITH {_kmeans_cte_parts(KMEANS_CELLS, KMEANS_ITERS, train_mod=KMEANS_TRAIN_MOD)},
         {_pq_adc_core()},
         probe AS (
             SELECT cell FROM s{ki} WHERE vec_id = 0
@@ -2462,6 +2698,100 @@ def _knn_recall_pq_oracle() -> str:
     """
 
 
+def _ivf_pq_knn_cte_parts(r: int = KNN_PQ_RERANK, k: int = KNN_K) -> str:
+    """CTE tail of the BATCH IVFADC join: per-query LUTs (qsub/qlut),
+    cell-banded ADC pairs off the PQ codes (adcp — coarse final
+    assignment for banding, per-subspace code joined to the query's
+    LUT row, parts summed in subspace order and 6dp-rounded like the
+    kernel), the per-query top-``r`` shortlist, exact-cosine re-rank
+    and final rank — ends with ``pqranked``."""
+    ki, it = KMEANS_ITERS, PQ_ITERS
+    qsub_cols = ", ".join(
+        f"list_slice(embedding, {m * _PQ_SUBDIM + 1}, "
+        f"{(m + 1) * _PQ_SUBDIM}) AS q{m}"
+        for m in range(PQ_M)
+    )
+    qluts = ",\n        ".join(
+        f"qlut{m} AS (SELECT q.vec_id AS qid, c.cell AS code, "
+        f"{_sql_dot_n(f'q.q{m}', 'c.c_emb', _PQ_SUBDIM)} AS part "
+        f"FROM qsub q CROSS JOIN p{m}c{it} c)"
+        for m in range(PQ_M)
+    )
+    code_joins = " ".join(
+        f"JOIN p{m}a{it} pa{m} ON pa{m}.vec_id = cb.vec_id "
+        f"JOIN qlut{m} l{m} ON l{m}.qid = qa.vec_id "
+        f"AND l{m}.code = pa{m}.cell"
+        for m in range(PQ_M)
+    )
+    score = " + ".join(f"l{m}.part" for m in range(PQ_M))
+    return f"""qsub AS (SELECT vec_id, {qsub_cols} FROM embeddings),
+        {qluts},
+        asn AS (SELECT vec_id, cell FROM a{ki}),
+        adcp AS (
+            SELECT qa.vec_id AS vec_id, cb.vec_id AS nbr_id,
+                   ROUND({score}, 6) AS adc_score
+            FROM asn qa
+            JOIN asn cb ON cb.cell = qa.cell AND cb.vec_id <> qa.vec_id
+            {code_joins}
+        ),
+        pqshort AS (
+            SELECT vec_id, nbr_id FROM (
+                SELECT vec_id, nbr_id, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id
+                    ORDER BY adc_score DESC, nbr_id ASC
+                ) AS rr FROM adcp
+            ) t WHERE rr <= {r}
+        ),
+        pqrer AS (
+            SELECT s.vec_id, s.nbr_id,
+                   {_sql_cos("a.embedding", "b.embedding")} AS cos_sim
+            FROM pqshort s
+            JOIN embeddings a ON a.vec_id = s.vec_id
+            JOIN embeddings b ON b.vec_id = s.nbr_id
+        ),
+        pqranked AS (
+            SELECT vec_id, nbr_id, cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY cos_sim DESC, nbr_id ASC
+                   ) AS rank
+            FROM pqrer
+        )"""
+
+
+def _ann_ivf_pq_knn_join_oracle() -> str:
+    return f"""
+        {_kmeans_ctes()},
+        {_pq_all_chains()},
+        {_ivf_pq_knn_cte_parts()}
+        SELECT vec_id, nbr_id, cos_sim, rank
+        FROM pqranked WHERE rank <= {KNN_K}
+    """
+
+
+def _knn_recall_ivf_pq_oracle() -> str:
+    return f"""
+        {_kmeans_ctes()},
+        {_pq_all_chains()},
+        {_KNN_RANKED_CTES},
+        {_ivf_pq_knn_cte_parts()},
+        ex AS (
+            SELECT vec_id, nbr_id FROM ranked WHERE rank <= {KNN_K}
+        ),
+        pqapx AS (
+            SELECT vec_id, nbr_id FROM pqranked WHERE rank <= {KNN_K}
+        ),
+        hits AS (SELECT 1 FROM ex JOIN pqapx USING (vec_id, nbr_id))
+        SELECT (SELECT COUNT(DISTINCT vec_id) FROM ex)::BIGINT AS n_queries,
+               (SELECT COUNT(*) FROM ex)::BIGINT AS n_exact_pairs,
+               (SELECT COUNT(*) FROM hits)::BIGINT AS n_hits,
+               CASE WHEN (SELECT COUNT(*) FROM ex) > 0
+                    THEN (SELECT COUNT(*) FROM hits)::DOUBLE
+                         / (SELECT COUNT(*) FROM ex)
+                    ELSE 1.0 END AS recall_at_k
+    """
+
+
 ORACLE: dict[str, str] = {
     "ann_ivf": _IVF_ORACLE,
     "pq_encode": _pq_encode_oracle(),
@@ -2470,6 +2800,10 @@ ORACLE: dict[str, str] = {
     "ann_ivf_pq": _ann_ivf_pq_oracle(),
     "ann_ivf_pq_rerank": _ann_ivf_pq_rerank_oracle(),
     "knn_recall_pq": _knn_recall_pq_oracle(),
+    # r13: batch IVFADC + exact re-rank (every vector × compressed
+    # index) and its recall-vs-exact eval row
+    "ann_ivf_pq_knn_join": _ann_ivf_pq_knn_join_oracle(),
+    "knn_recall_ivf_pq": _knn_recall_ivf_pq_oracle(),
     "ann_brute": f"""
         SELECT b.vec_id AS vec_id, {_SQL_COS} AS cos_sim
         FROM (SELECT embedding AS a_emb FROM embeddings WHERE vec_id = 0) q,
@@ -2805,4 +3139,7 @@ QUERIES = {
     # r12: the complete IVFADC + exact re-rank composition
     "ann_ivf_pq_rerank": q_ann_ivf_pq_rerank,
     "knn_recall_pq": q_knn_recall_pq,
+    # r13: the batch shape — every vector × compressed index
+    "ann_ivf_pq_knn_join": q_ann_ivf_pq_knn_join,
+    "knn_recall_ivf_pq": q_knn_recall_ivf_pq,
 }

@@ -29,84 +29,135 @@ def test_head_is_exactly_driver_cap():
 def test_rotation_keeps_new_and_changed_operators_in_window():
     # standing rule (VERDICT r3/r4): every operator added or changed
     # this round must sit inside the driver's 50-entry checked window
-    # the round it changes.  Round 12: ONE addition (the probe-routed
-    # dedup_text_auto), the changed entries (the whole PQ family —
-    # sampled trainer; the dedup_cc state family — observed-metric
-    # convergence + durable-state adoption path; the kmeans seed
-    # change's in-window consumers), the sixth re-certification sweep
-    # (the 8 oldest deferred rows — deferred since round 5), and
-    # three of the five r11-deferred core relational ops (staggered
-    # per ADVICE r11; topk/distinct follow next round).
+    # the round it changes.  Round 13: TWO additions (the batch
+    # IVFADC join and its recall row), the changed entries (the coarse
+    # KMeans trainer now samples — kmeans_train itself plus its seven
+    # in-window consumers), the seventh re-certification sweep — the
+    # largest on record (ALL r5- and r6-evidence rows, 23 of them,
+    # per VERDICT r12 items 2+3) — and the owed second half of the
+    # staggered core-op re-certs (topk + distinct, ADVICE r11).
     must_be_checked = {
-        # r12 additions
-        "dedup_text_auto",         # probe-routed exact-vs-LSH text
-                                   # dedup; the route literal makes
-                                   # the decision hash-checked
-        "ann_ivf_pq_rerank",       # the complete IVFADC + exact
-                                   # re-rank retrieval stack
-        # r12 changes: the PQ family trains on the deterministic
-        # vec_id % PQ_TRAIN_MOD sample (oracle CTEs mirror the
-        # predicate); kmeans seeds are orderBy+limit now
-        "pq_encode",
-        "ann_pq",
-        "ann_pq_rerank",
-        "ann_ivf_pq",
-        "knn_recall_pq",
-        # r12 changes: kmeans_centroids seed path consumers (the
-        # deferred kmeans_train/ann_ivf rows ride on these six
-        # in-window consumers of the identical trained matrix)
+        # r13 additions
+        "ann_ivf_pq_knn_join",     # batch IVFADC + exact re-rank:
+                                   # every vector × compressed index
+        "knn_recall_ivf_pq",       # its recall-vs-exact eval row
+        # r13 change: the coarse trainer samples (KMEANS_TRAIN_MOD);
+        # the training row and every in-window consumer of the
+        # trained matrix hash-check the new trajectory end to end
+        "kmeans_train",
         "ann_ivf_trained",
         "ann_ivf_knn_join",
         "ann_ivf_knn_join_probe",
         "knn_recall_ivf",
         "knn_recall_ivf_probe",
-        # r12 changes: CC loop convergence folded into the round's own
-        # job (observed metrics) + durable-state adoption in
-        # _state_table — the whole persisted-state family stays in
-        "dedup_cc",
-        "dedup_cc_incr",
-        "dedup_keep_best",
-        "dedup_labels_stream",
-        "pipeline_incr_stateful",
-        "split_by_cluster",
-        "dedup_minhash_bucketed",
-        "dedup_minhash_ingest_stream",
-        # r12 re-certifications (oldest deferred rows, r4/r5 evidence,
-        # deferred since round 5)
-        "shuffle_shards",
-        "train_test_split",
-        "events_session_window",
-        "sample_mixture",
-        "join_asof_fwd",
-        "ann_lsh",
-        "window_running_sum",
-        "quality_score",
-        # r12 core-op re-certs (staggered; ADVICE r11)
-        "join_inner",
-        "filter_predicate",
-        "scan_projection",
+        "ann_ivf_pq",
+        "ann_ivf_pq_rerank",
+        # r13 re-certifications: the seven r5-evidence rows (the
+        # oldest on record, deferred since round 6)
+        "dedup_minhash_incr",
+        "len_histogram",
+        "dup_spans",
+        "inverted_index",
+        "doc_repetition",
+        "simhash_pairs",
+        "semantic_search",
+        # r13 re-certifications: ALL sixteen r6-evidence rows
+        "set_intersect",
+        "agg_grouping_sets",
+        "tpch_q3_like",
+        "range_join",
+        "events_funnel",
+        "quantile_approx",
+        "lang_id",
+        "embedding_neardup",
+        "dedup_survivors",
+        "lm_score",
+        "excise_spans",
+        "temperature_mixture",
+        "decontaminate_fuzzy",
+        "decontaminate",
+        "tpch_q14_like",
+        "chunk_documents",
+        # r13 core-op re-certs (the owed stagger half; ADVICE r11)
+        "topk",
+        "distinct",
         # earlier rows that keep their green (family reps documented
         # at their _DEFER_PAST_CAP entries)
-        "lm_score_bigram",
-        "vocab_drift",
-        "knn_join",
-        "knn_join_twophase",
-        "agg_cube",
-        "doc_novelty",
-        "knn_join_stream",
+        "flagship",
+        "tpch_q1",
+        "vocab_drift",   # tfidf_topterms' deferral rep
         "bm25_search",   # stays in-window: the hybrid row consumes
                          # RANKS only; score values need their own row
-        "profile_table_approx",
-        "decontaminate_stream",
-        "quality_topk",
-        "bpe_encode_checked",
-        "ngram_jaccard",
-        "multimodal_meta",   # only in-window multimodal row
+        "window_running_sum",   # only in-window window-function row
+        "dedup_text_auto",      # ngram_jaccard's deferral rep (routes
+                                # to ppjoin at driver density)
+        "train_test_split",     # hash-split core rep
+        "bpe_encode_checked",   # only in-window tokenizer row
+        "multimodal_meta",      # only in-window multimodal row
+        "events_session_window",
+        "dedup_minhash_ingest_stream",
+        "dedup_labels_stream",  # CC-semantics rep (from-scratch-CC
+                                # oracle) for the deferred state rows
+        "knn_join_stream",      # batch knn_join's oracle, verbatim
         "cms_stream_heavy_hitters",
         "bloom_precheck_stream",
     }
     head = set(list(entry_mod.queries())[: entry_mod._DRIVER_CAP])
     assert must_be_checked <= head
+
+
+def test_deferred_evidence_staleness_bounded():
+    """VERDICT r12 item 3: the rotation scheme's weak point is
+    evidence AGE — a row deferred for many rounds rests on a stale
+    driver-green record while the code around it moves.  This guard
+    computes every query's last driver-green round from the checked-in
+    ``CORRECTNESS_r*.json`` artifacts and fails when any row sitting
+    OUTSIDE the upcoming round's window would be more than ``MAX_AGE``
+    rounds behind it — forcing the sweep budget to keep pace instead
+    of silently slipping.  In-window rows count as current (the
+    driver certifies them this round); a deferred row with NO green
+    record at all is a rotation bug (new/changed entries must enter
+    in-window the round they appear)."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo_root = os.path.dirname(os.path.abspath(entry_mod.__file__))
+    last: dict[str, int] = {}
+    rounds: list[int] = []
+    for f in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
+        r = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        rounds.append(r)
+        for k, v in json.load(open(f)).items():
+            if (
+                v.get("rows_match")
+                and v.get("schema_match")
+                and not v.get("err")
+            ):
+                last[k] = max(last.get(k, 0), r)
+    if not rounds:
+        pytest.skip("no driver correctness artifacts checked in")
+    upcoming = max(rounds) + 1
+    MAX_AGE = 6
+    names = list(entry_mod.queries())
+    head = set(names[: entry_mod._DRIVER_CAP])
+    deferred = [k for k in names if k not in head]
+    never_checked = {k for k in deferred if k not in last}
+    assert not never_checked, (
+        f"deferred rows with no driver-green record: {never_checked} — "
+        "new/changed entries must rotate IN-window the round they appear"
+    )
+    stale = {
+        k: last[k]
+        for k in deferred
+        if upcoming - last[k] > MAX_AGE
+    }
+    assert not stale, (
+        f"deferred rows whose driver evidence is >{MAX_AGE} rounds "
+        f"behind round {upcoming}: {stale} — rotate them into the "
+        "window (raise the sweep budget) before adding new entries"
+    )
 
 
 def test_ordered_asserts_on_wrong_head_size():

@@ -1277,6 +1277,124 @@ def test_text_dedup_routing_both_densities(spark, tables):
     assert {(r.doc_a, r.doc_b) for r in rows} == want and want
 
 
+def test_ann_ivf_pq_knn_join_semantics(tables):
+    # the batch IVFADC join (r13): pairs only within a shared coarse
+    # cell, dense per-query ranks, and — the re-rank contract — with
+    # the ADC shortlist widened past every cell population the result
+    # EQUALS the exact within-cell join (ADC ordering stops mattering
+    # once nothing is cut before the exact re-rank)
+    import collections
+
+    from simple_rust_query_engine_spark.pipeline.similarity import (
+        ann_ivf_knn_join,
+        ann_ivf_pq_knn_join,
+        kmeans_train,
+    )
+
+    emb = tables["embeddings"]
+    out = ann_ivf_pq_knn_join(emb).collect()
+    assert out
+    cells = {r.vec_id: r.cell for r in kmeans_train(emb).collect()}
+    by_q = collections.defaultdict(list)
+    for r in out:
+        assert cells[r.vec_id] == cells[r.nbr_id]
+        by_q[r.vec_id].append(r.rank)
+    assert all(
+        sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values()
+    )
+    widened = ann_ivf_pq_knn_join(emb, r=1_000_000)
+    exact_cell = ann_ivf_knn_join(emb)
+    assert widened.exceptAll(exact_cell).count() == 0
+    assert exact_cell.exceptAll(widened).count() == 0
+
+
+def test_docs_state_key_tracks_inventory_and_config(spark, tmp_path):
+    # ADVICE r12 (medium): the durable state key must change when the
+    # corpus files change IN PLACE (same path) or when the dedup
+    # constants move — a bare abspath key let a second process adopt
+    # stale tables after either change
+    import time as _time
+
+    from simple_rust_query_engine_spark.pipeline.dedup_core import (
+        dedup_config_salt,
+        docs_state_key,
+    )
+
+    p = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(0, "a b c"), (1, "d e f")], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    docs = spark.read.parquet(p)
+    key1 = docs_state_key(docs, p)
+    assert dedup_config_salt() in key1
+    # in-place rewrite: same path, different bytes/mtime → new key
+    _time.sleep(0.01)
+    spark.createDataFrame(
+        [(0, "a b c"), (1, "d e f"), (2, "g h i")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    key2 = docs_state_key(spark.read.parquet(p), p)
+    assert key1 != key2
+    # deterministic across calls on an unchanged corpus (the property
+    # cross-process adoption depends on)
+    assert key2 == docs_state_key(spark.read.parquet(p), p)
+
+
+def test_band_index_stays_per_process_under_durable_dir(
+    spark, tables, tmp_path, monkeypatch
+):
+    # ADVICE r12 (low): the band index is per-process MUTABLE ingest
+    # state — with SPARK_GRAFT_STATE_DIR set it must keep writing into
+    # the per-process dir, not the shared durable one where two
+    # processes at the same content-addressed path would overwrite
+    # each other's live files
+    import os as _os
+
+    from simple_rust_query_engine_spark.pipeline.dedup_core import (
+        _process_state_dir,
+    )
+    from simple_rust_query_engine_spark.pipeline.dedup_sketch import (
+        _band_index_for,
+    )
+
+    durable = str(tmp_path / "durable")
+    monkeypatch.setenv("SPARK_GRAFT_STATE_DIR", durable)
+    table = _band_index_for(
+        spark, tables["documents"], "band-durable-probe-key"
+    )
+    try:
+        assert not any(
+            name.startswith("band_idx_")
+            for name in (_os.listdir(durable) if _os.path.isdir(durable) else [])
+        )
+        assert any(
+            name == table for name in _os.listdir(_process_state_dir())
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_drop_shingle_arrs_releases_the_cached_barrier(tables):
+    # ADVICE r12 (low): the supported drop helper owns the cache key
+    # spelling — popping must release exactly this anchor's entry and
+    # report whether anything was dropped
+    from simple_rust_query_engine_spark.pipeline.dedup_core import (
+        _STATE_CACHE,
+    )
+    from simple_rust_query_engine_spark.pipeline.dedup_sketch import (
+        _ARRS_TAG,
+        _shingle_arrs,
+        drop_shingle_arrs,
+    )
+
+    docs = tables["documents"]
+    _shingle_arrs(docs)
+    assert (_ARRS_TAG, id(docs)) in _STATE_CACHE
+    assert drop_shingle_arrs(docs) is True
+    assert (_ARRS_TAG, id(docs)) not in _STATE_CACHE
+    assert drop_shingle_arrs(docs) is False
+
+
 def test_durable_state_adopted_across_processes(tmp_path):
     # VERDICT r11 item 4: with SPARK_GRAFT_STATE_DIR pointed at a
     # durable path, a SECOND driver process must adopt the first's
