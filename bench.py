@@ -221,7 +221,82 @@ EXTRA_QUERIES = [
     # persisted cell-partitioned index ann_ivf_pq built above — order
     # matters; steady prices pruned code scan + r raw-vector folds)
     "ann_ivf_pq_rerank",
+    # r13: batch IVFADC — every vector × compressed index, scored
+    # from codes via per-row JVM LUTs, exact re-rank of r per query —
+    # and its recall-vs-exact row (the eval a deployment tracks)
+    "ann_ivf_pq_knn_join",
+    "knn_recall_ivf_pq",
 ]
+
+#: state-family queries timed under the ADOPTED column (r13, VERDICT
+#: r12 item 6): cold-in-a-fresh-PROCESS with SPARK_GRAFT_STATE_DIR
+#: pre-warmed by a prior process — the 100 TB "ingest cycle adopts
+#: yesterday's state instead of rebuilding it" number, measured in
+#: the checked-in artifact instead of only in AB logs.  The band
+#: index is deliberately absent: it is per-process mutable state and
+#: never adopts (dedup_sketch._band_index_for).
+ADOPTED_QUERIES = [
+    "dedup_cc",
+    "split_by_cluster",
+    "kmeans_train",
+    "ann_ivf_pq",
+    "ann_ivf_pq_rerank",
+]
+
+_ADOPTED_SCRIPT = """
+import json, sys, time
+sys.path.insert(0, {root!r})
+import __spark_entry__ as m
+from simple_rust_query_engine_spark.session import get_spark, release_barriers
+from simple_rust_query_engine_spark.pipeline import dedup_core
+spark = get_spark("srqe-bench-adopted")
+qs = m.queries()
+out = {{}}
+for name in {names!r}:
+    release_barriers(spark)
+    t0 = time.perf_counter()
+    qs[name](spark, {sf!r}).count()
+    out[name] = round(time.perf_counter() - t0, 4)
+print("ADOPTED=" + json.dumps(
+    {{"queries": out,
+      "events": sorted(set(k for k, _ in dedup_core.STATE_TABLE_EVENTS))}}
+))
+"""
+
+
+def run_adopted(names: list[str]) -> dict:
+    """Time ``names`` cold-in-a-fresh-process against a durable state
+    dir a PRIOR process populated: phase A builds (untimed — the main
+    run's cold column already prices fresh builds), phase B is a new
+    interpreter + new JVM that ADOPTS every state table and pays only
+    query execution — the per-cycle cost of a production ingest
+    pipeline restarting against yesterday's warehouse.  Failures
+    degrade to an ``error`` field; the bench always emits its line."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    state_dir = tempfile.mkdtemp(prefix="srqe_bench_state_")
+    script = _ADOPTED_SCRIPT.format(root=root, names=names, sf=SF_DIR)
+    env = dict(os.environ, SPARK_GRAFT_STATE_DIR=state_dir)
+    try:
+        subprocess.run(
+            [sys.executable, "-c", script], env=env, capture_output=True,
+            text=True, timeout=2400, check=True, cwd=root,
+        )
+        out = subprocess.run(
+            [sys.executable, "-c", script], env=env, capture_output=True,
+            text=True, timeout=2400, check=True, cwd=root,
+        ).stdout
+        line = [ln for ln in out.splitlines() if ln.startswith("ADOPTED=")][0]
+        payload = json.loads(line[8:])
+        payload["total"] = round(sum(payload["queries"].values()), 4)
+        return payload
+    except Exception as exc:
+        return {"error": f"{type(exc).__name__}: {exc}"[:500]}
+    finally:
+        shutil.rmtree(state_dir, True)
 
 
 #: host-speed anchor for the canary loop below, from the healthy
@@ -423,6 +498,10 @@ def main() -> None:
 
     cold, steady = run_set(BENCH_QUERIES)
     extra_cold, extra_steady = run_set(EXTRA_QUERIES)
+    # the ADOPTED column runs in subprocesses (fresh interpreter +
+    # JVM per phase) — after the in-process sets so its JVMs don't
+    # contend with the timed passes above
+    adopted = run_adopted(ADOPTED_QUERIES)
     par_post = _parallel_canary(spark)
     canary_post = _canary_sec()
     par_ok = (
@@ -443,6 +522,11 @@ def main() -> None:
         "extra_queries": extra_cold,
         "extra_steady_total": round(sum(extra_steady.values()), 4),
         "extra_steady_queries": extra_steady,
+        # cold-in-a-fresh-process WITH durable-state adoption (r13,
+        # VERDICT r12 item 6): what an ingest cycle pays when it
+        # restarts against yesterday's state dir, vs the cold column's
+        # full rebuild — the cold/adopted/steady triple in one artifact
+        "adopted": adopted,
         # host-speed canary bracketing the run (pre/post); min is the
         # window's best-case CPU speed — normalize cross-round compares
         # by value/canary_sec, not raw seconds
@@ -490,6 +574,12 @@ def main() -> None:
         "extra_steady_total": full["extra_steady_total"],
         "canary_sec": full["canary_sec"],
         "canary_ok": full["canary_ok"],
+        # the cold/adopted/steady triple's middle column (r13): the
+        # same state-family queries cold-in-a-fresh-process that
+        # ADOPTED a prior process's durable state dir (full per-query
+        # detail + adoption audit in BENCH_LOCAL.json)
+        "adopted_total": adopted.get("total"),
+        "adopted_queries": adopted.get("queries"),
         "par_ratio": max(par_pre["ratio"], par_post["ratio"]),
         "sf": sf_val,
         "git_sha": full["git_sha"],
@@ -507,6 +597,8 @@ def main() -> None:
         )
     if errors:
         compact["error_count"] = len(errors)
+    if "error" in adopted:
+        compact["adopted_error"] = adopted["error"][:120]
     line = json.dumps(compact)
     if len(line) >= 1900:
         # degrade rather than die: a run that already paid for every
