@@ -549,15 +549,23 @@ def test_cms_merge_linearity_on_any_source_layout(spark, docs):
     assert merged == single
 
 
-def _py_kmeans_assign(rows, n_cells, n_iters):
+def _py_kmeans_assign(rows, n_cells, n_iters, train_mod=None):
     """Pure-Python Lloyd's with the EXACT determinism rules of
-    kmeans_centroids/kmeans_train: first-K seed by vec_id, cosine
-    argmax with per-dim left-fold arithmetic, ties toward the lower
-    cell, means rounded to 6dp, empty cells keep their centroid."""
+    kmeans_centroids/kmeans_train: seeds are the first K TRAINING
+    vectors by vec_id, cosine argmax with per-dim left-fold
+    arithmetic, ties toward the lower cell, means rounded to 6dp,
+    empty cells keep their centroid.  ``train_mod`` mirrors the r13
+    sampled trainer: seeds and every training iteration see only the
+    ``vec_id % train_mod == 0`` subset; the returned assignment (the
+    apply-model pass) covers every row."""
     import math
 
     rows = sorted(rows)
-    C = [list(map(float, e)) for vid, e in rows if vid < n_cells]
+    train = (
+        rows if train_mod is None
+        else [(v, e) for v, e in rows if v % train_mod == 0]
+    )
+    C = [list(map(float, e)) for vid, e in train[:n_cells]]
     dim = len(rows[0][1])
 
     def cos(v, c):
@@ -568,9 +576,9 @@ def _py_kmeans_assign(rows, n_cells, n_iters):
             cn += c[d] * c[d]
         return dot / math.sqrt(vn) / math.sqrt(cn)
 
-    def assign():
+    def assign(over):
         out = {}
-        for vid, e in rows:
+        for vid, e in over:
             best, best_c = None, None
             for ci, c in enumerate(C):
                 cs = cos([float(x) for x in e], c)
@@ -580,15 +588,15 @@ def _py_kmeans_assign(rows, n_cells, n_iters):
         return out
 
     for _ in range(n_iters):
-        a = assign()
+        a = assign(train)
         for ci in range(len(C)):
-            members = [e for vid, e in rows if a[vid] == ci]
+            members = [e for vid, e in train if a[vid] == ci]
             if members:
                 C[ci] = [
                     round(sum(float(e[d]) for e in members) / len(members), 6)
                     for d in range(dim)
                 ]
-    return assign()
+    return assign(rows)
 
 
 @settings(max_examples=6, deadline=None,
@@ -597,7 +605,10 @@ def _py_kmeans_assign(rows, n_cells, n_iters):
 def test_kmeans_train_matches_python_reference(spark, n, seed):
     import numpy as np
 
-    from simple_rust_query_engine_spark.pipeline.similarity import kmeans_train
+    from simple_rust_query_engine_spark.pipeline.similarity import (
+        KMEANS_TRAIN_MOD,
+        kmeans_train,
+    )
 
     rng = np.random.RandomState(seed)
     # integer-valued components (first pinned nonzero): partial-sum
@@ -611,8 +622,28 @@ def test_kmeans_train_matches_python_reference(spark, n, seed):
     got = {
         r.vec_id: r.cell for r in kmeans_train(emb, n_cells=3, n_iters=2).collect()
     }
-    want = _py_kmeans_assign([(i, e) for i, e in rows], 3, 2)
+    # the reference mirrors the default sampled trainer (r13)
+    want = _py_kmeans_assign(
+        [(i, e) for i, e in rows], 3, 2, train_mod=KMEANS_TRAIN_MOD
+    )
     assert got == want
+    # the unsampled path (train_mod=None — what the PQ codebook route
+    # passes) still matches the full-corpus reference
+    from simple_rust_query_engine_spark.pipeline.similarity import (
+        _cell_assign_udf,
+        kmeans_centroids,
+    )
+
+    C_full = kmeans_centroids(emb, 3, 2, train_mod=None)
+    got_full = {
+        r.vec_id: r.cell
+        for r in emb.select(
+            "vec_id", _cell_assign_udf(C_full)(F.col("embedding")).alias("cell")
+        ).collect()
+    }
+    assert got_full == _py_kmeans_assign(
+        [(i, e) for i, e in rows], 3, 2, train_mod=None
+    )
 
 
 _BLOOM_DOCS = st.lists(
