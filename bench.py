@@ -497,6 +497,11 @@ def main() -> None:
         return cold, steady
 
     cold, steady = run_set(BENCH_QUERIES)
+    # mid-run probe (r13, VERDICT r12 item 1): BENCH_R12_FINAL2 passed
+    # both BRACKETING probes yet absorbed a contention wave mid-run —
+    # a probe between the query groups catches a window that degrades
+    # after the run starts, instead of silently recording it
+    par_mid = _parallel_canary(spark)
     extra_cold, extra_steady = run_set(EXTRA_QUERIES)
     # the ADOPTED column runs in subprocesses (fresh interpreter +
     # JVM per phase) — after the in-process sets so its JVMs don't
@@ -506,6 +511,7 @@ def main() -> None:
     canary_post = _canary_sec()
     par_ok = (
         par_pre["ratio"] <= PAR_CANARY_MAX_RATIO
+        and par_mid["ratio"] <= PAR_CANARY_MAX_RATIO
         and par_post["ratio"] <= PAR_CANARY_MAX_RATIO
     )
 
@@ -537,6 +543,7 @@ def main() -> None:
         # r11 item 2): N equal tasks vs one — catches windows degraded
         # only under concurrency, which the single-thread probe passes
         "par_canary_pre": par_pre,
+        "par_canary_mid": par_mid,
         "par_canary_post": par_post,
         "par_canary_max_ratio": PAR_CANARY_MAX_RATIO,
         "par_canary_ok": par_ok,
@@ -580,7 +587,9 @@ def main() -> None:
         # detail + adoption audit in BENCH_LOCAL.json)
         "adopted_total": adopted.get("total"),
         "adopted_queries": adopted.get("queries"),
-        "par_ratio": max(par_pre["ratio"], par_post["ratio"]),
+        "par_ratio": max(
+            par_pre["ratio"], par_mid["ratio"], par_post["ratio"]
+        ),
         "sf": sf_val,
         "git_sha": full["git_sha"],
         "git_dirty": full["git_dirty"],
@@ -590,7 +599,8 @@ def main() -> None:
             f"# WARNING: off-anchor host window (canary pre={canary_pre:.3f}s "
             f"post={canary_post:.3f}s vs anchor {CANARY_ANCHOR_SEC}s "
             f"±{CANARY_TOLERANCE:.0%}; parallel ratio "
-            f"pre={par_pre['ratio']:.2f} post={par_post['ratio']:.2f} vs "
+            f"pre={par_pre['ratio']:.2f} mid={par_mid['ratio']:.2f} "
+            f"post={par_post['ratio']:.2f} vs "
             f"max {PAR_CANARY_MAX_RATIO}); raw seconds NOT cross-round "
             "comparable — re-run in an anchored window",
             file=sys.stderr,
