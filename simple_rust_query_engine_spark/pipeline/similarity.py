@@ -2217,34 +2217,86 @@ def q_knn_recall_ivf_probe(t: dict) -> DataFrame:
 
 
 #: per-query ADC shortlist depth of the batch IVFADC join — the r
-#: raw vectors fetched per query by the exact re-rank tail
+#: raw vectors fetched per query by the exact re-rank tail.  A
+#: recall dial, not a correctness one: r >= cell population makes the
+#: result EQUAL the exact within-cell join (pinned); production picks
+#: r ~ 5-20x k.  The driver-scale default keeps the re-rank volume
+#: (n x r pairs) comparable to the other knn rows.
 KNN_PQ_RERANK = 10
 
 
-def _adc_lut_col(books: list, emb_col="embedding") -> Column:
-    """Per-ROW ADC lookup tables as a JVM column: ``array<array<
-    double>>`` with ``luts[m][c] = dot(row_subvector_m, codeword_c)``
-    — the batch generalization of ``_pq_luts`` (which computes the
-    same M×K scalars driver-side for ONE query vector).  Codebooks
-    enter as array literals and the dot is the shared ``_dots``
-    left-fold, so the values are bit-identical to the driver-side
-    LUTs and to the oracle's ``_sql_dot_n`` fold; computed once per
-    query row (M×K folds), after which every candidate costs M
-    ``element_at`` lookups — the ADC asymmetry, kept entirely inside
-    whole-stage codegen."""
-    luts = []
-    lo = 0
-    for C in books:
-        subdim = C.shape[1]
-        sub = F.slice(emb_col, lo + 1, subdim)
-        luts.append(
-            F.array(*[
-                _dots(sub, F.array(*[F.lit(float(x)) for x in C[c]]))
-                for c in range(C.shape[0])
-            ])
+def _adc_shortlist_fn(books: list, r: int):
+    """Per-cell Arrow kernel of the batch IVFADC join: for one coarse
+    cell, score every (query, candidate) pair from the candidates'
+    PQ CODES alone and emit each query's top-``r`` shortlist —
+    ``r`` rows per query leave the kernel, never the cell's pair
+    matrix.  Vectorized ADC with the ORACLE'S exact arithmetic:
+
+    * per-query LUTs fold dims left-to-right (``lut += q_d * C[:,d]``
+      — element-identical to ``_pq_luts`` and the ``_sql_dot_n``
+      fold),
+    * pair scores accumulate the M subspace lookups in subspace
+      order (element-identical to DuckDB's ``l0.part + l1.part +
+      ...``), UNROUNDED — every term and sum is a fixed-order
+      float64 chain both engines reproduce bit-for-bit, so unlike
+      the single-query rows (whose ``_adc_score_expr`` convention
+      predates this op) no 6dp rounding is needed for parity,
+    * the cut sorts (score desc, candidate id asc): candidates enter
+      sorted by id, a stable argsort on the negated scores preserves
+      that order across exact ties — equal-code candidates produce
+      bit-equal scores, matching the oracle's ROW_NUMBER tie rule.
+
+    Memory per task: the cell's query vectors (for LUTs) + its code
+    matrix (M small ints per candidate) — the raw CANDIDATE vectors,
+    the big side at 10^9 rows, never enter the kernel."""
+
+    def shortlist(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype="int64"),
+                "nbr_id": pd.Series(dtype="int64"),
+            }
         )
-        lo += subdim
-    return F.array(*luts)
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        qids = left["vec_id"].to_numpy().astype(np.int64)
+        Q = np.stack(
+            [np.asarray(e, dtype=np.float64) for e in left["embedding"]]
+        )
+        order = np.argsort(right["vec_id"].to_numpy().astype(np.int64))
+        nids = right["vec_id"].to_numpy().astype(np.int64)[order]
+        codes = np.stack(
+            [np.asarray(c, dtype=np.int64) for c in right["codes"]]
+        )[order]
+        # pair scores: S[q, c] = sum_m LUT_m[q, codes[c, m]], both
+        # loops in oracle order (dims left-to-right, subspaces 0..M-1)
+        S = np.zeros((len(qids), len(nids)))
+        lo = 0
+        for m, C in enumerate(books):
+            subdim = C.shape[1]
+            lut = np.zeros((len(qids), C.shape[0]))
+            for d in range(subdim):
+                lut = lut + np.outer(Q[:, lo + d], C[:, d])
+            S = S + lut[:, codes[:, m]]
+            lo += subdim
+        out_q, out_n = [], []
+        for i in range(len(qids)):
+            s = S[i].copy()
+            s[nids == qids[i]] = -np.inf  # mask self
+            top = np.argsort(-s, kind="stable")[: min(r, len(nids))]
+            top = top[np.isfinite(s[top])]
+            out_q.append(np.full(len(top), qids[i], dtype=np.int64))
+            out_n.append(nids[top])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_q),
+                "nbr_id": np.concatenate(out_n),
+            }
+        )
+
+    return shortlist
 
 
 def ann_ivf_pq_knn_join(
@@ -2254,56 +2306,44 @@ def ann_ivf_pq_knn_join(
 ) -> DataFrame:
     """Batch IVFADC + exact re-rank — the 100 TB k-NN-everything
     shape (VERDICT r12 item 5): every vector finds its k approximate
-    neighbors against a corpus whose RAW vectors never co-shuffle.
-    Composition: vectors meet candidates co-assigned to the same
-    trained coarse cell (banded, like ``ann_ivf_knn_join`` — never
-    all-pairs), each candidate is scored from its persisted PQ CODES
-    alone (M JVM-side lookups into the query row's LUT column — no
-    Python, no raw candidate vector), the per-query top-``r`` ADC
-    shortlist is then exactly re-ranked with the fold cosine and the
-    top-``k`` kept — Jégou 2011's IVFADC applied per corpus row
-    instead of per external query.
+    neighbors against a corpus whose raw vectors are too large to
+    pair up.  Composition: vectors meet candidates co-assigned to the
+    same trained coarse cell (banded, like ``ann_ivf_knn_join`` —
+    never all-pairs), candidates are scored from their persisted PQ
+    CODES alone (M lookups into the query's ADC tables, vectorized in
+    one per-cell Arrow kernel), each query's top-``r`` ADC shortlist
+    leaves the kernel, and ONLY those r raw vectors per query are
+    fetched and exactly re-ranked with the shared fold cosine —
+    Jégou 2011's IVFADC applied per corpus row instead of per
+    external query.
 
-    What shuffles: the query side carries (vec_id, cell, M×K-double
-    luts) and the candidate side (vec_id, cell, M-int codes) through
-    ONE cell-keyed join — both sides rows of O(M·K) scalars, never
-    dim-wide vectors; the re-rank fetches r raw vectors per query by
-    equi-join.  Per-query cost: (cell population) × M lookups +
-    r exact folds.  Recall vs the exact join is itself an
-    oracle-checked row (``knn_recall_ivf_pq``)."""
+    What moves: ONE cell-keyed exchange per side — the query side
+    ships raw vectors once (each query must reach some task with its
+    raw values to build its LUTs; at M·K < dim shipping precomputed
+    LUTs would be smaller, a swap localized to the kernel), the
+    candidate side ships M small ints per row; kernel output is n·r
+    id pairs; the re-rank joins raw vectors for n·r rows.  The
+    candidate side — the 10⁹-row side — never moves dim-wide data,
+    and per-pair scoring is M lookups instead of a dim-wide fold
+    (measured 16× fewer FLOPs at dim 64, M 4).  Recall vs the exact
+    join is itself an oracle-checked row (``knn_recall_ivf_pq``), and
+    ``r`` is the recall dial: with r past the cell population the
+    result equals the exact within-cell join bit-for-bit (pinned)."""
     from pyspark.sql import Window
 
     books, _ = pq_codebooks(emb)
     coarse = kmeans_centroids(emb)
     state = ivf_pq_state(emb, books, coarse)
     assign = _cell_assign_udf(coarse)
-    q = emb.select(
-        "vec_id",
-        assign(F.col("embedding")).alias("cell"),
-        _adc_lut_col(books).alias("luts"),
-    )
-    cand = state.select(
-        F.col("vec_id").alias("nbr_id"), "cell", "codes"
-    )
-    score = None
-    for m in range(len(books)):
-        term = F.element_at(
-            F.element_at("luts", m + 1),
-            F.element_at("codes", m + 1) + F.lit(1),
-        )
-        score = term if score is None else score + term
-    pairs = (
-        q.join(cand, "cell")
-        .filter(F.col("vec_id") != F.col("nbr_id"))
-        .select("vec_id", "nbr_id", F.round(score, 6).alias("adc_score"))
-    )
-    w_adc = Window.partitionBy("vec_id").orderBy(
-        F.col("adc_score").desc(), F.col("nbr_id").asc()
+    q = emb.select("vec_id", "embedding").withColumn(
+        "cell", assign(F.col("embedding"))
     )
     shortlist = (
-        pairs.withColumn("rr", F.row_number().over(w_adc))
-        .filter(F.col("rr") <= r)
-        .select("vec_id", "nbr_id")
+        q.groupBy("cell")
+        .cogroup(state.select("vec_id", "cell", "codes").groupBy("cell"))
+        .applyInPandas(
+            _adc_shortlist_fn(books, r), "vec_id long, nbr_id long"
+        )
     )
     qv = emb.select("vec_id", F.col("embedding").alias("a_emb"))
     nv = emb.select(
@@ -2702,9 +2742,10 @@ def _ivf_pq_knn_cte_parts(r: int = KNN_PQ_RERANK, k: int = KNN_K) -> str:
     """CTE tail of the BATCH IVFADC join: per-query LUTs (qsub/qlut),
     cell-banded ADC pairs off the PQ codes (adcp — coarse final
     assignment for banding, per-subspace code joined to the query's
-    LUT row, parts summed in subspace order and 6dp-rounded like the
-    kernel), the per-query top-``r`` shortlist, exact-cosine re-rank
-    and final rank — ends with ``pqranked``."""
+    LUT row, parts summed in subspace order, UNROUNDED — a
+    fixed-order float64 chain the Arrow kernel reproduces
+    bit-for-bit), the per-query top-``r`` shortlist, exact-cosine
+    re-rank and final rank — ends with ``pqranked``."""
     ki, it = KMEANS_ITERS, PQ_ITERS
     qsub_cols = ", ".join(
         f"list_slice(embedding, {m * _PQ_SUBDIM + 1}, "
@@ -2729,7 +2770,7 @@ def _ivf_pq_knn_cte_parts(r: int = KNN_PQ_RERANK, k: int = KNN_K) -> str:
         asn AS (SELECT vec_id, cell FROM a{ki}),
         adcp AS (
             SELECT qa.vec_id AS vec_id, cb.vec_id AS nbr_id,
-                   ROUND({score}, 6) AS adc_score
+                   {score} AS adc_score
             FROM asn qa
             JOIN asn cb ON cb.cell = qa.cell AND cb.vec_id <> qa.vec_id
             {code_joins}
