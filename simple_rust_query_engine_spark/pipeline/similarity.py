@@ -2259,8 +2259,8 @@ def _adc_shortlist_fn(books: list, r: int):
         )
         if len(left) == 0 or len(right) == 0:
             return empty
-        qids = left["vec_id"].to_numpy().astype(np.int64)
-        Q = np.stack(
+        qids_all = left["vec_id"].to_numpy().astype(np.int64)
+        Q_all = np.stack(
             [np.asarray(e, dtype=np.float64) for e in left["embedding"]]
         )
         order = np.argsort(right["vec_id"].to_numpy().astype(np.int64))
@@ -2268,33 +2268,43 @@ def _adc_shortlist_fn(books: list, r: int):
         codes = np.stack(
             [np.asarray(c, dtype=np.int64) for c in right["codes"]]
         )[order]
-        # pair scores: S[q, c] = sum_m LUT_m[q, codes[c, m]], both
-        # loops in oracle order (dims left-to-right, subspaces 0..M-1)
-        S = np.zeros((len(qids), len(nids)))
-        lo = 0
-        for m, C in enumerate(books):
-            subdim = C.shape[1]
-            lut = np.zeros((len(qids), C.shape[0]))
-            for d in range(subdim):
-                lut = lut + np.outer(Q[:, lo + d], C[:, d])
-            S = S + lut[:, codes[:, m]]
-            lo += subdim
-        out_q, out_n = [], []
-        for i in range(len(qids)):
-            s = S[i].copy()
-            s[nids == qids[i]] = -np.inf  # mask self
-            top = np.argsort(-s, kind="stable")[: min(r, len(nids))]
-            top = top[np.isfinite(s[top])]
-            out_q.append(np.full(len(top), qids[i], dtype=np.int64))
-            out_n.append(nids[top])
-        if not out_q:
-            return empty
-        return pd.DataFrame(
-            {
-                "vec_id": np.concatenate(out_q),
-                "nbr_id": np.concatenate(out_n),
-            }
-        )
+        kk = min(r, len(nids))
+        frames = []
+        # query chunks bound the Q×N score matrix (rows independent,
+        # so chunking cannot change any row's result)
+        for lo_q in range(0, len(qids_all), 1024):
+            qids = qids_all[lo_q:lo_q + 1024]
+            Q = Q_all[lo_q:lo_q + 1024]
+            # pair scores: S[q, c] = sum_m LUT_m[q, codes[c, m]], both
+            # loops in oracle order (dims left-to-right, subspaces
+            # 0..M-1)
+            S = np.zeros((len(qids), len(nids)))
+            lo = 0
+            for m, C in enumerate(books):
+                subdim = C.shape[1]
+                lut = np.zeros((len(qids), C.shape[0]))
+                for d in range(subdim):
+                    lut = lut + np.outer(Q[:, lo + d], C[:, d])
+                S = S + lut[:, codes[:, m]]
+                lo += subdim
+            S[nids[None, :] == qids[:, None]] = -np.inf  # mask self
+            # vectorized per-row cut: candidates enter in id order, so
+            # a STABLE argsort on the negated scores is (score desc,
+            # nbr asc) — the oracle's ROW_NUMBER tie rule — across
+            # exact ties (equal-code candidates score bit-equal)
+            top = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+            keep = np.isfinite(
+                S[np.arange(len(qids))[:, None], top]
+            ).ravel()
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(qids, kk)[keep],
+                        "nbr_id": nids[top].ravel()[keep],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
 
     return shortlist
 
