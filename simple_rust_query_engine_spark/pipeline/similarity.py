@@ -256,7 +256,9 @@ IVF_CELLS = 16   # coarse cells (vectors 0..15 act as fixed centroids)
 IVF_PROBE = 4    # cells searched per query
 
 
-def _ivf_centroids(emb: DataFrame, n_cells: int = IVF_CELLS):
+def _ivf_centroids(
+    emb: DataFrame, n_cells: int = IVF_CELLS, fast_bound: int | None = None
+):
     """Deterministic seed centroids: the first ``n_cells`` vectors by
     vec_id — the fixed 'trained' cells of the oracle-checked
     ``ann_ivf`` row AND the Lloyd's initialization of
@@ -271,14 +273,23 @@ def _ivf_centroids(emb: DataFrame, n_cells: int = IVF_CELLS):
     prune that filter to the one row group holding the first K ids,
     and K distinct ints all below K are necessarily exactly the K
     smallest, so the fast path is provably the same seed set.  A
-    frame where the filter yields fewer than K rows (a training
-    SAMPLE, offset ids, gaps) falls back to the generic
-    orderBy+limit TakeOrdered — a full scan, paid only where
-    correctness requires it."""
+    frame where the filter yields fewer than K rows (offset ids,
+    gaps) falls back to the generic orderBy+limit TakeOrdered — a
+    full scan, paid only where correctness requires it.
+
+    ``fast_bound`` widens the fast-path id cut for callers whose
+    frame is a SAMPLED view (r13): on a ``vec_id % S == 0`` frame
+    with dense underlying ids, the K smallest members all sit below
+    ``K*S``, so the sampled trainer passes ``fast_bound = K*S`` and
+    keeps the min/max row-group pruning a bare modulo filter cannot
+    get — at 100 TB the difference between reading one row group and
+    scanning the corpus for 8 seed rows.  The count check below
+    still guards any layout where the bound assumption fails."""
     rows = (
-        emb.filter(F.col("vec_id") < n_cells)
+        emb.filter(F.col("vec_id") < (fast_bound or n_cells))
         .orderBy("vec_id")
         .select("vec_id", "embedding")
+        .limit(n_cells)
         .collect()
     )
     if len(rows) < n_cells:
@@ -606,7 +617,14 @@ def kmeans_centroids(
     )
 
     def train():
-        C = _ivf_centroids(trainfrm, n_cells)  # shared deterministic seed
+        # shared deterministic seed; the widened fast_bound keeps the
+        # seed scan row-group-prunable on the sampled frame (the bare
+        # modulo filter is not a parquet-pushable predicate)
+        C = _ivf_centroids(
+            trainfrm,
+            n_cells,
+            fast_bound=None if train_mod is None else n_cells * train_mod,
+        )
         for _ in range(n_iters):
             updated = _kmeans_update_frame(trainfrm, C).collect()
             C2 = C.copy()  # empty cells keep their previous centroid

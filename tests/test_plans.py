@@ -771,6 +771,38 @@ def test_ann_ivf_knn_join_plan_one_cell_exchange(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_ann_ivf_pq_knn_join_plan_cogroup_and_codes(spark):
+    # the batch IVFADC join (r13): queries meet the persisted code
+    # table through ONE cell-keyed cogroup (FlatMapCoGroupsInPandas —
+    # candidates contribute M ints per row, never raw vectors); the
+    # shortlist re-rank is two equi-joins over n·r id pairs and one
+    # Window for the final rank.  Never a cartesian, and the code
+    # table's FileScan reads (vec_id, cell, codes) — the embedding
+    # column must NOT survive pruning on the candidate side.
+    plan = (
+        _q(spark, "ann_ivf_pq_knn_join")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("FlatMapCoGroupsInPandas") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Window [") == 1, plan
+    # the final-rank cut is pruned map-side BEFORE the vec_id
+    # exchange (Partial+Final WindowGroupLimit) — the re-rank never
+    # shuffles more than ~k rows per query
+    assert plan.count("WindowGroupLimit") == 2, plan
+    import re as _re
+
+    code_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "ivf_pq_" in ln
+    ]
+    assert code_scans, plan  # the persisted index is what's scanned
+    assert all(
+        not _re.search(r"ReadSchema:[^\n]*embedding", ln)
+        for ln in code_scans
+    ), code_scans
+
+
 def test_knn_recall_ivf_plan_and_single_cell_identity(spark, tables):
     # the recall metric joins two n·k-row frames — never the corpus:
     # the hit check is a broadcast semi-join, the 1-row×1-row summary
