@@ -342,6 +342,12 @@ PAR_CANARY_ROWS_PER_TASK = 30_000_000
 #: can't survive.  If a demonstrably healthy window (single canary
 #: 0.75-0.81 AND headline near record) ever probes above 1.5,
 #: recalibrate with that observation.
+#: Calibration point (r13): the round's best window — headline
+#: 18.16 s, 1.20x of the 15.15 s r11 record, single canary
+#: 0.78-0.81 — probed 1.38-1.45 IN-BENCH (docs/BENCH_R13_FINAL.json
+#: par pre/mid/post 1.45/1.45/1.38), so the 1.5 gate sits just above
+#: a near-record window's reading; a fully-healthy (1.0x) window's
+#: in-bench value remains unobserved on this host.
 PAR_CANARY_MAX_RATIO = 1.5
 
 
