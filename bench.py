@@ -259,7 +259,9 @@ for name in {names!r}:
     out[name] = round(time.perf_counter() - t0, 4)
 print("ADOPTED=" + json.dumps(
     {{"queries": out,
-      "events": sorted(set(k for k, _ in dedup_core.STATE_TABLE_EVENTS))}}
+      "events": sorted(
+          f"{{k}}:{{t}}" for k, t in set(dedup_core.STATE_TABLE_EVENTS)
+      )}}
 ))
 """
 
@@ -294,7 +296,15 @@ def run_adopted(names: list[str]) -> dict:
         payload["total"] = round(sum(payload["queries"].values()), 4)
         return payload
     except Exception as exc:
-        return {"error": f"{type(exc).__name__}: {exc}"[:500]}
+        # str(CalledProcessError) is dominated by the embedded -c
+        # script source — record the exit status + stderr TAIL (where
+        # the traceback lives) so the artifact's error is diagnostic
+        err = f"{type(exc).__name__}"
+        code = getattr(exc, "returncode", None)
+        if code is not None:
+            err += f" exit={code}"
+        stderr = getattr(exc, "stderr", None) or str(exc)
+        return {"error": f"{err}: ...{stderr[-450:]}"}
     finally:
         shutil.rmtree(state_dir, True)
 

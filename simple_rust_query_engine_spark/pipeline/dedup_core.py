@@ -180,9 +180,30 @@ def dedup_config_salt() -> str:
     from . import dedup_sketch as _ds
 
     return (
-        f"jt{_ds.JACCARD_T}|k{_ds.MH_K}b{_ds.MH_BANDS}|nm{_di.MH_DUP_NM}"
-        f"|incr{_ds.INCR_MOD}|ccv1"
+        f"jt{_ds.JACCARD_T}|sn{_ds.SHINGLE_N}|k{_ds.MH_K}b{_ds.MH_BANDS}"
+        f"m{_ds.MH_MOD}|nm{_di.MH_DUP_NM}|incr{_ds.INCR_MOD}|ccv1"
     )
+
+
+def file_inventory(files: list) -> str:
+    """File list widened with size+mtime per file (local paths; a
+    non-local URI contributes its name alone — a cluster deployment
+    would swap in FileSystem.listStatus here): in-place rewrites of
+    the corpus change the inventory, so durable adoption rebuilds
+    instead of serving state derived from bytes that no longer
+    exist.  The ONE spelling, shared by the dedup-family keys below
+    and the kmeans/PQ keys in ``similarity`` — two drifting copies
+    would silently split the durable-state namespace between the
+    families (r13 review)."""
+    parts = []
+    for uri in files:
+        path = uri[5:] if uri.startswith("file:") else uri
+        try:
+            st = os.stat(path)
+            parts.append(f"{uri}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            parts.append(uri)
+    return "|".join(parts)
 
 
 def docs_state_key(docs: DataFrame, sf_dir: str) -> str:
@@ -196,17 +217,25 @@ def docs_state_key(docs: DataFrame, sf_dir: str) -> str:
     sidecar is simply never looked up and the state rebuilds.
     ``os.stat`` only resolves local paths — on HDFS/S3 input the
     inventory falls back to the file list alone (still
-    content-addressed by path set + salt; a cluster deployment would
-    swap in the FileSystem's listStatus here)."""
-    parts = [os.path.abspath(sf_dir), dedup_config_salt()]
-    for uri in sorted(docs.inputFiles()):
-        path = uri[5:] if uri.startswith("file:") else uri
-        try:
-            st = os.stat(path)
-            parts.append(f"{uri}:{st.st_size}:{st.st_mtime_ns}")
-        except OSError:
-            parts.append(uri)
-    return "|".join(parts)
+    content-addressed by path set + salt; see ``file_inventory``).
+
+    Session-cached per (corpus path, docs anchor): the key folds in
+    a JVM ``inputFiles()`` round-trip plus one stat per part file,
+    and the state helpers call it on EVERY invocation — at thousands
+    of part files that is a per-call listing for a key that cannot
+    change mid-session (the parquet immutability contract every
+    cache here already assumes; r13 review)."""
+
+    def build() -> str:
+        return "|".join(
+            [
+                os.path.abspath(sf_dir),
+                dedup_config_salt(),
+                file_inventory(sorted(docs.inputFiles())),
+            ]
+        )
+
+    return _session_cached(f"docs_key:{os.path.abspath(sf_dir)}", docs, build)
 
 
 def _adopt_state_table(spark, table: str, path: str, meta: dict) -> None:

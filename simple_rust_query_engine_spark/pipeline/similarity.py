@@ -18,8 +18,6 @@ casts — bit-identical across engines, so even raw doubles hash-match.
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -546,20 +544,12 @@ _KMEANS_TRAJ_VER = "t2"
 
 
 def _file_inventory(files: list) -> str:
-    """File list widened with size+mtime per file (local paths; a
-    non-local URI contributes its name alone — a cluster deployment
-    would swap in FileSystem.listStatus): in-place rewrites of the
-    corpus change the key, so durable adoption rebuilds instead of
-    serving state trained on bytes that no longer exist."""
-    parts = []
-    for uri in files:
-        path = uri[5:] if uri.startswith("file:") else uri
-        try:
-            st = os.stat(path)
-            parts.append(f"{uri}:{st.st_size}:{st.st_mtime_ns}")
-        except OSError:
-            parts.append(uri)
-    return "|".join(parts)
+    """See ``dedup_core.file_inventory`` — the one spelling of the
+    size+mtime inventory, shared so the dedup and kmeans/PQ durable
+    keys can never drift apart (r13 review)."""
+    from .dedup_core import file_inventory
+
+    return file_inventory(files)
 
 
 def kmeans_centroids(
