@@ -1340,6 +1340,47 @@ def test_docs_state_key_tracks_inventory_and_config(spark, tmp_path):
     assert key2 == docs_state_key(spark.read.parquet(p), p)
 
 
+def test_file_inventory_single_spelling_and_fallback(tmp_path):
+    # r13 review: ONE spelling of the size+mtime inventory, shared by
+    # the dedup and kmeans/PQ durable keys — two drifting copies would
+    # silently split the durable-state namespace between the families
+    from simple_rust_query_engine_spark.pipeline import similarity
+    from simple_rust_query_engine_spark.pipeline.dedup_core import (
+        file_inventory,
+    )
+
+    f = tmp_path / "part-0.parquet"
+    f.write_bytes(b"x" * 10)
+    uri = f"file:{f}"
+    inv = file_inventory([uri, "hdfs://nn/warehouse/part-1.parquet"])
+    assert inv.startswith(f"{uri}:10:")
+    # non-local URI contributes its name alone (no stat possible)
+    assert inv.endswith("|hdfs://nn/warehouse/part-1.parquet")
+    assert similarity._file_inventory([uri]) == file_inventory([uri])
+
+
+def test_docs_state_key_cached_per_anchor(spark, tmp_path):
+    # r13 review: the key is computed once per (corpus, docs anchor) —
+    # state helpers call it on EVERY invocation, and at thousands of
+    # part files an uncached key is a per-call file listing.  Pin the
+    # cache by deleting the corpus between calls on the SAME anchor:
+    # a re-stat would change (or error) the key; the cached one holds.
+    import shutil
+
+    from simple_rust_query_engine_spark.pipeline.dedup_core import (
+        docs_state_key,
+    )
+
+    p = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(0, "a b c")], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    docs = spark.read.parquet(p)
+    key1 = docs_state_key(docs, p)
+    shutil.rmtree(p)
+    assert docs_state_key(docs, p) == key1
+
+
 def test_band_index_stays_per_process_under_durable_dir(
     spark, tables, tmp_path, monkeypatch
 ):
