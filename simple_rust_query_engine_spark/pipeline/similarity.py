@@ -2038,12 +2038,19 @@ def ann_ivf_knn_join(
     them in a shared second cell.  Still banded (candidate work grows
     by a factor ~p² of cell co-residency, never all-pairs) and still
     exactly TWO hash exchanges: the cell exchange, then one on vec_id
-    where a single Arrow kernel dedups pairs seen in multiple shared
-    cells (bit-identical cos_sim — the fold is per-pair) and takes
-    the global exact top-k.  The per-cell top-k cut before that
-    global rank is lossless: a global-top-k candidate ranks ≤ k
-    inside every cell it shares with the query, because its
-    cell-local competitor set is a subset of the global union."""
+    where pure JVM array expressions dedup pairs seen in multiple
+    shared cells (bit-identical cos_sim — the fold is per-pair, so
+    ``array_distinct`` on (cos_sim, nbr_id) structs keeps exactly one
+    copy) and take the global exact top-k via one ``array_sort`` over
+    the ≤ p·k collected candidates per query (r13 optimization: the
+    previous per-``vec_id`` Arrow kernel paid the pandas group
+    dispatch once per QUERY — n tiny groups — and measured 10.5 s
+    steady at sf0.1 vs 0.5 s for the single-cell variant; the
+    collect_list/array_sort form is result-identical and removes the
+    second Python stage from the plan).  The per-cell top-k cut
+    before that global rank is lossless: a global-top-k candidate
+    ranks ≤ k inside every cell it shares with the query, because
+    its cell-local competitor set is a subset of the global union."""
     C = kmeans_centroids(emb, n_cells, n_iters)
 
     def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -2089,24 +2096,40 @@ def ann_ivf_knn_join(
     )
     cand = exploded.groupBy("cell").applyInPandas(cell_topk, KNN_SCHEMA)
 
-    def vec_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        # a pair sharing >1 probed cell arrives once per shared cell
-        # with IDENTICAL cos_sim (the fold is per-pair) — keep one,
-        # then the exact global top-k (cos desc, nbr asc, stable)
-        pdf = pdf.drop_duplicates(subset=["nbr_id"])
-        pdf = pdf.sort_values(
-            ["cos_sim", "nbr_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        return pd.DataFrame(
-            {
-                "vec_id": pdf["vec_id"].to_numpy().astype(np.int64),
-                "nbr_id": pdf["nbr_id"].to_numpy().astype(np.int64),
-                "cos_sim": pdf["cos_sim"].to_numpy().astype(np.float64),
-                "rank": np.arange(1, len(pdf) + 1, dtype=np.int64),
-            }
+    # a pair sharing >1 probed cell arrives once per shared cell with
+    # IDENTICAL cos_sim (the fold is per-pair), so array_distinct on
+    # (cos_sim, nbr_id) structs keeps exactly one copy; the global
+    # exact top-k (cos desc, nbr asc — nbr_id is unique per query
+    # after the distinct, so the order is total) is one array_sort
+    # over ≤ p·k candidates per query.  All JVM: the per-query group
+    # is far too small for a pandas kernel to amortize its dispatch.
+    def _pair_cmp(le, ri):
+        return (
+            F.when(le["cos_sim"] > ri["cos_sim"], F.lit(-1))
+            .when(le["cos_sim"] < ri["cos_sim"], F.lit(1))
+            .when(le["nbr_id"] < ri["nbr_id"], F.lit(-1))
+            .when(le["nbr_id"] > ri["nbr_id"], F.lit(1))
+            .otherwise(F.lit(0))
         )
 
-    return cand.groupBy("vec_id").applyInPandas(vec_topk, KNN_SCHEMA)
+    top = F.slice(
+        F.array_sort(
+            F.array_distinct(F.col("_pairs")), _pair_cmp
+        ),
+        1,
+        k,
+    )
+    return (
+        cand.groupBy("vec_id")
+        .agg(F.collect_list(F.struct("cos_sim", "nbr_id")).alias("_pairs"))
+        .select("vec_id", F.posexplode(top).alias("_pos", "_pair"))
+        .select(
+            "vec_id",
+            F.col("_pair.nbr_id").alias("nbr_id"),
+            F.col("_pair.cos_sim").alias("cos_sim"),
+            (F.col("_pos") + 1).cast("long").alias("rank"),
+        )
+    )
 
 
 def q_ann_ivf_knn_join(t: dict) -> DataFrame:

@@ -834,17 +834,22 @@ def test_ann_ivf_knn_join_probe_plan_two_exchanges(spark):
     # the multi-probe cell join adds exactly ONE exchange over the
     # single-cell plan: the p-cell assignment and explode are map-only
     # (Arrow UDF, matrix in closure), the per-cell top-k keeps the
-    # cell exchange, and the dedup + global exact top-k run in a
-    # second Arrow kernel behind a vec_id exchange — never a
-    # distinct-then-Window (two exchanges + a sort), never a
-    # broadcast, never all-pairs across cells.  One corpus scan.
+    # cell exchange, and the dedup + global exact top-k run as pure
+    # JVM array expressions (collect_list → array_distinct →
+    # array_sort → slice → posexplode) behind a vec_id exchange —
+    # never a distinct-then-Window (two exchanges + a sort), never a
+    # broadcast, never all-pairs across cells, and NO second Python
+    # stage (r13: the per-vec_id Arrow kernel paid pandas group
+    # dispatch once per query — n tiny groups — and measured 10.5 s
+    # steady at sf0.1 vs 0.5 s single-cell).  One corpus scan.
     plan = (
         _q(spark, "ann_ivf_knn_join_probe")
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 2, plan
-    assert plan.count("FlatMapGroupsInPandas") == 2, plan
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
     assert plan.count("FileScan parquet") == 1, plan
+    assert "Generate posexplode" in plan, plan
     assert "BroadcastExchange" not in plan, plan
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
