@@ -152,14 +152,26 @@ def merge_asof_nearest(
     ``delta_ms`` column (the winning distance; NULL when no match).
 
     Plan: the same union framing as ``merge_asof``, then BOTH carries
-    over ONE epoch-MICROsecond sort — RANGE frames keyed on ``_us``
-    make the side tie-break column unnecessary (every row with the
-    same timestamp is in-frame in both directions), so backward
-    (``last(..., ignorenulls)`` over (-∞, 0]) and forward (``first``
-    over [0, +∞)) share a single Exchange + Sort: one shuffle, one
-    per-partition sort, zero join nodes — cheaper than running the two
-    directional variants and re-joining them on row id, which would
-    cost three shuffles.  Microseconds, not milliseconds: a floored-ms
+    over epoch-MICROsecond RANGE frames — keying the frame on ``_us``
+    makes the side tie-break column unnecessary (every row with the
+    same timestamp is in-frame in both directions).  Both directions
+    are GROWING frames (unboundedPreceding → currentRow): backward is
+    ``last(..., ignorenulls)`` over ``_us`` ascending, forward is the
+    same carry over ``_us`` DESCENDING — "first right row at or after
+    me" == "last right row at or before me in reverse time".  Spark
+    evaluates a growing frame incrementally (O(n) per partition) but
+    recomputes a shrinking frame (currentRow → unboundedFollowing)
+    from scratch per row — O(n²) per key partition.  At sf0.1 the A/B
+    is flat (~0.8 s steady either way; ~100 rows per key, so n² never
+    bites), but per-key history grows with corpus size while key
+    cardinality saturates — at 100 TB the shrinking frame is the
+    difference between a linear scan and a quadratic stall on the
+    largest keys.  The two sort orders share one Exchange (same
+    partition key; the second Window adds only a re-Sort): one
+    shuffle, two per-partition sorts, zero join nodes — still cheaper
+    than running the two directional variants and re-joining them on
+    row id, which would cost three shuffles.  Microseconds, not
+    milliseconds: a floored-ms
     key would call a right row up to 999 µs in the FUTURE a backward
     match, and would make two right rows inside the same millisecond
     (distinct raw times, satisfying the uniqueness contract)
@@ -184,8 +196,8 @@ def merge_asof_nearest(
     )
     w_f = (
         Window.partitionBy(left_on)
-        .orderBy("_us")
-        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("_us").desc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(
         *[c for c in left.columns],
@@ -196,7 +208,7 @@ def merge_asof_nearest(
         ).alias("_b"),
         F.when(
             F.col("_t").isNotNull(),
-            F.first(r_struct, ignorenulls=True).over(w_f),
+            F.last(r_struct, ignorenulls=True).over(w_f),
         ).alias("_f"),
         "_us",
         "_side",

@@ -263,17 +263,21 @@ def test_dup_spans_no_join_uniform_agg(spark):
     assert "SinglePartition" not in plan, plan
 
 
-def test_asof_nearest_single_sort_no_join(spark):
-    # both directional carries ride ONE window sort (RANGE frames on
-    # epoch-ms make the side tie-break unnecessary): a single Window
-    # node over a single Sort, zero join nodes — the re-join-two-
-    # directions formulation would cost three shuffles and a join
+def test_asof_nearest_one_exchange_no_join(spark):
+    # both directional carries share ONE exchange on the join key;
+    # r13: the forward carry is a second GROWING frame over the
+    # REVERSED sort (last over _us desc) instead of a shrinking
+    # (currentRow, unboundedFollowing) frame, which Spark recomputes
+    # from scratch per row — O(n²) per partition.  Cost: a second
+    # Window + per-partition re-Sort (no new shuffle); still zero
+    # join nodes — the re-join-two-directions formulation would cost
+    # three shuffles and a join
     plan = (
         _q(spark, "join_asof_nearest")
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert plan.count("Window ") == 1, plan
-    assert plan.count("Sort [") == 1, plan
+    assert plan.count("Window ") == 2, plan
+    assert plan.count("Sort [") == 2, plan
     assert "Join" not in plan, plan
 
 
