@@ -358,22 +358,23 @@ def _cms_extract(
             est = np.minimum(est, cms[i * w + _cms_bucket_py(whs, i, w)])
         return pd.Series(est)
 
-    from ..pipeline.dedup_core import materialize
-
-    # materialized: both the verify semi-join and the final hydration
-    # broadcast projections of this frame — without the barrier the
-    # vocab-sized distinct + estimate UDF pass would execute twice
-    cand = materialize(
-        tokens.distinct()
+    # r13 (guide §2.3/§2.4): the exact verify is folded into the
+    # distinct pass.  The previous shape ran tokens.distinct() for the
+    # candidates, then a SECOND full tokenize pass broadcast-joined
+    # against them and re-grouped for the exact counts (plus a
+    # materialize barrier because the candidate frame had two
+    # consumers).  groupBy(w).count() ships the SAME map-side-combined
+    # vocab-sized exchange as distinct() (one row per distinct token
+    # per partition, +8 bytes of count) and yields the exact counts
+    # for free — one corpus pass instead of two, no join, no barrier.
+    # The estimate UDF still runs over distinct tokens only.
+    cand = (
+        tokens.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
         .withColumn("est_count", est_udf("w"))
         .filter(F.col("est_count") >= F.lit(thr))
     )
-    exact = (
-        tokens.join(F.broadcast(cand.select("w")), "w")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("exact_count"))
-    )
-    out = exact.join(F.broadcast(cand), "w").select(
+    out = cand.select(
         F.col("w").alias("token"),
         "exact_count",
         "est_count",

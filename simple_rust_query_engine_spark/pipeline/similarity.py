@@ -2095,14 +2095,22 @@ def ann_ivf_knn_join(
         "cell", F.explode(assign_p(F.col("embedding")))
     )
     cand = exploded.groupBy("cell").applyInPandas(cell_topk, KNN_SCHEMA)
+    return _probe_global_topk(cand, k)
 
-    # a pair sharing >1 probed cell arrives once per shared cell with
-    # IDENTICAL cos_sim (the fold is per-pair), so array_distinct on
-    # (cos_sim, nbr_id) structs keeps exactly one copy; the global
-    # exact top-k (cos desc, nbr asc — nbr_id is unique per query
-    # after the distinct, so the order is total) is one array_sort
-    # over ≤ p·k candidates per query.  All JVM: the per-query group
-    # is far too small for a pandas kernel to amortize its dispatch.
+
+def _probe_global_topk(cand: DataFrame, k: int) -> DataFrame:
+    """Global exact top-k over multi-probe candidates, pure JVM — ONE
+    definition shared by ``ann_ivf_knn_join`` (p>1) and the fused
+    recall row so the dedup/tie conventions can never drift.
+
+    A pair sharing >1 probed cell arrives once per shared cell with
+    IDENTICAL cos_sim (the fold is per-pair), so array_distinct on
+    (cos_sim, nbr_id) structs keeps exactly one copy; the global
+    exact top-k (cos desc, nbr asc — nbr_id is unique per query
+    after the distinct, so the order is total) is one array_sort
+    over ≤ p·k candidates per query.  All JVM: the per-query group
+    is far too small for a pandas kernel to amortize its dispatch."""
+
     def _pair_cmp(le, ri):
         return (
             F.when(le["cos_sim"] > ri["cos_sim"], F.lit(-1))
@@ -2140,6 +2148,60 @@ def q_ann_ivf_knn_join_probe(t: dict) -> DataFrame:
     return ann_ivf_knn_join(t["embeddings"], probe_cells=KNN_PROBE_CELLS)
 
 
+def _cell_topk_both_fn(k: int, chunk: int):
+    """Per-cell kernel of the FUSED recall row: one grouped pass emits
+    BOTH legs' candidates — ``leg='probe'`` ranks every query against
+    all co-residents of the cell (exactly the p-probe kernel), and
+    ``leg='cell'`` restricts both query and candidate sets to the rows
+    whose probe rank for this cell is 1, i.e. exactly the membership
+    the single-cell (p=1) kernel sees (``_fold_assign`` argmax ==
+    rank-1 of the stable top-p argsort, same fold, same tie rule).
+    Both legs run through the ONE ``_topk_frames`` fold, so each leg's
+    rows are bit-identical to the unfused kernels'."""
+
+    def cell_topk2(pdf: pd.DataFrame) -> pd.DataFrame:
+        def leg_frames(sub: pd.DataFrame) -> list:
+            ids_raw = sub["vec_id"].to_numpy().astype(np.int64)
+            kk = min(k, len(ids_raw) - 1)
+            if kk <= 0:  # singleton membership: no neighbors
+                return []
+            order = np.argsort(ids_raw)
+            ids_b = ids_raw[order]
+            Bm = np.stack(
+                [
+                    np.asarray(e, dtype=np.float64)
+                    for e in sub["embedding"].to_numpy()[order]
+                ]
+            )
+            nrm2 = np.zeros(len(ids_b))
+            for d in range(Bm.shape[1]):  # left-to-right, like the oracle
+                nrm2 = nrm2 + Bm[:, d] * Bm[:, d]
+            return _topk_frames(ids_b, Bm, np.sqrt(nrm2), Bm, ids_b, kk, chunk)
+
+        frames = []
+        for leg, sub in (
+            ("probe", pdf),
+            ("cell", pdf[pdf["_prank"] == 0]),
+        ):
+            for fr in leg_frames(sub):
+                fr = fr.copy()
+                fr["leg"] = leg
+                frames.append(fr)
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype="int64"),
+                    "nbr_id": pd.Series(dtype="int64"),
+                    "cos_sim": pd.Series(dtype="float64"),
+                    "rank": pd.Series(dtype="int64"),
+                    "leg": pd.Series(dtype="object"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return cell_topk2
+
+
 def knn_recall_ivf(
     emb: DataFrame,
     k: int = KNN_K,
@@ -2158,10 +2220,16 @@ def knn_recall_ivf(
     semi-join and the denominator aggregate, and unbarriered the
     map-only kernel (and the corpus scan under it) would execute
     twice.  The hit check is a semi-join on (vec_id, nbr_id) — n·k
-    rows against n·k rows, never corpus-sized."""
+    rows against n·k rows, never corpus-sized.  The exact leg gets
+    the ``min_tasks`` parallelism dial (r13, guide §2.6): a compact
+    corpus arriving as one parquet split would score on ONE core of
+    the cluster; ``defaultParallelism`` adapts to the session's core
+    count, and past the point where input splits outnumber cores the
+    dial is a no-op by construction."""
     from .dedup_core import materialize
 
-    exact = materialize(knn_join(emb, k, mode="broadcast"))
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    exact = materialize(knn_join(emb, k, mode="broadcast", min_tasks=par))
     approx = ann_ivf_knn_join(emb, k, n_cells, n_iters)
     hits = exact.join(
         approx.select("vec_id", "nbr_id"), ["vec_id", "nbr_id"], "left_semi"
@@ -2210,10 +2278,23 @@ def knn_recall_ivf_probe(
 
     The exact leg is ``materialize``d: it feeds the denominator and
     BOTH hit semi-joins, and unbarriered the map-only kernel (and
-    the corpus scan under it) would execute three times."""
+    the corpus scan under it) would execute three times.
+
+    r13 (guide §1.2/§2.4): the two approximate legs are FUSED into
+    one candidate pass — the unfused form ran ``ann_ivf_knn_join``
+    twice (two corpus scans, two assignment passes, two cell
+    exchanges, two grouped kernels) even though the p=1 leg's
+    membership is exactly the probe-rank-1 subset of the p-probe
+    leg's.  One posexplode carries the probe rank to the cell kernel,
+    which emits both legs' candidates from a single grouped pass
+    (``_cell_topk_both_fn`` — each leg through the same
+    ``_topk_frames`` fold as the unfused kernels, so both recalls are
+    bit-identical); the exact leg gets the same ``min_tasks``
+    parallelism dial as ``knn_recall_ivf``."""
     from .dedup_core import materialize
 
-    exact = materialize(knn_join(emb, k, mode="broadcast"))
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    exact = materialize(knn_join(emb, k, mode="broadcast", min_tasks=par))
     denom = exact.agg(
         F.count_distinct("vec_id").alias("n_queries"),
         F.count(F.lit(1)).alias("n_exact_pairs"),
@@ -2222,9 +2303,26 @@ def knn_recall_ivf_probe(
         F.col("n_exact_pairs") > 0,
         F.col("n_hits").cast("double") / F.col("n_exact_pairs"),
     ).otherwise(F.lit(1.0))
+    C = kmeans_centroids(emb, n_cells, n_iters)
+    assign_p = _cell_assign_topp_udf(C, probe_cells)
+    exploded = emb.select("vec_id", "embedding").select(
+        "vec_id",
+        "embedding",
+        F.posexplode(assign_p(F.col("embedding"))).alias("_prank", "cell"),
+    )
+    # one grouped pass emits BOTH legs; materialized because each leg
+    # feeds its own semi-join — unbarriered, the scan + assignment +
+    # cell exchange + kernel would execute twice
+    cand = materialize(
+        exploded.groupBy("cell").applyInPandas(
+            _cell_topk_both_fn(k, 512), KNN_SCHEMA + ", leg string"
+        )
+    )
     legs = []
-    for method, p in (("cell", 1), ("probe", probe_cells)):
-        approx = ann_ivf_knn_join(emb, k, n_cells, n_iters, probe_cells=p)
+    for method, approx in (
+        ("cell", cand.filter(F.col("leg") == "cell")),
+        ("probe", _probe_global_topk(cand.filter(F.col("leg") == "probe"), k)),
+    ):
         hits = exact.join(
             approx.select("vec_id", "nbr_id"),
             ["vec_id", "nbr_id"],
@@ -2427,10 +2525,12 @@ def knn_recall_ivf_pq(
     k-NN — the eval metric that decides whether the compressed index
     can serve the k-NN-everything workload.  Same shape/zero-guard
     as ``knn_recall_ivf``; both sides deterministic, so the metric
-    itself is hash-checked."""
+    itself is hash-checked.  The exact leg gets the same ``min_tasks``
+    parallelism dial as ``knn_recall_ivf`` (r13, guide §2.6)."""
     from .dedup_core import materialize
 
-    exact = materialize(knn_join(emb, k, mode="broadcast"))
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    exact = materialize(knn_join(emb, k, mode="broadcast", min_tasks=par))
     approx = ann_ivf_pq_knn_join(emb, k, r)
     hits = exact.join(
         approx.select("vec_id", "nbr_id"), ["vec_id", "nbr_id"], "left_semi"

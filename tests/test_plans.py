@@ -444,16 +444,19 @@ def test_bm25_stats_join_is_broadcast(spark):
     assert "ShuffledHashJoin" not in strategies, strategies
 
 
-def test_profile_table_is_single_scan(spark):
-    # all per-column aggregates (incl. multiple exact distincts via
-    # Expand) must come from ONE table read — a per-column scan loop
-    # reads 100 TB once per profiled column
+def test_profile_table_two_scans_no_expand_no_sort(spark):
+    # r13 shape: TWO cheap scans (keyless basics agg + the no-Expand
+    # ndistinct melt), never a per-column scan loop — and neither the
+    # Expand (×5 shuffled copies of the table) nor the 5-key Sorts the
+    # old single-aggregate exact-distinct plan paid (the string min/max
+    # forced the whole expanded chain through sort-based aggregation)
     plan = (
         _q(spark, "profile_table")
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert plan.count("FileScan parquet") == 1, plan
-    assert "Expand" in plan, plan
+    assert plan.count("FileScan parquet") == 2, plan
+    assert "Expand" not in plan, plan
+    assert "Sort " not in plan, plan
 
 
 def _has_global_window(plan: str) -> bool:
@@ -578,17 +581,14 @@ def test_decontaminate_fuzzy_broadcasts_eval_side(spark):
 
 
 def test_profile_approx_has_no_expand(spark):
-    # exact multi-column countDistinct Expands the scan (×4 shuffled
-    # rows); the HLL variant must plan WITHOUT Expand — fixed-size
-    # mergeable sketch state is the whole point of the 100 TB dial
-    exact_plan = (
-        _q(spark, "profile_table")._jdf.queryExecution().executedPlan().toString()
-    )
+    # the HLL variant must plan WITHOUT Expand — fixed-size mergeable
+    # sketch state is the whole point of the 100 TB dial (since r13 the
+    # exact profile also avoids Expand via the two-phase melt; this pin
+    # keeps the approx-checked row honest independently)
     approx_plan = (
         _q(spark, "profile_table_approx")
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Expand" in exact_plan, exact_plan  # the cost being dialed away
     assert "Expand" not in approx_plan, approx_plan
 
 
@@ -861,17 +861,19 @@ def test_ann_ivf_knn_join_probe_plan_two_exchanges(spark):
 
 def test_cms_verify_plan_shuffles_candidates_only(spark):
     # the RETURNED plan is the verify stage (the sketch pass ran
-    # eagerly at construction, merging d*w counter cells): the single
-    # hash exchange is the candidate-token groupBy, both the semi-join
-    # filter and the final hydration broadcast the (small by design)
-    # candidate frame, and the top-k plans as TakeOrdered — never a
-    # Window over the token dictionary
+    # eagerly at construction, merging d*w counter cells): since r13
+    # ONE corpus pass feeds a single map-side-combined vocab exchange
+    # (groupBy(w).count carries the exact counts with the distinct
+    # pass), the estimate UDF runs over distinct tokens only, no joins
+    # and no barrier remain, and the top-k plans as TakeOrdered —
+    # never a Window over the token dictionary
     plan = (
         _q(spark, "cms_heavy_hitters")
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
-    assert plan.count("BroadcastExchange") == 2, plan
+    assert plan.count("BroadcastExchange") == 0, plan
+    assert plan.count("FileScan parquet") == 1, plan
     assert "TakeOrdered" in plan, plan
     assert "Window" not in plan and "CartesianProduct" not in plan, plan
 
@@ -1014,7 +1016,7 @@ def test_cms_merge_sketch_exchanges_cells_never_tokens(spark, tables):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert out_plan.count("Exchange hashpartitioning") == 1, out_plan
-    assert out_plan.count("BroadcastExchange") == 2, out_plan
+    assert out_plan.count("BroadcastExchange") == 0, out_plan
     assert "TakeOrdered" in out_plan, out_plan
 
 
