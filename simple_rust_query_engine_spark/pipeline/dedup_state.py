@@ -75,7 +75,14 @@ def route_text_dedup(docs: DataFrame) -> tuple[str, int, int]:
     against launching an exact join that would explode.  The decision
     is session-cached per docs anchor (the corpus is immutable within
     a session, the standard parquet contract), so repeated per-batch
-    calls pay the probe's shingle pass once, not per call."""
+    calls pay the probe's shingle pass once, not per call.  Cached
+    under a ``state:`` tag (r13): the route is a scalar MODEL DIAL
+    derived once per (session, corpus) — the same lifecycle as the
+    kmeans centroids or the knn index broadcast — and the cached
+    value is a plain tuple, not a checkpoint-backed frame, so
+    surviving ``release_barriers`` cannot reference swept blocks.
+    The routed PAIR SET is still recomputed from parquet on every
+    call; only the probe's decision is state."""
     from .dedup_core import _session_cached
     from .dedup_sketch import estimate_ppjoin_candidates
 
@@ -98,7 +105,7 @@ def route_text_dedup(docs: DataFrame) -> tuple[str, int, int]:
             drop_shingle_arrs(docs)
         return route, bound, n
 
-    return _session_cached("route_text", docs, decide)
+    return _session_cached("state:route_text", docs, decide)
 
 
 def dedup_text_auto(docs: DataFrame) -> DataFrame:

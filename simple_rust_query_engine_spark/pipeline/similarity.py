@@ -1820,7 +1820,16 @@ def knn_score_fn(bc, k: int = KNN_K, chunk: int = 512):
 
 
 def q_knn_join(t: dict) -> DataFrame:
-    return knn_join(t["embeddings"])
+    # r13 (guide §2.6): the driver corpus arrives as ONE parquet split,
+    # so the compute-bound scoring kernel ran on one core; the entry
+    # passes the min_tasks dial (defaultParallelism — adapts to
+    # SPARK_GRAFT_CPUS, and _apply_min_tasks no-ops once input splits
+    # outnumber cores, so the 100 TB plan stays map-only).  Output is
+    # identical under any partitioning (per-row top-k vs the broadcast
+    # index, property-tested).
+    emb = t["embeddings"]
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    return knn_join(emb, min_tasks=par)
 
 
 #: corpus tiles for the two-phase exact k-NN (sized so ONE tile's

@@ -1248,6 +1248,15 @@ def test_text_dedup_routing_both_densities(spark, tables):
     assert route == "ppjoin"
     assert bound <= AUTO_ROUTE_MAX_CAND_PER_DOC * n
 
+    # r13: the decision is a state:-tagged scalar dial — it must
+    # survive release_barriers (the probe reruns would otherwise
+    # re-pay the prefix-postings pass every bench pass) and keep
+    # returning the identical tuple
+    from simple_rust_query_engine_spark.session import release_barriers
+
+    release_barriers(spark)
+    assert route_text_dedup(tables["documents"]) == (route, bound, n)
+
     # 200 identical docs: every posting list is corpus-length, the
     # bound is 3·C(200,2) ≈ 298 candidates/doc — past the dial
     dense = spark.createDataFrame(

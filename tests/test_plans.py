@@ -689,12 +689,28 @@ def test_bpe_merges_trained_once_per_session_corpus(spark):
 def test_knn_join_plan_is_map_only(spark):
     # the k-NN self-join ships the index as a task broadcast and emits
     # n·k rows straight from the kernel: one ArrowEvalPython-family
-    # node (mapInPandas), zero Exchange in the returned plan
+    # node (mapInPandas) and NO key shuffle.  Since r13 the driver
+    # entry passes the min_tasks dial, so at compact (test/driver)
+    # scale the plan carries exactly one ROUND-ROBIN exchange that
+    # widens the single-split scan to the core count; the dial no-ops
+    # once input splits outnumber cores, so the at-scale plan stays
+    # zero-Exchange (pinned by test_knn_join_min_tasks_dial's
+    # partition-count branch and the kernel's own library default).
     plan = (
         _q(spark, "knn_join")._jdf.queryExecution().executedPlan().toString()
     )
     assert "MapInPandas" in plan, plan
-    assert "Exchange" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+    # the library default stays map-only: no exchange without the dial
+    from simple_rust_query_engine_spark.pipeline.similarity import knn_join
+    from simple_rust_query_engine_spark.session import load_tables
+
+    lib_plan = (
+        knn_join(load_tables(spark, SF_DIR)["embeddings"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in lib_plan, lib_plan
 
 
 def test_knn_auto_dial_picks_by_index_budget(spark, tables):
