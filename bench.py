@@ -439,6 +439,40 @@ def _canary_sec() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+#: a headline steady reading past this multiple of its gates-green
+#: reference marks the run implausible — wide enough that real
+#: regressions under test still get recorded (a 2x code regression
+#: passes and shows up in the numbers), tight enough to catch the
+#: 3-10x contention waves the probes miss
+PLAUSIBLE_MAX = 3.0
+
+
+def _steady_outliers(steady: dict) -> tuple[dict, "bool | None"]:
+    """(outliers, plausible_ok) vs docs/BENCH_STEADY_REF.json; ok is
+    None (gate not applicable) when the reference is missing or the
+    run's sf / core count differ from the reference's."""
+    ref_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "docs",
+        "BENCH_STEADY_REF.json",
+    )
+    try:
+        with open(ref_path) as f:
+            ref = json.load(f)
+    except (OSError, ValueError):
+        return {}, None
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if str(ref.get("sf")) != sf or int(ref.get("cpus", 0)) != cpus:
+        return {}, None
+    out = {}
+    for name, sec in steady.items():
+        base = ref.get("steady", {}).get(name)
+        if base and sec / base > PLAUSIBLE_MAX:
+            out[name] = round(sec / base, 2)
+    return out, not out
+
+
 def main() -> None:
     import __spark_entry__ as entry_mod
     from simple_rust_query_engine_spark.session import get_spark, release_barriers
@@ -531,6 +565,17 @@ def main() -> None:
         and par_post["ratio"] <= PAR_CANARY_MAX_RATIO
     )
 
+    # per-query plausibility gate (r13): the canary probes SAMPLE the
+    # window, but contention waves can be shorter than a bench — a run
+    # passed all three probes while untouched headline queries read
+    # 3-10x their gates-green values between probe points
+    # (docs/AB_R13_POSTOPT_NEW.json, the motivating miss).  Compare
+    # each headline steady against the checked-in gates-green
+    # reference (docs/BENCH_STEADY_REF.json) and flag >3x outliers.
+    # Only applies when sf AND core count match the reference — a
+    # lower SPARK_GRAFT_CPUS run inflates steady legitimately.
+    steady_outliers, plausible_ok = _steady_outliers(steady)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     full = {
@@ -569,6 +614,14 @@ def main() -> None:
         # anchored rounds — re-run in a healthier window, or normalize
         # by canary ratios only
         "canary_ok": _canary_ok(canary_pre, canary_post) and par_ok,
+        # per-query plausibility vs the checked-in gates-green steady
+        # reference (r13): null = gate not applicable (missing ref or
+        # sf/cpus mismatch); false = some headline steady read >
+        # PLAUSIBLE_MAX x its reference — a wave the probes missed.
+        # Deliberately NOT folded into canary_ok (its semantics and
+        # history stay comparable); consumers gate on both.
+        "plausible_ok": plausible_ok,
+        "steady_outliers": steady_outliers,
         "canary_anchor_sec": CANARY_ANCHOR_SEC,
         "sf": sf_val,
         # code provenance (VERDICT r10 item: same-round artifacts must
@@ -597,6 +650,7 @@ def main() -> None:
         "extra_steady_total": full["extra_steady_total"],
         "canary_sec": full["canary_sec"],
         "canary_ok": full["canary_ok"],
+        "plausible_ok": plausible_ok,
         # the cold/adopted/steady triple's middle column (r13): the
         # same state-family queries cold-in-a-fresh-process that
         # ADOPTED a prior process's durable state dir (full per-query
@@ -619,6 +673,14 @@ def main() -> None:
             f"post={par_post['ratio']:.2f} vs "
             f"max {PAR_CANARY_MAX_RATIO}); raw seconds NOT cross-round "
             "comparable — re-run in an anchored window",
+            file=sys.stderr,
+        )
+    if plausible_ok is False:
+        print(
+            f"# WARNING: implausible headline steady readings vs the "
+            f"gates-green reference (>{PLAUSIBLE_MAX}x): "
+            f"{steady_outliers} — a contention wave the canary probes "
+            "missed; raw seconds NOT cross-round comparable",
             file=sys.stderr,
         )
     if errors:

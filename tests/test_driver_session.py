@@ -92,3 +92,36 @@ def test_bare_session_oracle_parity():
     results = json.loads(marker[0][len("RESULT::"):])
     bad = {k: v for k, v in results.items() if v}
     assert not bad, f"bare-session mismatches: {bad}"
+
+
+def test_bench_plausibility_gate():
+    # r13: the per-query plausibility gate flags headline steady
+    # readings > PLAUSIBLE_MAX x their checked-in gates-green
+    # reference (a contention wave the canary probes missed), ignores
+    # queries without a reference (adding queries can never break it),
+    # and reports not-applicable when sf/cpus differ from the ref
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "benchmod", os.path.join(REPO, "bench.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    ref = json.load(
+        open(os.path.join(REPO, "docs", "BENCH_STEADY_REF.json"))
+    )
+    base = ref["steady"]["tpch_q1"]
+
+    if m.SF_DIR.rstrip("/").endswith("sf0.1"):
+        out, ok = m._steady_outliers({"tpch_q1": base * 1.5})
+        assert ok is True and out == {}
+        out, ok = m._steady_outliers(
+            {"tpch_q1": base * 5.0, "join_asof": ref["steady"]["join_asof"]}
+        )
+        assert ok is False and list(out) == ["tpch_q1"]
+        out, ok = m._steady_outliers({"query_without_ref": 99.0})
+        assert ok is True and out == {}
+    else:
+        # bench module bound to a non-reference SF: gate reports N/A
+        out, ok = m._steady_outliers({"tpch_q1": base * 5.0})
+        assert ok is None and out == {}
