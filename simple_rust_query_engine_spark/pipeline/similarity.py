@@ -2565,7 +2565,9 @@ def q_knn_recall_ivf_pq(t: dict) -> DataFrame:
     return knn_recall_ivf_pq(t["embeddings"])
 
 
-def knn_label_spread(emb: DataFrame, k: int = KNN_K) -> DataFrame:
+def knn_label_spread(
+    emb: DataFrame, k: int = KNN_K, min_tasks: "int | None" = None
+) -> DataFrame:
     """k-NN LABEL SPREAD — majority vote of each vector's k nearest
     neighbors vs its own label: the weak-supervision primitive (spread
     a small labeled seed set over an unlabeled corpus; audit label
@@ -2579,8 +2581,13 @@ def knn_label_spread(emb: DataFrame, k: int = KNN_K) -> DataFrame:
     deterministic ties toward the smaller label, and NO window (a
     row_number window would re-sort every group; max is mergeable
     map-side).  Two hash exchanges over n·k rows total, both on
-    near-uniform keys — scales."""
-    nn = knn_join(emb, k)
+    near-uniform keys — scales.
+
+    ``min_tasks`` is ``knn_join``'s parallelism dial, passed through
+    unchanged (r13, guide §2.6): the vote/argmax tail is partitioning-
+    independent aggregation, so the spread output is identical under
+    any kernel partitioning (the dial's own property test)."""
+    nn = knn_join(emb, k, min_tasks=min_tasks)
     lab = emb.select("vec_id", "label")
     votes = (
         nn.join(
@@ -2621,7 +2628,14 @@ def knn_label_spread(emb: DataFrame, k: int = KNN_K) -> DataFrame:
 
 
 def q_knn_label_spread(t: dict) -> DataFrame:
-    return knn_label_spread(t["embeddings"])
+    # r13 (guide §2.6): same dial as q_knn_join — the driver corpus is
+    # ONE parquet split, so the compute-bound scoring kernel under the
+    # spread ran on one core; defaultParallelism adapts to
+    # SPARK_GRAFT_CPUS and _apply_min_tasks no-ops once input splits
+    # outnumber cores.  Vote/argmax output is partitioning-independent.
+    emb = t["embeddings"]
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    return knn_label_spread(emb, min_tasks=par)
 
 
 def q_embedding_neardup(t: dict) -> DataFrame:

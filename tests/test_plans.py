@@ -898,7 +898,12 @@ def test_knn_label_spread_plan_two_uniform_exchanges(spark):
     # vote count + struct-max argmax: two partial-aggregated hash
     # exchanges over n*k rows, labels attached by broadcast, the
     # scoring itself one MapInPandas — and NO window (a row_number
-    # formulation would re-sort every group)
+    # formulation would re-sort every group).  Since r13 the entry
+    # passes knn_join's min_tasks dial, so at compact scale the plan
+    # additionally carries the kernel's ONE round-robin exchange
+    # (same contract as test_knn_join_plan_is_map_only); the library
+    # default stays dial-free and the vote/argmax output is
+    # partitioning-independent.
     plan = (
         _q(spark, "knn_label_spread")
         ._jdf.queryExecution().executedPlan().toString()
@@ -907,6 +912,21 @@ def test_knn_label_spread_plan_two_uniform_exchanges(spark):
     assert plan.count("BroadcastExchange") == 2, plan
     assert plan.count("MapInPandas") == 1, plan
     assert "Window" not in plan and "rangepartitioning" not in plan, plan
+    assert "roundrobinpartitioning" in plan.lower(), plan
+
+    from simple_rust_query_engine_spark.pipeline.similarity import (
+        knn_label_spread,
+    )
+    from simple_rust_query_engine_spark.session import load_tables
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    base = knn_label_spread(emb)
+    lib_plan = base._jdf.queryExecution().executedPlan().toString()
+    assert "roundrobinpartitioning" not in lib_plan.lower(), lib_plan
+    dial = knn_label_spread(emb, min_tasks=8)
+    assert {tuple(r) for r in base.collect()} == {
+        tuple(r) for r in dial.collect()
+    }
 
 
 def test_knn_twophase_plan_one_merge_exchange_no_broadcast(spark):
