@@ -179,58 +179,15 @@ _DEFER_PAST_CAP = (
     # dedup_minhash, pipeline_clean, join_semi, multimodal_decode.
     # The 8 rows re-certified LAST round (all r7 hash-green,
     # unchanged since) defer in exchange, each with in-window reps:
-    "limit_skip",          # → topk stays (skip+fetch composes sort+
-                           #   limit; fetch=None pinned in golden tests)
-    "agg_global",          # → agg_grouped + tpch_q1 stay (agg family)
-    "sort_multi",          # → topk + window_topk_per_group
-                           #   (re-entering) stay (ordering family)
-    "coercion",            # → filter_predicate stays; the numeric
-                           #   lattice is pinned in golden tests
-    "set_union",           # → distinct stays (dedup-by-set semantics);
-                           #   full set-op family r7 hash-green
-    "agg_rollup",          # → agg_grouped + unpivot stay; cube/rollup
-                           #   Expand plan shape pinned in test_plans
-    "cross_join_filter",   # → join_asof_nearest + join_inner stay;
-    "join_nonequi_filter", #   BNLJ/broadcast plan pinned in test_plans
-                           #   (nested-loop / non-equi family)
-    # r8 addition bpe_encode_checked (corpus-sized BPE encode with a
-    # raw-text validity-band twin — VERDICT r7 item 4) enters;
-    # feature_extract (r7-green, unchanged) defers — the multimodal
-    # family stays checked via multimodal_decode, re-entering above
-    "feature_extract",
-    # r8 addition knn_join (exact k-NN self-join — per-row ranked
-    # neighbors via a broadcast index and a map-only left-fold
-    # kernel) enters; tpch_q5_like (r7-green, unchanged) defers — the
-    # composite family stays checked via flagship, tpch_q1 and
-    # tpch_q18_like
-    "tpch_q5_like",
-    # r8 addition knn_label_spread (majority-vote label propagation
-    # over the ranked-neighbor table — weak supervision / label-noise
-    # audit) enters; join_anti (r7-green, unchanged) defers —
-    # join_semi (re-entering above) and join_inner stay as the
-    # semi/anti join family representatives
-    "join_anti",
-    # r8 addition knn_join_stream (stream-static k-NN scoring against
-    # the held index through the shared broadcast kernel, oracle
-    # shared with batch knn_join) enters; pipeline_clean_incr
-    # (r7-green, unchanged) defers — pipeline_clean (re-entering
-    # above) and pipeline_incr_stateful stay as the incremental-
-    # composition family representatives
-    "pipeline_clean_incr",
-    # r8 addition multimodal_resize (the resize step of the image
-    # pipeline — aspect-fit geometry in integer floor division + a
-    # nearest-neighbor byte resample, real-PIL path behind the same
-    # codec probe as decode) enters; dup_span_frac (r7-green,
-    # unchanged) defers — doc_novelty (same SPAN_W window-hash
-    # machinery) and decontaminate_stream stay as span-family reps
-    "dup_span_frac",
-    # r8 addition cms_heavy_hitters (count-min-sketch heavy hitters —
-    # fixed-size mergeable counter state, candidates verified exactly,
-    # the whole sketch hash-checked since its arithmetic is
-    # deterministic) enters; profile_table (r7-green, unchanged)
-    # defers — profile_table_approx (the checked validity-band dial)
-    # and stats_moments stay as the profiling/stats family reps
-    "profile_table",
+    # (r14: ALL fourteen r7-evidence rows deferred in this r8 block —
+    # limit_skip, agg_global, sort_multi, coercion, set_union,
+    # agg_rollup, cross_join_filter, join_nonequi_filter,
+    # feature_extract, tpch_q5_like, join_anti, pipeline_clean_incr,
+    # dup_span_frac, profile_table — re-entered IN-window in round
+    # 14's re-certification sweep: their evidence would otherwise
+    # exceed the MAX_AGE=6 staleness bound
+    # (test_deferred_evidence_staleness_bounded); see the r14 block
+    # at the end)
     # ---- round 9 ----
     # THIRTEEN entries enter the window this round: the r9
     # RE-CERTIFICATION sweep (the 8 oldest deferred rows, r4
@@ -254,9 +211,9 @@ _DEFER_PAST_CAP = (
                            #   semantic_dedup)
     "simhash",             # → dedup_minhash_bucketed + the ingest
                            #   stream stay (sketch-dedup family)
-    "dedup_minhash",       # → dedup_minhash_bucketed (same oracle
-                           #   machinery) + dedup_minhash_ingest_stream
-                           #   stay; r9 A/B cleared its cold-time move
+    # (dedup_minhash deferred here r9-r13; re-entered IN-window in
+    # round 14 — its signature kernel CHANGED, the scan-level
+    # min_tasks dial, so the changed-operators rule puts it back)
     "pipeline_clean",      # → pipeline_incr_stateful stays
                            #   (composition family)
     "join_semi",           # → join_inner stays (join family; anti
@@ -271,11 +228,11 @@ _DEFER_PAST_CAP = (
                            #   long↔wide family, opposite direction)
     "stats_moments",       # → profile_table_approx stays
                            #   (profiling/stats family)
-    "join_asof_nearest",   # → join_asof re-enters this round (same
-                           #   _asof_union machinery); events_gapfill
-                           #   defers below with events_window and
-                           #   events_sessionize re-entering as the
-                           #   time-series reps
+    # (join_asof_nearest deferred here r9-r13; re-entered IN-window
+    # in round 14 — its forward-carry window frame CHANGED in the r13
+    # optimization (shrinking→growing frame) without a driver
+    # re-certification that round, and its r8 evidence was next in
+    # the staleness queue)
     "events_gapfill",      # → events_window + events_sessionize
                            #   re-enter (temporal/events family);
                            #   gap-fill plan pinned in test_temporal
@@ -643,12 +600,9 @@ _DEFER_PAST_CAP = (
                             #   two-phase exact top-k also in
                             #   temperature_mixture, re-entering;
                             #   r12-green
-    "ngram_jaccard",        # → dedup_text_auto stays — at driver
-                            #   density it routes to ppjoin, so the
-                            #   IDENTICAL near_dup_edges pair set
-                            #   (route literal included) stays
-                            #   hash-checked — and dedup_survivors
-                            #   re-enters (edge machinery); r12-green
+    # (ngram_jaccard deferred here in r13; re-entered IN-window in
+    # round 14 — its candidate generation CHANGED, the aggregated
+    # PPJoin pair filter, so the changed-operators rule puts it back)
     "join_inner",           # → the first stagger half (r12) defers
     "filter_predicate",     #   as topk + distinct take the second
     "scan_projection",      #   (ADVICE r11); plan pins in test_plans
@@ -672,11 +626,9 @@ _DEFER_PAST_CAP = (
                             #   keep rule over the same edge table);
                             #   struct-max argmax value-checked via
                             #   knn_recall rows in-window; r12-green
-    "knn_join",             # → knn_join_stream stays (oracle shared
-                            #   verbatim with batch knn_join) and the
-                            #   exact leg INSIDE the three in-window
-                            #   recall rows recomputes knn_join's
-                            #   pair set every round; r12-green
+    # (knn_join deferred here in r13; re-entered IN-window in round
+    # 14 — its broadcast-index hydration CHANGED, the per-worker
+    # memo, so the changed-operators rule puts it back)
     "knn_join_twophase",    # → same oracle definition as knn_join
                             #   (pinned); the tiled path's geometry is
                             #   plan/property-tested; r12-green
@@ -695,6 +647,84 @@ _DEFER_PAST_CAP = (
                             #   the _asof_union machinery was
                             #   re-certified r12 (freshest evidence
                             #   in the deferred set); r12-green
+                            #   (r14 note: range_join/events_funnel
+                            #   defer again below — join_nonequi_filter
+                            #   + cross_join_filter re-enter as the
+                            #   non-equi reps, events_session_window
+                            #   stays as the temporal rep)
+    # ---- round 14 ----
+    # EIGHTEEN entries enter the window this round: the r14
+    # RE-CERTIFICATION sweep (ALL fourteen r7-evidence rows —
+    # limit_skip, agg_global, sort_multi, coercion, set_union,
+    # agg_rollup, cross_join_filter, join_nonequi_filter,
+    # feature_extract, tpch_q5_like, join_anti, pipeline_clean_incr,
+    # dup_span_frac, profile_table — whose evidence would otherwise
+    # breach the MAX_AGE=6 staleness bound at round 14), the three
+    # operators CHANGED by this optimization round (ngram_jaccard —
+    # aggregated PPJoin pair filter; dedup_minhash — scan-level
+    # min_tasks dial; knn_join — per-worker broadcast-index
+    # hydration memo), and join_asof_nearest (CHANGED r13 — growing
+    # window frame — but left deferred that round; its r8 evidence
+    # was also next in the staleness queue).  Eighteen
+    # r13-hash-green unchanged siblings defer in exchange — the
+    # freshest evidence in the deferred set, the same trade every
+    # sweep since r9 has made — each with in-window family
+    # representatives:
+    "set_intersect",        # → set_union re-enters (set-op family)
+                            #   and distinct stays; r13-green
+    "agg_grouping_sets",    # → agg_rollup + agg_global re-enter
+                            #   (grouping/Expand family); r13-green
+    "tpch_q3_like",         # → tpch_q5_like re-enters (composite
+    "tpch_q14_like",        #   family); tpch_q1 + flagship stay;
+                            #   both r13-green
+    "range_join",           # → join_nonequi_filter + cross_join_filter
+                            #   re-enter (non-equi family); r13-green
+    "events_funnel",        # → events_session_window stays
+                            #   (ordered-per-key temporal family);
+                            #   r13-green
+    "dup_spans",            # → dup_span_frac re-enters (same SPAN_W
+                            #   window-hash machinery) and
+                            #   excise_spans stays; r13-green
+    "decontaminate",        # → decontaminate_fuzzy stays (same
+                            #   eval-span semantics); r13-green
+    "dedup_survivors",      # → ngram_jaccard re-enters (the
+                            #   near_dup_edges machinery it selects
+                            #   over) and dedup_text_auto stays;
+                            #   r13-green
+    "dedup_minhash_incr",   # → dedup_minhash re-enters (CHANGED —
+                            #   same band join, same oracle family)
+                            #   and dedup_minhash_ingest_stream
+                            #   stays; r13-green
+    "embedding_neardup",    # → the banded-cosine family keeps
+                            #   in-window reps (ann_ivf_knn_join,
+                            #   knn_recall_ivf_probe) and
+                            #   semantic_search stays; r13-green
+    "kmeans_train",         # → ann_ivf_trained stays (trains the
+                            #   same centroid path end-to-end inside
+                            #   its own cold pass) plus the IVF
+                            #   cell-join consumers in-window;
+                            #   re-certified r13 (sampled trainer)
+    "ann_ivf_knn_join_probe", # → knn_recall_ivf_probe stays (the
+                            #   fused probe kernel + shared
+                            #   _probe_global_topk recompute the
+                            #   probe join every round); r13-green
+    "knn_recall_ivf",       # → knn_recall_ivf_probe stays (superset
+                            #   eval: exact leg + p=1 leg recall in
+                            #   one row); r13-green
+    "knn_recall_ivf_pq",    # → ann_ivf_pq_knn_join stays (the same
+                            #   IVFADC join is its approx leg) and
+                            #   knn_join re-enters (exact leg);
+                            #   r13-green
+    "ann_ivf_pq_rerank",    # → ann_ivf_pq stays (same codebooks +
+                            #   cell-partitioned index; the re-rank
+                            #   fold is value-pinned in pytest);
+                            #   r13-green
+    "multimodal_meta",      # → feature_extract re-enters (multimodal
+                            #   family); r13-green
+    "knn_join_stream",      # → knn_join re-enters (CHANGED — oracle
+                            #   shared verbatim with the batch row);
+                            #   the streaming engine keeps four
+                            #   in-window reps; r13-green
 )
 
 #: the driver correctness window size (observed, rounds 2-3)

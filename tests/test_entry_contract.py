@@ -29,76 +29,62 @@ def test_head_is_exactly_driver_cap():
 def test_rotation_keeps_new_and_changed_operators_in_window():
     # standing rule (VERDICT r3/r4): every operator added or changed
     # this round must sit inside the driver's 50-entry checked window
-    # the round it changes.  Round 13: TWO additions (the batch
-    # IVFADC join and its recall row), the changed entries (the coarse
-    # KMeans trainer now samples — kmeans_train itself plus its seven
-    # in-window consumers), the seventh re-certification sweep — the
-    # largest on record (ALL r5- and r6-evidence rows, 23 of them,
-    # per VERDICT r12 items 2+3) — and the owed second half of the
-    # staggered core-op re-certs (topk + distinct, ADVICE r11).
+    # the round it changes.  Round 14 (optimization): no additions;
+    # the three operators whose internals CHANGED this round
+    # (ngram_jaccard — aggregated PPJoin pair filter; dedup_minhash —
+    # scan-level min_tasks dial; knn_join — per-worker broadcast
+    # hydration memo), join_asof_nearest (changed r13 without a
+    # re-cert that round), and the eighth re-certification sweep —
+    # ALL fourteen r7-evidence rows, which would otherwise breach the
+    # MAX_AGE=6 staleness bound at round 14.
     must_be_checked = {
-        # r13 additions
-        "ann_ivf_pq_knn_join",     # batch IVFADC + exact re-rank:
-                                   # every vector × compressed index
-        "knn_recall_ivf_pq",       # its recall-vs-exact eval row
-        # r13 change: the coarse trainer samples (KMEANS_TRAIN_MOD);
-        # the training row and every in-window consumer of the
-        # trained matrix hash-check the new trajectory end to end
-        "kmeans_train",
-        "ann_ivf_trained",
-        "ann_ivf_knn_join",
-        "ann_ivf_knn_join_probe",
-        "knn_recall_ivf",
-        "knn_recall_ivf_probe",
-        "ann_ivf_pq",
-        "ann_ivf_pq_rerank",
-        # r13 re-certifications: the seven r5-evidence rows (the
-        # oldest on record, deferred since round 6)
-        "dedup_minhash_incr",
-        "len_histogram",
-        "dup_spans",
-        "inverted_index",
-        "doc_repetition",
-        "simhash_pairs",
-        "semantic_search",
-        # r13 re-certifications: ALL sixteen r6-evidence rows
-        "set_intersect",
-        "agg_grouping_sets",
-        "tpch_q3_like",
-        "range_join",
-        "events_funnel",
-        "quantile_approx",
-        "lang_id",
-        "embedding_neardup",
-        "dedup_survivors",
-        "lm_score",
-        "excise_spans",
-        "temperature_mixture",
-        "decontaminate_fuzzy",
-        "decontaminate",
-        "tpch_q14_like",
-        "chunk_documents",
-        # r13 core-op re-certs (the owed stagger half; ADVICE r11)
-        "topk",
-        "distinct",
+        # r14 changed operators (this optimization round)
+        "ngram_jaccard",
+        "dedup_minhash",
+        "knn_join",
+        # changed r13 (growing window frame) — re-cert owed
+        "join_asof_nearest",
+        # r14 re-certifications: ALL fourteen r7-evidence rows
+        "limit_skip",
+        "agg_global",
+        "sort_multi",
+        "coercion",
+        "set_union",
+        "agg_rollup",
+        "cross_join_filter",
+        "join_nonequi_filter",
+        "feature_extract",
+        "tpch_q5_like",
+        "join_anti",
+        "pipeline_clean_incr",
+        "dup_span_frac",
+        "profile_table",
         # earlier rows that keep their green (family reps documented
         # at their _DEFER_PAST_CAP entries)
         "flagship",
         "tpch_q1",
+        "topk",          # window_topk_per_group's deferral rep
+        "distinct",      # set-family deferral rep
         "vocab_drift",   # tfidf_topterms' deferral rep
         "bm25_search",   # stays in-window: the hybrid row consumes
                          # RANKS only; score values need their own row
         "window_running_sum",   # only in-window window-function row
-        "dedup_text_auto",      # ngram_jaccard's deferral rep (routes
-                                # to ppjoin at driver density)
+        "dedup_text_auto",      # routes to ppjoin at driver density:
+                                # hash-checks the CHANGED candidate
+                                # machinery through its own route
         "train_test_split",     # hash-split core rep
         "bpe_encode_checked",   # only in-window tokenizer row
-        "multimodal_meta",      # only in-window multimodal row
+        "ann_ivf_trained",      # ann_ivf's deferral rep; trains the
+                                # centroid path end-to-end
+        "ann_ivf_knn_join",     # banded-cosine family rep
+        "knn_recall_ivf_probe", # fused probe kernel + shared
+                                # _probe_global_topk rep
+        "ann_ivf_pq",           # codebook/index family rep
+        "ann_ivf_pq_knn_join",  # IVFADC join rep
         "events_session_window",
         "dedup_minhash_ingest_stream",
         "dedup_labels_stream",  # CC-semantics rep (from-scratch-CC
                                 # oracle) for the deferred state rows
-        "knn_join_stream",      # batch knn_join's oracle, verbatim
         "cms_stream_heavy_hitters",
         "bloom_precheck_stream",
     }
