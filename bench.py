@@ -243,6 +243,27 @@ ADOPTED_QUERIES = [
     "ann_ivf_pq_rerank",
 ]
 
+#: compute-bound extras ALSO reported inside the compact ``queries``
+#: dict (r14, VERDICT r13 item 1): the headline 22 are sub-second and
+#: per-task-overhead-bound at sf0.1, so a low-core/high-core
+#: comparison over them reads ≈1 for every row and says nothing about
+#: whether the engine parallelizes — the queries that DO scale with
+#: cores (broadcast-kernel k-NN, IVF cell joins, Lloyd's iterations,
+#: the Arrow signature kernel) all live in the extras, which the
+#:  comparison never samples.  These rows are timed ONCE, in their
+#: usual extras position with the usual methodology, and their cold
+#: numbers are COPIED into ``queries`` so a core-count sweep sees
+#: them; ``value``/``steady_total`` remain the round-1-comparable
+#: 22-query totals (the stable metric contract above) and the extras
+#: keys keep reporting them as every round before.
+SCALING_QUERIES = [
+    "knn_join",
+    "ann_ivf_knn_join",
+    "knn_recall_ivf",
+    "kmeans_train",
+    "knn_label_spread",
+]
+
 _ADOPTED_SCRIPT = """
 import json, sys, time
 sys.path.insert(0, {root!r})
@@ -502,6 +523,29 @@ def main() -> None:
             qs[warm](spark, SF_DIR).count()
         except Exception as exc:  # warmup failure must not kill the run
             print(f"# warmup {warm} failed: {exc}", file=sys.stderr)
+    # ... at the session's FULL width (r14 measurement fix, guide §1):
+    # the two warmup queries read single-split inputs, so they fork
+    # exactly ONE Python worker — the first 32-task Arrow stage then
+    # paid ~31 worker forks + numpy/pandas imports inside its TIMED
+    # cold pass (measured: knn_join cold 10-15 s with the r13
+    # min_tasks dial vs ~2 s once workers exist; the dial itself only
+    # widens the kernel).  Worker fork was always declared warmup
+    # cost (the comment above, r4) — this makes the warmup actually
+    # pay it for every worker the session can run.  Timed regions,
+    # query set and metric definitions are unchanged.
+    try:
+        par = max(1, spark.sparkContext.defaultParallelism)
+
+        def _prefork(batches):
+            import numpy  # noqa: F401
+            import pandas  # noqa: F401
+
+            for b in batches:
+                yield b
+
+        spark.range(0, par, 1, par).mapInPandas(_prefork, "id long").count()
+    except Exception as exc:
+        print(f"# warmup prefork failed: {exc}", file=sys.stderr)
 
     par_pre = _parallel_canary(spark)
 
@@ -576,14 +620,31 @@ def main() -> None:
     # lower SPARK_GRAFT_CPUS run inflates steady legitimately.
     steady_outliers, plausible_ok = _steady_outliers(steady)
 
+    # the round-1-comparable totals close over the 22-query headline
+    # set BEFORE the scaling rows are copied in (metric contract at
+    # the top of this file: ``value``/``steady_total`` stay comparable
+    # over the SAME set)
+    headline_value = round(sum(cold.values()), 4)
+    headline_steady = round(sum(steady.values()), 4)
+    # r14 (VERDICT r13 item 1): expose the compute-bound extras to a
+    # core-count sweep by copying their numbers — measured once, in
+    # the extras position — into the per-query dicts.  Additive only:
+    # no headline key is removed or renamed, and the totals above
+    # exclude these rows.
+    for name in SCALING_QUERIES:
+        if name in extra_cold:
+            cold[name] = extra_cold[name]
+        if name in extra_steady:
+            steady[name] = extra_steady[name]
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     full = {
         "metric": "headline_queries_total_runtime",
-        "value": round(sum(cold.values()), 4),
+        "value": headline_value,
         "unit": "sec",
         "queries": cold,
-        "steady_total": round(sum(steady.values()), 4),
+        "steady_total": headline_steady,
         "steady_queries": steady,
         "extra_total": round(sum(extra_cold.values()), 4),
         "extra_queries": extra_cold,

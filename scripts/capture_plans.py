@@ -1,8 +1,8 @@
 #!/usr/bin/env python
-"""Dump .explain("formatted") for declared queries into plans/r13/.
+"""Dump .explain("formatted") for declared queries into plans/<round>/ (SPARK_GRAFT_PLANS_ROUND, default r14).
 
 Usage: python scripts/capture_plans.py <suffix> [name ...]
-  suffix: 'before' or 'after' — file names are plans/r13/<query>_<suffix>.txt
+  suffix: 'before' or 'after' — file names are plans/<round>/<query>_<suffix>.txt
   names:  queries to capture (default: every queries() entry)
 
 Streaming rows execute foreachBatch machinery at call time; their
@@ -26,7 +26,7 @@ from simple_rust_query_engine_spark.session import (  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "..", "plans", "r13"
+    os.path.dirname(os.path.abspath(__file__)), "..", "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14")
 )
 
 

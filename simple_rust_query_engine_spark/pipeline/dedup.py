@@ -89,6 +89,7 @@ from .dedup_sketch import (  # noqa: F401
     SHINGLE_N,
     _band_exploded,
     _band_index_for,
+    _checkpointed_bands,
     _checkpointed_sigs,
     _minhash_sig_expr,
     _perm,

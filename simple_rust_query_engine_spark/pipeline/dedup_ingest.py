@@ -17,6 +17,7 @@ from .dedup_sketch import (
     MH_K,
     _band_exploded,
     _band_index_for,
+    _checkpointed_bands,
     _checkpointed_sigs,
     minhash_pairs_from_index,
     probe_band_index,
@@ -139,17 +140,21 @@ def _mh_old_label_state_for(
 def commit_label_state(
     spark, labels: DataFrame, table: str, path: str,
     num_buckets: int = BAND_BUCKETS,
+    barrier: bool = True,
 ) -> None:
     """Overwrite the persisted label state with merged labels — the
     COMMIT step of the ingest cycle.  The merged frame is hard-
     materialized first (``merge_labels`` output already truncates
     lineage at the CC loop, but the final vertex join is lazy): a
     plan still referencing the table being overwritten would read
-    files the overwrite is deleting."""
+    files the overwrite is deleting.  ``barrier=False`` skips that
+    materialization — ONLY valid when the caller can prove the plan
+    never reads ``table`` (the first batch of a stream, where the
+    state table does not exist yet)."""
     from ..sources.write import write_bucketed
 
     write_bucketed(
-        materialize(labels), table, path,
+        materialize(labels) if barrier else labels, table, path,
         bucket_by=["doc_id"], num_buckets=num_buckets,
     )
 
@@ -174,25 +179,36 @@ def fold_edges_into_labels(
     re-merges the same edges into the same labels (idempotent)
     instead of duplicating vertices.  Creates the label table empty
     on first use; commits the merged labels back when done."""
-    if not spark.catalog.tableExists(label_table):
-        commit_label_state(
-            spark,
-            spark.createDataFrame([], "doc_id long, label long"),
-            label_table,
-            label_path,
+    had_state = spark.catalog.tableExists(label_table)
+    if had_state:
+        state = spark.table(label_table)
+        arriving = (
+            arriving_docs.select("doc_id")
+            .join(state.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id", F.col("doc_id").alias("label"))
         )
-    state = spark.table(label_table)
-    arriving = (
-        arriving_docs.select("doc_id")
-        .join(state.select("doc_id"), "doc_id", "left_anti")
-        .select("doc_id", F.col("doc_id").alias("label"))
-    )
-    labels0 = state.union(arriving)
+        labels0 = state.union(arriving)
+    else:
+        # first batch (r14): no empty-table bootstrap commit — the
+        # state IS the arriving identity labels, and the final commit
+        # below creates the table.  Saves one materialize + one
+        # bucketed write per stream; the replay-idempotence contract
+        # is untouched (a replayed FIRST batch still anti-joins
+        # against the by-then-existing table on the branch above).
+        labels0 = arriving_docs.select(
+            "doc_id", F.col("doc_id").alias("label")
+        )
     new_edges = (
         pairs.filter(F.col("n_match") >= MH_DUP_NM).select("doc_a", "doc_b")
     )
     merged = merge_labels(labels0, new_edges, labels0.select("doc_id"))
-    commit_label_state(spark, merged, label_table, label_path)
+    # first batch: the merged plan reads only the batch frame, the
+    # pairs barrier and the CC loop's checkpoints — never the (not
+    # yet existing) label table — so the pre-commit barrier is one
+    # job the overwrite hazard does not need (r14)
+    commit_label_state(
+        spark, merged, label_table, label_path, barrier=had_state
+    )
 
 
 def ingest_docs_batch(
@@ -247,9 +263,10 @@ def ingest_docs_batch(
 
     sc = spark.sparkContext
     live_before = set(_persistent_rdds(sc)) if release_batch_barriers else ()
-    bands = materialize(
-        _band_exploded(_checkpointed_sigs(batch_docs), with_sig=True)
-    )
+    # one barrier per batch (r14): sign → filter → band-explode →
+    # checkpoint in a single job; the separate signature checkpoint
+    # fed nothing but the explode here (see _checkpointed_bands)
+    bands = _checkpointed_bands(batch_docs)
     write_bucketed(
         bands.repartition(BAND_BUCKETS, F.col("band")),
         index_table, index_path,

@@ -161,7 +161,65 @@ def minhash_signatures(docs: DataFrame, strong_hash: bool = False) -> DataFrame:
     return docs.select("doc_id", sig_udf(F.col("text")).alias("sig"))
 
 
-def _checkpointed_sigs(docs: DataFrame, strong_hash: bool = False) -> DataFrame:
+#: task-size floor for the widened signature kernel: below this much
+#: compressed input per task the per-task Arrow/Python round-trip
+#: outweighs the kernel compute (A/B at sf0.1: 581 KB / 5000 docs,
+#: width 8 ≈ 73 KB/task beat both width 1 and width 32 — 1.37 s vs
+#: 1.75 s vs 1.56 s for the full pair run).  Scale-adaptive by
+#: construction: the width grows with the input until the core count
+#: (min_tasks) caps it, and once splits outnumber cores the dial
+#: no-ops entirely.
+MIN_BYTES_PER_SIG_TASK = 64 * 1024
+
+
+def _input_bytes(docs: DataFrame) -> "int | None":
+    """Total on-disk bytes of a file-backed frame, from driver-side
+    metadata only (no job).  None when the frame has no resolvable
+    local input files (derived frames, non-file sources)."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = docs.inputFiles()
+        if not files:
+            return None
+        total = 0
+        for f in files:
+            p = urlparse(f)
+            if p.scheme not in ("", "file"):
+                return None
+            total += os.path.getsize(unquote(p.path))
+        return total
+    except Exception:
+        return None
+
+
+def _widen_docs(docs: DataFrame, min_tasks: int | None) -> DataFrame:
+    """Compact-input parallelism dial for the signature kernel: widen
+    the docs side to ``min(min_tasks, ceil(bytes /
+    MIN_BYTES_PER_SIG_TASK))`` partitions when it arrives narrower,
+    via one hash exchange on the unique doc_id (deterministic, no
+    sort-before-repartition — see ``_checkpointed_sigs``); otherwise
+    leave the plan untouched.  The byte count comes from driver-side
+    file metadata — no counting job, so the per-batch streaming
+    ingest can use the dial for free; an unresolvable input skips
+    the floor and widens to ``min_tasks``."""
+    if min_tasks is None:
+        return docs
+    width = int(min_tasks)
+    total = _input_bytes(docs)
+    if total:
+        width = min(width, max(1, -(-total // MIN_BYTES_PER_SIG_TASK)))
+    if docs.rdd.getNumPartitions() < width:
+        return docs.repartition(width, F.col("doc_id"))
+    return docs
+
+
+def _checkpointed_sigs(
+    docs: DataFrame,
+    strong_hash: bool = False,
+    min_tasks: int | None = None,
+) -> DataFrame:
     """Materialized signature table shared by the full and incremental
     pair joins.
 
@@ -172,15 +230,64 @@ def _checkpointed_sigs(docs: DataFrame, strong_hash: bool = False) -> DataFrame:
     Checkpointing computes signatures exactly once and every consumer
     reads the materialized rows.  At cluster scale the same holds
     per-executor; recompute-on-executor-loss is the accepted trade
-    (or persist(DISK) for reliability)."""
+    (or persist(DISK) for reliability).
+
+    ``min_tasks`` — the same compact-input parallelism dial as
+    ``knn_join`` (guide §2.6): the signature kernel is compute-bound
+    per document, so its parallelism is the docs scan's split count,
+    and an sf corpus arriving as ONE parquet file runs the whole
+    Arrow pass on one core.  The exchange is inserted INSIDE the
+    checkpointed subtree — repartition the scan, then sign, then
+    checkpoint — so the materialized table keeps its size stats and
+    the downstream verify joins still auto-broadcast (an r13 A/B
+    that repartitioned docs OUTSIDE the barrier broke exactly that
+    and measured 5× WORSE).  Hash-partitioned on doc_id, NOT
+    round-robin: a keyless repartition first pays a local sort of
+    the full rows (``sortBeforeRepartition``, retry determinism) —
+    on document text that sort cost more than the widened kernel
+    saved — while hashing the unique doc_id is deterministic without
+    it and spreads evenly.  No-op once input splits reach
+    ``min_tasks``, so the 100 TB plan is unchanged; signatures are
+    per-row, so output is identical under any partitioning."""
     return (
-        minhash_signatures(docs, strong_hash=strong_hash)
+        minhash_signatures(
+            _widen_docs(docs, min_tasks), strong_hash=strong_hash
+        )
         # docs shorter than SHINGLE_N tokens have all-NULL signatures;
         # the oracle's NULL band never joins (NULL || ... = NULL), but
         # concat_ws SKIPS nulls, which would band every short doc
         # together — drop them up front on both semantics and cost
         .filter(F.element_at("sig", 1).isNotNull())
         .transform(materialize)
+    )
+
+
+def _checkpointed_bands(
+    docs: DataFrame, min_tasks: int | None = None
+) -> DataFrame:
+    """ONE materialization for the per-batch ingest shape: signature
+    UDF → null filter → band explode (sig carried) → checkpoint.
+
+    The ingest loops (``ingest_docs_batch``,
+    ``streaming.dedup.stream_minhash_ingest``) consume ONLY the
+    banded layout — both the index append and the probe read (doc_id,
+    band, sig) rows — so checkpointing the signatures first and the
+    band explode second (the r13 shape) paid one barrier job per
+    batch for a table nothing else read.  Within a single linear
+    plan the Arrow UDF evaluates once (the multi-consumer re-planning
+    hazard ``_checkpointed_sigs`` exists for needs multiple
+    consumers); the 4×-sig storage of the exploded layout is the
+    band-index layout already.  ``min_tasks`` widens the signature
+    kernel for compact batches exactly like ``_checkpointed_sigs``
+    (inside the barrier, so downstream auto-broadcasts keep their
+    stats)."""
+    return materialize(
+        _band_exploded(
+            minhash_signatures(_widen_docs(docs, min_tasks)).filter(
+                F.element_at("sig", 1).isNotNull()
+            ),
+            with_sig=True,
+        )
     )
 
 
@@ -224,12 +331,19 @@ def _with_pair_stats(cand: DataFrame, sigs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, strong_hash: bool = False) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    strong_hash: bool = False,
+    min_tasks: int | None = None,
+) -> DataFrame:
     """Candidate near-dup pairs via banded LSH + exact signature
     agreement estimate. Returns (doc_a, doc_b, n_match, est_jaccard).
     ``strong_hash`` switches the whole stack (signatures → bands →
-    stats) to production blake2b shingle ids in one flag."""
-    sigs = _checkpointed_sigs(docs, strong_hash=strong_hash)
+    stats) to production blake2b shingle ids in one flag;
+    ``min_tasks`` widens the signature kernel for compact inputs
+    (see ``_checkpointed_sigs`` — output identical, default None
+    keeps the library plan unchanged)."""
+    sigs = _checkpointed_sigs(docs, strong_hash=strong_hash, min_tasks=min_tasks)
     bands = _band_exploded(sigs)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -241,7 +355,15 @@ def minhash_lsh_pairs(docs: DataFrame, strong_hash: bool = False) -> DataFrame:
 
 
 def q_dedup_minhash(t: dict) -> DataFrame:
-    return minhash_lsh_pairs(t["documents"])
+    # r14 (guide §2.6): the driver corpus arrives as ONE parquet
+    # split, so the Arrow signature kernel ran on one core of the
+    # session; the entry passes the min_tasks dial exactly like
+    # q_knn_join (adapts to SPARK_GRAFT_CPUS; no-op at scale where
+    # splits outnumber cores).  Signatures are per-row deterministic,
+    # so the pair set is identical under any partitioning.
+    docs = t["documents"]
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return minhash_lsh_pairs(docs, min_tasks=par)
 
 
 #: "new arrival" predicate for the incremental demo: every 5th doc
@@ -680,8 +802,6 @@ def _ngram_candidates(
     (docs/AB_R11_ppjoin.jsonl) counts candidates through the
     PRODUCTION code path instead of a drifting copy."""
 
-    from pyspark.sql.window import Window
-
     arrs = _shingle_arrs(d)
     probe = _prefix_postings(arrs)
     pa = probe.select(
@@ -692,29 +812,57 @@ def _ngram_candidates(
         F.col("doc_id").alias("pb"), "shingle",
         F.col("rn").alias("rn_b"), F.col("n_sh").alias("nb"),
     )
-    # positional filter: at a common shingle (positions rn_a/rn_b) the
-    # overlap is bounded by 1 + min(na - rn_a, nb - rn_b); a true pair
-    # needs overlap >= t/(1+t)·(na+nb) (ε guards double rounding;
-    # recall-safe — verify is exact anyway)
-    ubound = F.least(F.col("na") - F.col("rn_a"), F.col("nb") - F.col("rn_b")) + 1
-    req = F.lit(JACCARD_T / (1.0 + JACCARD_T)) * (F.col("na") + F.col("nb"))
     # symmetric length filter: J >= t forces t·|B| <= |A| <= |B|/t
+    # (pair-constant, so filtering the match stream before the pair
+    # aggregation drops all of a pair's rows or none)
     lenf = (F.col("na") >= F.lit(JACCARD_T) * F.col("nb")) & (
         F.col("nb") >= F.lit(JACCARD_T) * F.col("na")
     )
+    rows = pa.join(pb, "shingle").filter((F.col("pa") < F.col("pb")) & lenf)
+    # r14: per-pair AGGREGATION replaces the bare pair-distinct —
+    # same (pa, pb) exchange key, map-side combined, carrying three
+    # longs of aggregation state per pair instead of one row per
+    # surviving match (A/B in one session at sf0.1: candidate stage
+    # 1.95 s → 0.75 s warm, identical pair set).  The r11 per-row
+    # positional filter moves into the aggregate: the pair
+    # requirement ``overlap >= t/(1+t)·(na+nb)`` is constant per
+    # pair, so any-row-passes ⟺ max-over-rows-passes — the same
+    # candidate set as filtering each row before a distinct, and a
+    # hash collision can only ADD a row and so only RAISE the max
+    # (recall-safe; the string verify is exact anyway).
+    #
+    # Measured and REJECTED here (r14, VERDICT r13 item 2): the
+    # aggregated PPJoin suffix bound ``cnt + min(na − max rn_a, nb −
+    # max rn_b)`` with collision-safety via a broadcast tainted-hash
+    # set (hashes covering ≥2 distinct strings corpus-wide; the
+    # positional maxima trust only untainted rows, so collisions can
+    # only raise the bound — the soundness proof survives).  On this
+    # corpus it prunes only 4% of candidates (124 839 → 119 678):
+    # 96% of candidate pairs match at LOW ranks, where ``na − max
+    # rn_a`` stays near ``na`` and the bound clears the requirement
+    # regardless of cnt — while the taint computation (one distinct
+    # (hash, string) aggregation over the corpus shingles; strings
+    # must stay out of agg BUFFERS or the df-count pass plans
+    # SortAggregate, measured 1.6× slower end-to-end) costs 0.7 s
+    # per pass locally and a vocab-sized string exchange at scale.
+    # Net negative at every scale tested; the exactness contract
+    # forbids the taint-free variant (a collision can push the bound
+    # below a true pair's requirement — proven in r13).
+    agg = rows.groupBy("pa", "pb").agg(
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.max(
+            F.least(F.col("na") - F.col("rn_a"), F.col("nb") - F.col("rn_b"))
+        ).alias("ub"),
+    )
+    req_p = F.lit(JACCARD_T / (1.0 + JACCARD_T)) * (F.col("na") + F.col("nb"))
     # ``positional_filter=False`` exists ONLY for the measured A/B
     # (docs/AB_R11_ppjoin.jsonl): prefix + length filters alone vs
     # PPJoin proper.  The result set is identical either way (the
     # verify is exact); only the candidate count and runtime move.
-    match_pred = (F.col("pa") < F.col("pb")) & lenf
     if positional_filter:
-        match_pred = match_pred & (ubound >= req - F.lit(1e-9))
-    cand = (
-        pa.join(pb, "shingle")
-        .filter(match_pred)
-        .select(F.col("pa").alias("doc_a"), F.col("pb").alias("doc_b"))
-        .distinct()
-    )
+        agg = agg.filter(F.col("ub") + 1 >= req_p - F.lit(1e-9))
+    cand = agg.select(F.col("pa").alias("doc_a"), F.col("pb").alias("doc_b"))
     return arrs, cand
 
 
@@ -780,15 +928,16 @@ def ngram_jaccard_pairs(
        self-join never generate candidates.  ``pa < pb`` keeps one
        orientation per unordered pair, halving the enumerated
        matches;
-    4. the PPJoin positional filter and the symmetric length filter
-       (``t·|B| <= |A| <= |B|/t``) are applied per matched row
-       BEFORE the pair-distinct — the pair requirement ``overlap >=
-       t/(1+t)(na+nb)`` is constant per pair, so any-row-passes ⟺
-       max-over-rows-passes, and filtering first shrinks the
-       distinct's shuffle.  All conditions are CONJUNCTIVE
-       two-column predicates: a variant with disjunctive conditions
-       (shorter-side orientation, a pushdown-guarded PPJoin
-       indexing-prefix bound) measured ~2× slower end-to-end;
+    4. the symmetric length filter (``t·|B| <= |A| <= |B|/t``) drops
+       rows before the pair aggregation (pair-constant, so it drops
+       all of a pair's rows or none); the match stream then
+       aggregates per pair — same (pa, pb) exchange the old
+       pair-distinct paid, now map-side combined and ~2.5× faster —
+       and the PPJoin positional filter applies in aggregated form
+       (max-over-rows ⟺ any-row-passes: the pair requirement
+       ``overlap >= t/(1+t)(na+nb)`` is constant per pair), so the
+       candidate set is unchanged and collision rows can only raise
+       the max (recall-safe);
     5. exact verify via array_intersect on the per-doc string shingle
        arrays — checkpoint stats let Spark auto-broadcast them at
        bench scale; at cluster scale AQE falls back to a shuffled

@@ -2566,7 +2566,7 @@ def q_knn_recall_ivf_pq(t: dict) -> DataFrame:
 
 
 def knn_label_spread(
-    emb: DataFrame, k: int = KNN_K, min_tasks: "int | None" = None
+    emb: DataFrame, k: int = KNN_K, min_tasks: int | None = None
 ) -> DataFrame:
     """k-NN LABEL SPREAD — majority vote of each vector's k nearest
     neighbors vs its own label: the weak-supervision primitive (spread

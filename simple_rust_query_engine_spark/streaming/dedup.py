@@ -271,6 +271,7 @@ def stream_minhash_ingest(
     release_batch_barriers: bool = True,
     label_table: str | None = None,
     label_path: str | None = None,
+    min_tasks: int | None = None,
 ):
     """Continuous LSH near-dup ingest THROUGH the streaming engine —
     the streaming twin of the persisted bucketed band index
@@ -338,8 +339,7 @@ def stream_minhash_ingest(
         raise ValueError("stream_minhash_ingest: label_table needs label_path")
     from ..pipeline.dedup import (
         BAND_BUCKETS,
-        _band_exploded,
-        _checkpointed_sigs,
+        _checkpointed_bands,
         fold_edges_into_labels,
         materialize,
         probe_band_index,
@@ -366,9 +366,12 @@ def stream_minhash_ingest(
     def ingest(batch_df, batch_id):
         sc = spark.sparkContext
         live_before = set(_persistent_rdds(sc)) if release_batch_barriers else ()
-        bands = materialize(
-            _band_exploded(_checkpointed_sigs(batch_df), with_sig=True)
-        )
+        # one barrier per batch (r14): sign → filter → band-explode →
+        # checkpoint in a single job (see _checkpointed_bands); the
+        # min_tasks dial widens the compute-bound signature kernel
+        # when a batch arrives as fewer splits than the session has
+        # cores (no-op at scale — same dial as the batch rows)
+        bands = _checkpointed_bands(batch_df, min_tasks=min_tasks)
         write_bucketed(
             bands.repartition(BAND_BUCKETS, F.col("band")),
             index_table,
@@ -444,6 +447,9 @@ def q_dedup_minhash_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame
         pairs_table,
         pairs_path=os.path.join(tmp, "pairs"),
         query_name=f"minhash_ingest_{run}",
+        # driver batches arrive as one parquet split; widen the
+        # signature kernel like the batch entries (no-op at scale)
+        min_tasks=spark.sparkContext.defaultParallelism,
     )
     q.processAllAvailable()
     q.stop()
@@ -488,6 +494,8 @@ def q_dedup_labels_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_name=f"labels_stream_{run}",
         label_table=label_table,
         label_path=os.path.join(tmp, "labels"),
+        # same compact-batch kernel dial as the ingest entry above
+        min_tasks=spark.sparkContext.defaultParallelism,
     )
     q.processAllAvailable()
     q.stop()

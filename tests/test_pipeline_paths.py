@@ -719,6 +719,82 @@ def test_star_cc_chain_converges_logarithmically(spark):
     assert rounds <= 12, rounds  # paper bound ~2 log n; propagation needs ~63
 
 
+def test_ngram_candidate_aggregation_matches_row_filtered_distinct(tables):
+    # r14: the candidate stage aggregates per pair (map-side combined)
+    # instead of filtering each matched row and running a distinct —
+    # the pair requirement is constant per pair, so max-over-rows ⟺
+    # any-row-passes and the candidate SET must be identical to the
+    # r11 row-filtered-distinct reference, spelled out here verbatim
+    from simple_rust_query_engine_spark.pipeline.dedup_sketch import (
+        JACCARD_T,
+        _ngram_candidates,
+        _prefix_postings,
+        _shingle_arrs,
+    )
+
+    docs = tables["documents"]
+    probe = _prefix_postings(_shingle_arrs(docs))
+    pa = probe.select(
+        F.col("doc_id").alias("pa"), "shingle",
+        F.col("rn").alias("rn_a"), F.col("n_sh").alias("na"),
+    )
+    pb = probe.select(
+        F.col("doc_id").alias("pb"), "shingle",
+        F.col("rn").alias("rn_b"), F.col("n_sh").alias("nb"),
+    )
+    ubound = (
+        F.least(F.col("na") - F.col("rn_a"), F.col("nb") - F.col("rn_b")) + 1
+    )
+    req = F.lit(JACCARD_T / (1.0 + JACCARD_T)) * (F.col("na") + F.col("nb"))
+    lenf = (F.col("na") >= F.lit(JACCARD_T) * F.col("nb")) & (
+        F.col("nb") >= F.lit(JACCARD_T) * F.col("na")
+    )
+    ref = (
+        pa.join(pb, "shingle")
+        .filter(
+            (F.col("pa") < F.col("pb"))
+            & lenf
+            & (ubound >= req - F.lit(1e-9))
+        )
+        .select(F.col("pa").alias("doc_a"), F.col("pb").alias("doc_b"))
+        .distinct()
+    )
+    _, cand = _ngram_candidates(docs)
+    ref_set = {(r.doc_a, r.doc_b) for r in ref.collect()}
+    cand_set = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    assert cand_set == ref_set and len(cand_set) > 0
+
+
+def test_minhash_sig_dial_identical_output_and_width(tables, spark):
+    # r14 (guide §2.6): the signature-kernel dial must leave the pair
+    # set bit-identical (signatures are per-row) and actually widen
+    # the checkpointed table, bounded by the docs-per-task floor
+    from simple_rust_query_engine_spark.pipeline.dedup_sketch import (
+        MIN_BYTES_PER_SIG_TASK,
+        _checkpointed_sigs,
+        _input_bytes,
+        minhash_lsh_pairs,
+    )
+
+    docs = tables["documents"]
+    base = minhash_lsh_pairs(docs)
+    dial = minhash_lsh_pairs(docs, min_tasks=8)
+    assert {tuple(r) for r in base.collect()} == {
+        tuple(r) for r in dial.collect()
+    }
+    total = _input_bytes(docs)
+    assert total and total > 0  # plain parquet scan must resolve
+    expect = min(8, max(1, -(-total // MIN_BYTES_PER_SIG_TASK)))
+    scan_parts = docs.rdd.getNumPartitions()
+    got = _checkpointed_sigs(docs, min_tasks=8).rdd.getNumPartitions()
+    # the dial only fires when the scan arrives narrower than the
+    # floor-bounded width (env-tolerant, ADVICE r13)
+    if scan_parts < expect:
+        assert got == expect, (got, expect)
+    else:
+        assert got == scan_parts, (got, scan_parts)
+
+
 def test_ppjoin_candidate_estimate_bounds_actual(tables):
     # the density dial: Σ C(prefix_df, 2) must upper-bound the real
     # (pre-distinct, hence also post-distinct) candidate-pair count —

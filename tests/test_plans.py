@@ -912,14 +912,23 @@ def test_knn_label_spread_plan_two_uniform_exchanges(spark):
     assert plan.count("BroadcastExchange") == 2, plan
     assert plan.count("MapInPandas") == 1, plan
     assert "Window" not in plan and "rangepartitioning" not in plan, plan
-    assert "roundrobinpartitioning" in plan.lower(), plan
+    # the dial's round-robin exchange appears only when the session is
+    # wider than the embeddings scan's split count — guard instead of
+    # asserting unconditionally (ADVICE r13: under SPARK_GRAFT_CPUS=1
+    # or a multi-split test corpus the dial correctly no-ops)
+    from simple_rust_query_engine_spark.session import load_tables
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    if (
+        spark.sparkContext.defaultParallelism
+        > emb.rdd.getNumPartitions()
+    ):
+        assert "roundrobinpartitioning" in plan.lower(), plan
 
     from simple_rust_query_engine_spark.pipeline.similarity import (
         knn_label_spread,
     )
-    from simple_rust_query_engine_spark.session import load_tables
 
-    emb = load_tables(spark, SF_DIR)["embeddings"]
     base = knn_label_spread(emb)
     lib_plan = base._jdf.queryExecution().executedPlan().toString()
     assert "roundrobinpartitioning" not in lib_plan.lower(), lib_plan
