@@ -15,10 +15,8 @@ from .dedup_core import BAND_BUCKETS, _state_table, materialize
 from .dedup_sketch import (
     INCR_MOD,
     MH_K,
-    _band_exploded,
     _band_index_for,
     _checkpointed_bands,
-    _checkpointed_sigs,
     minhash_pairs_from_index,
     probe_band_index,
 )
@@ -351,14 +349,13 @@ def q_decontaminate_fuzzy(t: dict) -> DataFrame:
     one groupBy on the train doc id, then a broadcast-sized hit
     table left-joins back to the train docs."""
     docs = t["documents"]
-    ev_bands = _band_exploded(
-        _checkpointed_sigs(docs.filter(F.col("source") == EVAL_SOURCE)),
-        with_sig=True,
-    )
-    tr_bands = _band_exploded(
-        _checkpointed_sigs(docs.filter(F.col("source") != EVAL_SOURCE)),
-        with_sig=True,
-    )
+    # one barrier per side (r14): each side's signature table feeds
+    # ONLY its band explode here, so the separate signature
+    # checkpoint paid a barrier job per side for a table nothing
+    # else read (same fusion as the ingest loops —
+    # _checkpointed_bands)
+    ev_bands = _checkpointed_bands(docs.filter(F.col("source") == EVAL_SOURCE))
+    tr_bands = _checkpointed_bands(docs.filter(F.col("source") != EVAL_SOURCE))
     tr, ev = tr_bands.alias("tr"), ev_bands.alias("ev")
     n_match = F.size(
         F.filter(

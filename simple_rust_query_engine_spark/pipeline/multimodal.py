@@ -133,7 +133,17 @@ def decode_images(payloads: DataFrame, codec: str = "auto") -> DataFrame:
       for mixed/dirty corpora.
 
     Either way the Spark plan is identical: map-only, bytes move as
-    Arrow batches, never row-at-a-time through the driver."""
+    Arrow batches, never row-at-a-time through the driver.
+
+    Batch sizing at real image sizes (guide §4.2; measured r14,
+    docs/AB_R14.jsonl): with multi-MB payloads set
+    ``spark.sql.execution.arrow.maxBytesPerBatch`` to roughly 2× the
+    typical payload (4 MB at 2 MB payloads measured 1.75× faster than
+    the 64 MB default — small batches pipeline decode with transfer
+    and bound worker memory; capping BELOW one payload regresses).
+    Left at the session default here: driver-corpus payloads are
+    ~1 KB, where the knob is a no-op, and a session-wide low cap
+    would shrink every other Arrow kernel's batches."""
     if codec not in ("fake", "real", "auto"):
         raise ValueError(f"codec must be fake|real|auto, got {codec!r}")
 
